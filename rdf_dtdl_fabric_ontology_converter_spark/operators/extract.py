@@ -1,0 +1,171 @@
+"""Stage A: documents → triples (Arrow-vectorized span extraction).
+
+Spark mapping of the reference's parse layer (reference:
+src/formats/rdf/rdf_parser.py:288-386 parse_ttl_content,
+rdf_parser.py:239-273 format aliases / guess_format): a ``mapInPandas``
+extraction over the documents table. Each text span is format-sniffed and
+parsed by a pure-Python tokenizer (turtle/jsonld/rdfxml/trix — no rdflib on
+executors); parse failures become ``parse_error`` rows that feed the
+``skipped_items`` table (reference: src/shared/models/conversion.py:16-51).
+
+Narrow transformation — no shuffle; partition count of the scan carries
+through. Blank nodes are qualified with (doc_id, span_idx) before emission
+so cross-document unions can never alias (SURVEY §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRIPLES_SCHEMA = T.StructType([
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("obj_kind", T.StringType()),      # iri | bnode | literal
+    T.StructField("obj_datatype", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("graph_ctx", T.StringType()),
+    T.StructField("fmt", T.StringType()),           # turtle|jsonld|rdfxml|trix|dtdl|cdm
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("parse_error", T.StringType()),   # non-null => error row
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("media_ref", T.StringType()),
+])
+
+
+def sniff_format(text: str) -> str:
+    """Format inference from span content.
+
+    Replaces the reference's extension-based guess_format (reference:
+    src/formats/rdf/rdf_parser.py:248-254) and the CDM dialect detector
+    (src/formats/cdm/cdm_parser.py:208-250) with content sniffing — span
+    payloads have no filenames.
+    """
+    s = text.lstrip()
+    if not s:
+        return "empty"
+    if s.startswith("<?xml") or s.startswith("<rdf:RDF") or s.startswith("<RDF"):
+        return "rdfxml"
+    if s.startswith("<TriX") or s.startswith("<trix"):
+        return "trix"
+    if s[0] in "{[":
+        import json
+        try:
+            doc = json.loads(s)
+        except ValueError:
+            return "jsonld"
+        probe = doc[0] if isinstance(doc, list) and doc else doc
+        if isinstance(probe, dict):
+            ctx = probe.get("@context", "")
+            ctx_str = ctx if isinstance(ctx, str) else ""
+            if "dtmi:dtdl" in ctx_str or probe.get("@type") == "Interface":
+                return "dtdl"
+            if ("jsonSchemaSemanticVersion" in probe or "definitions" in probe
+                    and "imports" in probe):
+                return "cdm"
+            if "name" in probe and ("entities" in probe or "version" in probe
+                                    and "culture" in probe):
+                return "cdm"
+        return "jsonld"
+    return "turtle"
+
+
+def _parse_span(text: str):
+    """Returns (fmt, rows, error). rows are 7-tuples from the span parsers."""
+    from ..functions.turtle import parse_turtle
+    from ..functions.jsonld import parse_jsonld
+    from ..functions.rdfxml import parse_rdfxml, parse_trix
+
+    fmt = sniff_format(text)
+    try:
+        if fmt == "turtle":
+            return fmt, parse_turtle(text), None
+        if fmt == "jsonld":
+            return fmt, parse_jsonld(text), None
+        if fmt == "rdfxml":
+            return fmt, parse_rdfxml(text), None
+        if fmt == "trix":
+            return fmt, parse_trix(text), None
+        if fmt == "empty":
+            # reference raises on empty graphs (rdf_parser.py:355-360)
+            return fmt, [], "empty span"
+        return fmt, [], None  # dtdl/cdm handled by the model extractor
+    except Exception as e:  # parse errors become skipped rows, never task failures
+        return fmt, [], f"{type(e).__name__}: {e}"
+
+
+def _qualify(term: str, kind: str, doc_id: str, span_idx: int) -> str:
+    if kind == "bnode" or term.startswith("_:"):
+        return f"_:{doc_id}/{span_idx}/{term[2:]}"
+    return term
+
+
+def extract_triples(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → triples DataFrame (TRIPLES_SCHEMA).
+
+    Spans are processed strictly in array order (the per-row span-sequence
+    invariant); media spans contribute no triples here (see extract_media).
+    """
+
+    def run(batches):
+        import pandas as pd
+        cols = [f.name for f in TRIPLES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None:
+                    continue
+                for idx, span in enumerate(spans):
+                    if span["kind"] != "text" or not span["text"]:
+                        continue
+                    fmt, rows, err = _parse_span(span["text"])
+                    if err is not None:
+                        out.append((None, None, None, None, None, None, None,
+                                    fmt, doc_id, idx, err))
+                        continue
+                    for (s, p, o, ok, dt, lg, g) in rows:
+                        s = _qualify(s, "bnode" if s.startswith("_:") else "iri",
+                                     doc_id, idx)
+                        o = _qualify(o, ok, doc_id, idx)
+                        out.append((s, p, o, ok, dt, lg, g, fmt,
+                                    doc_id, idx, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return documents.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def extract_media(documents: DataFrame) -> DataFrame:
+    """Media spans → provenance rows (pass-through, north rule)."""
+    span = F.explode(
+        F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    ).alias("span")
+    exploded = documents.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+    return (exploded
+            .where(F.col("s.kind") == "media")
+            .select("doc_id", "span_idx", F.col("s.media_ref").alias("media_ref")))
+
+
+def split_errors(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split extraction output into (clean triples, skipped_items rows)."""
+    errors = (triples
+              .where(F.col("parse_error").isNotNull())
+              .select(F.lit("document").alias("item_type"),
+                      F.col("doc_id").alias("name"),
+                      F.col("parse_error").alias("reason"),
+                      F.concat(F.lit("doc://"), "doc_id", F.lit("#"),
+                               F.col("span_idx").cast("string")).alias("uri")))
+    clean = triples.where(F.col("parse_error").isNull()).drop("parse_error")
+    return clean, errors
+
+
+def dataset_context_count(triples: DataFrame) -> DataFrame:
+    """Quad-format graph-context count (reference: rdf_parser.py:362-371)."""
+    return triples.agg(
+        F.approx_count_distinct("graph_ctx").alias("graph_contexts"))

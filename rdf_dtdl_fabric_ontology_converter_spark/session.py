@@ -1,0 +1,28 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point and scaled down by caller for
+local runs: AQE on (runtime re-plan, skew-join splitting, broadcast
+conversion), Arrow on (all Python crossings are vectorized), shuffle
+partitions sized by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "fabric-ontology-spark", master: str | None = None,
+                  shuffle_partitions: int = 32, extra: dict | None = None) -> SparkSession:
+    b = (SparkSession.builder.appName(app)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.showConsoleProgress", "false"))
+    if master:
+        b = b.master(master)
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

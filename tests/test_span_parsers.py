@@ -1,0 +1,143 @@
+"""Unit tests for the pure-Python span parsers (no Spark needed)."""
+
+import corpus
+from rdf_dtdl_fabric_ontology_converter_spark.functions.turtle import parse_turtle
+from rdf_dtdl_fabric_ontology_converter_spark.functions.jsonld import parse_jsonld
+from rdf_dtdl_fabric_ontology_converter_spark.functions.rdfxml import parse_rdfxml
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+EX = "http://example.org/"
+
+
+def spo(rows):
+    return {(s, p, o) for (s, p, o, *_rest) in rows}
+
+
+def test_simple_ttl_triples():
+    rows = parse_turtle(corpus.TTL["simple"])
+    got = spo(rows)
+    assert (EX + "Person", RDF_TYPE, OWL_CLASS) in got
+    assert (EX + "Organization", RDF_TYPE, OWL_CLASS) in got
+    assert (EX + "worksFor",
+            "http://www.w3.org/2000/01/rdf-schema#range",
+            EX + "Organization") in got
+    # reference parses this fixture to 14 triples (rdflib len(graph))
+    assert len(got) == 14
+
+
+def test_union_domain_rdf_list():
+    rows = parse_turtle(corpus.TTL["union_domain"])
+    preds = {p for (_, p, _, *_r) in rows}
+    assert "http://www.w3.org/2002/07/owl#unionOf" in preds
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#first" in preds
+    firsts = {o for (_, p, o, *_r) in rows
+              if p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"}
+    assert firsts == {EX + "Person", EX + "Organization"}
+
+
+def test_literals_langs_datatypes():
+    rows = parse_turtle(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p "hello"@en ; ex:q "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> ;'
+        ' ex:r 42 ; ex:s true .')
+    by_pred = {p.rsplit("/", 1)[-1]: (o, dt, lg)
+               for (_, p, o, _k, dt, lg, _g) in rows}
+    assert by_pred["p"] == ("hello", None, "en")
+    assert by_pred["q"] == ("3.5", "http://www.w3.org/2001/XMLSchema#decimal", None)
+    assert by_pred["r"][0] == "42"
+    assert by_pred["r"][1].endswith("integer")
+    assert by_pred["s"][1].endswith("boolean")
+
+
+def test_ntriples_and_nquads():
+    rows = parse_turtle(
+        '<http://a> <http://b> "x"@en <http://g> .\n'
+        '<http://a> <http://b> <http://c> .\n')
+    assert rows[0][6] == "http://g"      # graph ctx from 4th term
+    assert rows[1][6] is None
+
+
+def test_escapes_and_comments():
+    rows = parse_turtle(
+        '# a comment\n'
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p "line\\nbreak \\"q\\"" . # trailing\n')
+    assert rows[0][2] == 'line\nbreak "q"'
+
+
+def test_long_string():
+    rows = parse_turtle(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:a ex:p """multi\nline "quoted" text""" .')
+    assert rows[0][2] == 'multi\nline "quoted" text'
+
+
+def test_jsonld_graph():
+    doc = '''{
+      "@context": {"owl": "http://www.w3.org/2002/07/owl#",
+                   "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+                   "ex": "http://example.org/"},
+      "@graph": [
+        {"@id": "ex:Person", "@type": "owl:Class", "rdfs:label": "Person"},
+        {"@id": "ex:Child", "@type": "owl:Class",
+         "rdfs:subClassOf": {"@id": "ex:Person"}}
+      ]}'''
+    got = spo(parse_jsonld(doc))
+    assert (EX + "Person", RDF_TYPE, OWL_CLASS) in got
+    assert (EX + "Child", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+            EX + "Person") in got
+
+
+def test_rdfxml_sample():
+    doc = '''<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+             xmlns:owl="http://www.w3.org/2002/07/owl#">
+      <owl:Class rdf:about="http://example.org/Person">
+        <rdfs:label>Person</rdfs:label>
+        <rdfs:subClassOf rdf:resource="http://example.org/Agent"/>
+      </owl:Class>
+    </rdf:RDF>'''
+    got = spo(parse_rdfxml(doc))
+    assert (EX + "Person", RDF_TYPE, OWL_CLASS) in got
+    assert (EX + "Person", "http://www.w3.org/2000/01/rdf-schema#label",
+            "Person") in got
+    assert (EX + "Person", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+            EX + "Agent") in got
+
+
+def test_cross_serialization_consistency():
+    """Same ontology in ttl vs jsonld vs rdf/xml must yield identical triples
+    (reference: tests/rdf/test_rdf_formats.py:446-576)."""
+    ttl = ('@prefix owl: <http://www.w3.org/2002/07/owl#> .\n'
+           '@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n'
+           '@prefix ex: <http://example.org/> .\n'
+           'ex:Device a owl:Class ; rdfs:label "Device" .\n'
+           'ex:Sensor a owl:Class ; rdfs:subClassOf ex:Device .\n')
+    jld = '''{
+      "@context": {"owl": "http://www.w3.org/2002/07/owl#",
+                   "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+                   "ex": "http://example.org/"},
+      "@graph": [
+        {"@id": "ex:Device", "@type": "owl:Class", "rdfs:label": "Device"},
+        {"@id": "ex:Sensor", "@type": "owl:Class",
+         "rdfs:subClassOf": {"@id": "ex:Device"}}]}'''
+    xml = '''<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+             xmlns:owl="http://www.w3.org/2002/07/owl#">
+      <owl:Class rdf:about="http://example.org/Device">
+        <rdfs:label>Device</rdfs:label>
+      </owl:Class>
+      <owl:Class rdf:about="http://example.org/Sensor">
+        <rdfs:subClassOf rdf:resource="http://example.org/Device"/>
+      </owl:Class>
+    </rdf:RDF>'''
+    assert spo(parse_turtle(ttl)) == spo(parse_jsonld(jld)) == spo(parse_rdfxml(xml))
+
+
+def test_all_corpus_fixtures_parse():
+    for name, text in corpus.TTL.items():
+        rows = parse_turtle(text)
+        assert rows, name
