@@ -1,0 +1,113 @@
+"""Type-mapping dictionaries (broadcast side inputs).
+
+Data-only module: the three source type systems folding into the 6 Fabric
+value types {String, Boolean, DateTime, BigInt, Double, Decimal}.
+
+- XSD→Fabric: 35-entry map + union-resolution hierarchy
+  (reference: src/formats/rdf/type_mapper.py:20-87)
+- DTDL→Fabric (reference: src/formats/dtdl/dtdl_converter.py:65-97)
+- CDM→Fabric primitives + semantic types
+  (reference: src/formats/cdm/cdm_type_mapper.py:50-210)
+
+Each becomes a small broadcast-joined DataFrame (J11 in SURVEY §2.3) — the
+"broadcast of the ontology/namespace dictionary" from the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+XSD_TO_FABRIC: dict[str, str] = {
+    # string family
+    XSD + "string": "String", XSD + "anyURI": "String",
+    XSD + "normalizedString": "String", XSD + "token": "String",
+    XSD + "language": "String", XSD + "Name": "String",
+    XSD + "NCName": "String", XSD + "NMTOKEN": "String",
+    # boolean
+    XSD + "boolean": "Boolean",
+    # date/time (time-only and durations preserved as String)
+    XSD + "dateTime": "DateTime", XSD + "date": "DateTime",
+    XSD + "dateTimeStamp": "DateTime",
+    XSD + "time": "String", XSD + "duration": "String",
+    XSD + "dayTimeDuration": "String", XSD + "yearMonthDuration": "String",
+    # 13 integer types
+    XSD + "integer": "BigInt", XSD + "int": "BigInt", XSD + "long": "BigInt",
+    XSD + "short": "BigInt", XSD + "byte": "BigInt",
+    XSD + "nonNegativeInteger": "BigInt", XSD + "positiveInteger": "BigInt",
+    XSD + "nonPositiveInteger": "BigInt", XSD + "negativeInteger": "BigInt",
+    XSD + "unsignedInt": "BigInt", XSD + "unsignedLong": "BigInt",
+    XSD + "unsignedShort": "BigInt", XSD + "unsignedByte": "BigInt",
+    # floating point (xsd:decimal → Double: precision loss documented upstream)
+    XSD + "double": "Double", XSD + "float": "Double", XSD + "decimal": "Double",
+    # binary + other
+    XSD + "base64Binary": "String", XSD + "hexBinary": "String",
+    XSD + "QName": "String", XSD + "NOTATION": "String",
+}
+
+# Union resolution: most- to least-restrictive (Boolean > BigInt > Double >
+# DateTime > String); rank joined then min(rank) aggregated (A5).
+_HIERARCHY: list[tuple[list[str], str]] = [
+    (["boolean"], "Boolean"),
+    (["integer", "int", "long", "short", "byte", "nonNegativeInteger",
+      "positiveInteger", "unsignedInt", "unsignedLong", "unsignedShort",
+      "unsignedByte", "nonPositiveInteger", "negativeInteger"], "BigInt"),
+    (["double", "float", "decimal"], "Double"),
+    (["dateTime", "date", "dateTimeStamp"], "DateTime"),
+    (["string", "anyURI", "normalizedString", "token", "language", "Name",
+      "NCName", "NMTOKEN", "time", "duration", "dayTimeDuration",
+      "yearMonthDuration", "base64Binary", "hexBinary", "QName", "NOTATION"],
+     "String"),
+]
+
+XSD_RANK: dict[str, tuple[int, str]] = {}
+RANK_TO_FABRIC: dict[int, str] = {}
+for _rank, (_locals, _fab) in enumerate(_HIERARCHY):
+    RANK_TO_FABRIC[_rank] = _fab
+    for _l in _locals:
+        XSD_RANK[XSD + _l] = (_rank, _fab)
+
+DTDL_TO_FABRIC: dict[str, str] = {
+    "boolean": "Boolean",
+    "byte": "BigInt", "short": "BigInt", "integer": "BigInt", "long": "BigInt",
+    "unsignedByte": "BigInt", "unsignedShort": "BigInt",
+    "unsignedInteger": "BigInt", "unsignedLong": "BigInt",
+    "float": "Double", "double": "Double", "decimal": "Double",
+    "string": "String", "uuid": "String", "bytes": "String",
+    "date": "DateTime", "dateTime": "DateTime",
+    "time": "String", "duration": "String",
+    "point": "String", "lineString": "String", "polygon": "String",
+    "multiPoint": "String", "multiLineString": "String",
+    "multiPolygon": "String",
+    "scaledDecimal": "String",
+}
+
+# CDM primitives (note decimal/numeric/money → Decimal, unlike XSD)
+CDM_TO_FABRIC: dict[str, str] = {
+    "string": "String", "char": "String", "guid": "String",
+    "boolean": "Boolean",
+    "date": "DateTime", "datetime": "DateTime", "datetimeoffset": "DateTime",
+    "time": "String",
+    "byte": "BigInt", "smallinteger": "BigInt", "integer": "BigInt",
+    "biginteger": "BigInt", "int16": "BigInt", "int32": "BigInt",
+    "int64": "BigInt",
+    "float": "Double", "double": "Double",
+    "decimal": "Decimal", "numeric": "Decimal", "money": "Decimal",
+    "binary": "String", "json": "String", "entity": "String",
+}
+
+
+def xsd_map_df(spark: SparkSession) -> DataFrame:
+    rows = [(k, v, XSD_RANK.get(k, (99, v))[0]) for k, v in XSD_TO_FABRIC.items()]
+    return spark.createDataFrame(rows, "xsd_iri string, fabric_type string, rank int")
+
+
+def dtdl_map_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(DTDL_TO_FABRIC.items()),
+                                 "dtdl_schema string, fabric_type string")
+
+
+def cdm_map_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(CDM_TO_FABRIC.items()),
+                                 "cdm_type string, fabric_type string")

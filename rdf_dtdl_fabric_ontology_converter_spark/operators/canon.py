@@ -1,0 +1,126 @@
+"""Canonicalization: CURIE expansion, sameAs union-find, global triple dedup.
+
+North-rule operators:
+
+- ``dedup_triples``: the global sort-merge dedup of emitted triples. The
+  dedup key is the full logical triple (subj, pred, obj, obj_kind,
+  obj_datatype, lang, graph_ctx); provenance columns are dropped into the
+  graph view. Repartitioning by subj forces a hash-partitioned exchange
+  whose per-partition sort-based aggregation is the sort-merge dedup at
+  scale (AQE may still pick partial hash-agg when partitions are tiny —
+  same result, cheaper plan).
+
+- ``expand_curies``: broadcast prefix-map join for CURIE-form terms
+  (``pfx:local``) left in the corpus by upstream producers.
+
+- ``sameas_closure``: owl:sameAs / owl:equivalentClass union-find via
+  hash-min label propagation to a fixpoint (BTS-style load-balanced CC per
+  PAPERS.md) — every IRI in a sameAs component is rewritten to the
+  lexicographically-smallest member, then triples are deduped again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import OWL_EQUIVALENT_CLASS, OWL_SAME_AS
+
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "lang",
+              "graph_ctx"]
+
+
+def dedup_triples(triples_prov: DataFrame,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Provenance-bearing triples → deduplicated graph view (north rule)."""
+    cols = [c for c in TRIPLE_KEY if c in triples_prov.columns]
+    t = triples_prov.select(*cols)
+    t = t.repartition(num_partitions, "subj") if num_partitions \
+        else t.repartition("subj")
+    return t.dropDuplicates(cols)
+
+
+def expand_curies(triples: DataFrame, prefix_map: DataFrame,
+                  cols: tuple[str, ...] = ("subj", "pred", "obj")) -> DataFrame:
+    """Rewrite pfx:local terms via a broadcast (prefix, namespace_iri) map.
+
+    Full IRIs (http/https/urn...) and bnodes pass through untouched; only
+    terms matching ``^[A-Za-z][\\w.-]*:[^/].*`` with a known prefix expand.
+    """
+    pm = F.broadcast(prefix_map.select("prefix", "namespace_iri"))
+    out = triples
+    for c in cols:
+        looks_curie = (F.col(c).rlike(r"^[A-Za-z][A-Za-z0-9_.\-]*:") &
+                       ~F.col(c).contains("//") &
+                       ~F.col(c).startswith("_:"))
+        pfx = F.substring_index(F.col(c), ":", 1)
+        local = F.substr(F.col(c), F.length(pfx) + F.lit(2))
+        out = (out
+               .join(pm, (pm.prefix == pfx) & looks_curie, "left")
+               .withColumn(c, F.when(F.col("namespace_iri").isNotNull(),
+                                     F.concat("namespace_iri", local))
+                           .otherwise(F.col(c)))
+               .drop("prefix", "namespace_iri"))
+    return out
+
+
+def sameas_components(triples: DataFrame, max_rounds: int = 20,
+                      preds: tuple[str, ...] = (OWL_SAME_AS,)) -> DataFrame:
+    """→ (member, canonical): connected components of the sameAs graph.
+
+    Hash-min label propagation: every node's label starts as itself; each
+    round every node takes the min label among itself and its neighbours;
+    fixpoint when no label changes. Edges are undirected (sameAs is
+    symmetric). Rounds are bounded and each ends in localCheckpoint to cut
+    lineage; the edge set (sameAs assertions) is far smaller than the
+    corpus, so rounds are small-table shuffles.
+    """
+    edges = (triples
+             .where(F.col("pred").isin(list(preds)))
+             .where(F.col("obj_kind") == "iri")
+             .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+             .dropDuplicates())
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (und.select(F.col("a").alias("node"))
+              .unionByName(und.select(F.col("b").alias("node")))
+              .dropDuplicates()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_rounds):
+        neigh = (und.join(labels, und.b == labels.node)
+                 .groupBy(F.col("a").alias("node"))
+                 .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", F.col("label")))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"),
+                         F.col("label").alias("canonical"))
+
+
+def rewrite_canonical(triples: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite subj/obj IRIs to their canonical representatives + re-dedup."""
+    comp = F.broadcast(components)
+    out = (triples
+           .join(comp.withColumnRenamed("member", "subj")
+                 .withColumnRenamed("canonical", "subj_canon"),
+                 "subj", "left")
+           .join(comp.withColumnRenamed("member", "obj")
+                 .withColumnRenamed("canonical", "obj_canon"),
+                 "obj", "left")
+           .withColumn("subj", F.coalesce("subj_canon", "subj"))
+           .withColumn("obj", F.when(F.col("obj_kind") == "iri",
+                                     F.coalesce("obj_canon", "obj"))
+                       .otherwise(F.col("obj")))
+           .drop("subj_canon", "obj_canon"))
+    return dedup_triples(out)

@@ -1,0 +1,117 @@
+"""Stage B1: class extraction (P1-P3, A1, W1) — entity-type vertex rows.
+
+Spark mapping of the reference ClassExtractor
+(reference: src/formats/rdf/property_extractor.py:48-132):
+
+- classes = union of owl:Class subjects, rdfs:Class subjects, and
+  rdfs:subClassOf subjects, IRI-only, dropDuplicates (A1/U1/P3)
+- cycle-safe first parent (W1): the reference takes the first non-circular
+  rdfs:subClassOf parent in rdflib iteration order and `break`s
+  (property_extractor.py:118-131). Iteration order is nondeterministic, so
+  this engine pins *lexicographically smallest* non-cyclic parent — the
+  reference's own tests only exercise single-parent fixtures, so P/R is
+  unaffected (SURVEY §4 determinism pin 6).
+
+The hot predicate filter (pred == rdf:type) runs map-side before any
+shuffle; class-set dedup is a hash aggregate on class_uri.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import (OWL_CLASS, RDFS_CLASS, RDFS_SUBCLASS_OF, RDF_TYPE)
+from ..functions.ids import fabric_id
+from ..functions.names import uri_to_name
+
+
+def _iri_subjects(triples: DataFrame, pred: str, obj: str | None) -> DataFrame:
+    cond = (F.col("pred") == pred)
+    if obj is not None:
+        cond = cond & (F.col("obj") == obj)
+    return (triples.where(cond)
+            .where(~F.col("subj").startswith("_:"))
+            .select(F.col("subj").alias("class_uri")))
+
+
+def extract_classes(triples: DataFrame) -> DataFrame:
+    """→ classes(class_uri, entity_id, name)."""
+    classes = (_iri_subjects(triples, RDF_TYPE, OWL_CLASS)
+               .unionByName(_iri_subjects(triples, RDF_TYPE, RDFS_CLASS))
+               .unionByName(_iri_subjects(triples, RDFS_SUBCLASS_OF, None))
+               .dropDuplicates(["class_uri"]))
+    return classes.select(
+        "class_uri",
+        fabric_id(F.col("class_uri")).alias("entity_id"),
+        uri_to_name(F.col("class_uri")).alias("name"),
+    )
+
+
+def subclass_edges(triples: DataFrame, classes: DataFrame) -> DataFrame:
+    """IRI→IRI subClassOf edges restricted to extracted classes (child side
+    is always a class by construction; parent must be in the class set)."""
+    edges = (triples
+             .where(F.col("pred") == RDFS_SUBCLASS_OF)
+             .where(~F.col("subj").startswith("_:"))
+             .where(F.col("obj_kind") == "iri")
+             .select(F.col("subj").alias("child"), F.col("obj").alias("parent"))
+             .dropDuplicates())
+    parents = classes.select(F.col("class_uri").alias("parent"))
+    return edges.join(F.broadcast(parents), "parent", "left_semi")
+
+
+def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """(src,dst) reachability closure via path-doubling joins.
+
+    Doubling gives 2^max_rounds reachable depth in max_rounds shuffles;
+    localCheckpoint each round truncates lineage (SURVEY §4 device 3).
+    Edge sets here are class hierarchies (≤500 types by Fabric limit per
+    ontology), so every round is a small-table join.
+    """
+    closure = edges.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
+    closure = closure.localCheckpoint()
+    for _ in range(max_rounds):
+        grown = (closure.alias("a")
+                 .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
+                 .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
+        new_closure = closure.unionByName(grown).dropDuplicates().localCheckpoint()
+        if new_closure.count() == closure.count():
+            return new_closure
+        closure = new_closure
+    return closure
+
+
+def choose_parents(edges: DataFrame, closure: DataFrame) -> DataFrame:
+    """W1 + cycle guard → (child, parent) one row per child.
+
+    A candidate parent p is invalid iff following parent chains from p can
+    revisit a node (reference has_cycle, property_extractor.py:107-127):
+    equivalently p reaches a cycle node, or p is itself on a cycle. Cycle
+    nodes are closure rows with src == dst.
+    """
+    cyc = closure.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("cyc_node")).dropDuplicates()
+    # bad parents: p ∈ cyc, or p reaches a cyc node
+    reaches_cyc = (closure.join(F.broadcast(cyc),
+                                closure.dst == F.col("cyc_node"), "left_semi")
+                   .select(F.col("src").alias("bad")))
+    bad = reaches_cyc.unionByName(cyc.select(F.col("cyc_node").alias("bad"))) \
+        .dropDuplicates()
+    valid = edges.join(bad, edges.parent == bad.bad, "left_anti")
+    w = Window.partitionBy("child").orderBy("parent")
+    return (valid.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+def classes_with_parents(triples: DataFrame, classes: DataFrame) -> DataFrame:
+    """→ (class_uri, entity_id, name, base_entity_type_id)."""
+    edges = subclass_edges(triples, classes)
+    closure = transitive_closure(edges)
+    chosen = choose_parents(edges, closure)
+    parent_ids = classes.select(F.col("class_uri").alias("parent"),
+                                F.col("entity_id").alias("base_entity_type_id"))
+    child_parent = chosen.join(F.broadcast(parent_ids), "parent") \
+        .select(F.col("child").alias("class_uri"), "base_entity_type_id")
+    return classes.join(child_parent, "class_uri", "left")

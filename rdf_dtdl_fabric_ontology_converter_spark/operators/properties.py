@@ -1,0 +1,147 @@
+"""Stage B3: data-property extraction + type mapping (J1, J11, A5, P4, P5).
+
+Spark mapping of the reference DataPropertyExtractor
+(reference: src/formats/rdf/property_extractor.py:135-252):
+
+- property set = owl:DatatypeProperty subjects ∪ rdf:Property subjects whose
+  first rdfs:range is an XSD type (property_extractor.py:170-193)
+- domains resolved through class expressions (J3), property attached to
+  every resolved domain class (J1, multi-domain fan-out —
+  tests/rdf/test_converter.py:157-181 oracle)
+- value type via the broadcast XSD dictionary (J11) with datatype-union
+  resolution = min(rank) over the union hierarchy (A5,
+  type_mapper.py:135-166)
+- timeseries flag from "(timeseries)" in the first rdfs:comment (P5,
+  property_extractor.py:224-230)
+
+Determinism pins (SURVEY §4 pin 6): the reference reads ``ranges[0]`` /
+``comments[0]`` in rdflib iteration order; this engine pins min(obj) — the
+fixtures are single-valued so P/R is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import (OWL_DATATYPE_PROPERTY, RDFS_COMMENT, RDFS_DOMAIN, RDFS_RANGE,
+                RDF_PROPERTY, RDF_TYPE, XSD_NS)
+from ..functions.ids import fabric_id
+from ..functions.names import uri_to_name
+from .resolver import resolve_class_targets
+
+
+def _typed_subjects(triples: DataFrame, type_uri: str) -> DataFrame:
+    return (triples
+            .where((F.col("pred") == RDF_TYPE) & (F.col("obj") == type_uri))
+            .where(~F.col("subj").startswith("_:"))
+            .select(F.col("subj").alias("prop_uri"))
+            .dropDuplicates())
+
+
+def first_ranges(triples: DataFrame) -> DataFrame:
+    """(prop_uri, range_obj, range_kind): pinned-first rdfs:range per subject."""
+    return (triples
+            .where(F.col("pred") == RDFS_RANGE)
+            .groupBy(F.col("subj").alias("prop_uri"))
+            .agg(F.min(F.struct("obj", "obj_kind")).alias("r"))
+            .select("prop_uri", F.col("r.obj").alias("range_obj"),
+                    F.col("r.obj_kind").alias("range_kind")))
+
+
+def data_property_set(triples: DataFrame, xsd_map: DataFrame) -> DataFrame:
+    """→ (prop_uri): owl datatype props ∪ rdf:Property with XSD range."""
+    owl_dp = _typed_subjects(triples, OWL_DATATYPE_PROPERTY)
+    rdf_props = _typed_subjects(triples, RDF_PROPERTY)
+    ranged = rdf_props.join(first_ranges(triples), "prop_uri")
+    known = xsd_map.select(F.col("xsd_iri").alias("range_obj"))
+    in_map = (ranged
+              .where(F.col("range_kind") == "iri")
+              .join(F.broadcast(known), "range_obj", "left_semi")
+              .select("prop_uri"))
+    xsd_ns = (ranged
+              .where((F.col("range_kind") == "iri") &
+                     F.col("range_obj").startswith(XSD_NS))
+              .select("prop_uri"))
+    rdf_xsd = in_map.unionByName(xsd_ns)
+    return owl_dp.unionByName(rdf_xsd).dropDuplicates()
+
+
+def _resolve_datatype_union(triples: DataFrame, bnode_ranges: DataFrame,
+                            expr: DataFrame, xsd_map: DataFrame) -> DataFrame:
+    """Blank-node range → most restrictive Fabric type over the union (A5).
+
+    Mirrors TypeMapper.resolve_datatype_union (type_mapper.py:169-212):
+    targets outside the XSD namespace are ignored; no known target → String.
+    """
+    roots = bnode_ranges.select(F.col("prop_uri").alias("root_key"),
+                                F.col("range_obj").alias("node"))
+    targets = resolve_class_targets(roots, expr)
+    ranked = (targets
+              .join(F.broadcast(xsd_map),
+                    targets.class_uri == xsd_map.xsd_iri, "inner")
+              .groupBy(F.col("root_key").alias("prop_uri"))
+              .agg(F.min("rank").alias("min_rank")))
+    rank_map = xsd_map.select("rank", "fabric_type").dropDuplicates(["rank"])
+    return (ranked.join(F.broadcast(rank_map),
+                        ranked.min_rank == rank_map.rank)
+            .select("prop_uri", F.col("fabric_type").alias("union_type")))
+
+
+def extract_data_properties(triples: DataFrame, classes: DataFrame,
+                            expr: DataFrame, xsd_map: DataFrame
+                            ) -> tuple[DataFrame, DataFrame]:
+    """→ (data_properties, prop_domains).
+
+    data_properties: (prop_uri, prop_id, name, value_type, is_timeseries)
+    prop_domains:    (prop_uri, class_uri) — one row per (property, resolved
+                     domain class that exists), the J1 join result.
+    """
+    props = data_property_set(triples, xsd_map)
+
+    # value type: direct IRI range via broadcast dictionary; bnode range via
+    # datatype-union resolution; missing range → String default
+    ranges = props.join(first_ranges(triples), "prop_uri", "left")
+    direct = (ranges.where(F.col("range_kind") == "iri")
+              .join(F.broadcast(xsd_map),
+                    F.col("range_obj") == xsd_map.xsd_iri, "left")
+              .select("prop_uri", F.coalesce("fabric_type", F.lit("String"))
+                      .alias("direct_type")))
+    bnode_ranges = ranges.where(F.col("range_kind") == "bnode") \
+        .select("prop_uri", "range_obj")
+    union_types = _resolve_datatype_union(triples, bnode_ranges, expr, xsd_map)
+
+    # timeseries flag from pinned-first rdfs:comment
+    comments = (triples.where(F.col("pred") == RDFS_COMMENT)
+                .groupBy(F.col("subj").alias("prop_uri"))
+                .agg(F.min("obj").alias("comment")))
+    ts = comments.select(
+        "prop_uri",
+        F.lower(F.col("comment")).contains("(timeseries)").alias("is_timeseries"))
+
+    out = (props
+           .join(direct, "prop_uri", "left")
+           .join(union_types, "prop_uri", "left")
+           .join(ts, "prop_uri", "left")
+           .select(
+               "prop_uri",
+               fabric_id(F.col("prop_uri")).alias("prop_id"),
+               uri_to_name(F.col("prop_uri")).alias("name"),
+               F.coalesce("direct_type", "union_type", F.lit("String"))
+               .alias("value_type"),
+               F.coalesce("is_timeseries", F.lit(False)).alias("is_timeseries"),
+           ))
+
+    # J1: resolve domains through class expressions, keep only known classes
+    domain_roots = (triples
+                    .where(F.col("pred") == RDFS_DOMAIN)
+                    .join(props, triples.subj == props.prop_uri, "left_semi")
+                    .select(F.col("subj").alias("root_key"),
+                            F.col("obj").alias("node")))
+    resolved = resolve_class_targets(domain_roots, expr)
+    prop_domains = (resolved
+                    .select(F.col("root_key").alias("prop_uri"),
+                            F.col("class_uri"))
+                    .join(classes.select("class_uri"), "class_uri", "left_semi")
+                    .dropDuplicates())
+    return out, prop_domains

@@ -1,0 +1,104 @@
+"""End-to-end RDF pipeline: documents → triples → vertex/edge tables.
+
+Stage layout mirrors SURVEY §3.1's Spark lifecycle:
+
+  Stage A  extract (narrow, Arrow UDF)          → triples + parse skips
+  Stage B  classify + resolve (broadcast joins,
+           ≤10-round iterative expression loop) → classes / props / rels
+  Stage C  identity windows + property collect  → entity rows
+  Stage D  materialize vertex/edge/skipped      → output tables
+
+Each stage's output can be checkpointed through plans.checkpoint for
+exact resume with per-partition lineage (north rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import NAMESPACE, NAMESPACE_TYPE
+from ..functions.typemaps import xsd_map_df
+from ..operators.canon import dedup_triples
+from ..operators.classes import classes_with_parents, extract_classes
+from ..operators.extract import extract_triples, split_errors
+from ..operators.identity import materialize_entity_types
+from ..operators.properties import extract_data_properties
+from ..operators.relationships import extract_relationships
+from ..operators.resolver import expression_subgraph
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame            # deduplicated graph view
+    triples_prov: DataFrame       # with (doc_id, span_idx) provenance
+    entity_types: DataFrame
+    relationship_types: DataFrame
+    skipped_items: DataFrame
+
+    def counts(self) -> dict:
+        return {
+            "triples": self.triples.count(),
+            "entity_types": self.entity_types.count(),
+            "relationship_types": self.relationship_types.count(),
+            "skipped_items": self.skipped_items.count(),
+        }
+
+
+def triples_from_documents(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    raw = extract_triples(documents)
+    return split_errors(raw)
+
+
+def build_graph(spark: SparkSession, triples_prov: DataFrame,
+                parse_skips: DataFrame | None = None) -> PipelineResult:
+    """Stages B-D over a (possibly multi-document) triple corpus."""
+    xsd_map = xsd_map_df(spark)
+
+    # north rule: global sort-merge dedup of the emitted triples
+    triples = dedup_triples(triples_prov)
+
+    classes = classes_with_parents(triples, extract_classes(triples))
+    classes = classes.localCheckpoint()
+
+    expr = expression_subgraph(triples)
+    data_props, prop_domains = extract_data_properties(
+        triples, classes, expr, xsd_map)
+    rels, rel_skips = extract_relationships(
+        triples, classes, expr, xsd_map, prop_domains)
+
+    # J1 attach: one row per (class, property)
+    class_props = (prop_domains
+                   .join(data_props, "prop_uri")
+                   .select("class_uri", "prop_id", "name", "value_type",
+                           "is_timeseries"))
+    entity_types = materialize_entity_types(classes, class_props)
+
+    relationship_types = rels.select(
+        F.col("rel_id").alias("id"),
+        "name",
+        F.lit(NAMESPACE).alias("namespace"),
+        F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+        "source_entity_type_id",
+        "target_entity_type_id",
+        "rel_key",
+    )
+
+    skipped = rel_skips
+    if parse_skips is not None:
+        skipped = parse_skips.unionByName(rel_skips)
+
+    return PipelineResult(
+        triples=triples,
+        triples_prov=triples_prov,
+        entity_types=entity_types,
+        relationship_types=relationship_types,
+        skipped_items=skipped,
+    )
+
+
+def run_pipeline(spark: SparkSession, documents: DataFrame) -> PipelineResult:
+    triples_prov, parse_skips = triples_from_documents(documents)
+    return build_graph(spark, triples_prov, parse_skips)
