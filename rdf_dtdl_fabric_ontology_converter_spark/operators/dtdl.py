@@ -1,0 +1,317 @@
+"""DTDL front-end: documents → interfaces → entity/relationship tables.
+
+Spark mapping of the reference DTDLToFabricConverter
+(reference: src/formats/dtdl/dtdl_converter.py:308-748) in default modes
+(component_mode=SKIP, command_mode=SKIP, scaled_decimal_mode=JSON_STRING —
+dtdl_converter.py:100-118):
+
+- deterministic IDs: sha256 of the cleaned DTMI (exact bit parity,
+  dtdl_converter.py:486-512); property ids = entity_id + md5 4 digits
+  (dtdl_converter.py:514-527), telemetry ids prefixed ``ts_``
+  (dtdl_converter.py:695)
+- first-parent inheritance: extends[0] if the parent is in the interface
+  set, else root (J7, dtdl_converter.py:541-558)
+- ancestor/sibling property-name conflict suffixing (W4,
+  dtdl_converter.py:232-306): the reference's "first registered" global
+  registry order is conversion order (topo-sorted parents-first); this
+  engine pins (inheritance_depth, dtmi, pos) — equivalent on the reference
+  corpus, deterministic at scale
+- entityIdParts auto-inference by primary-key name patterns
+  (reference: src/core/validators/fabric_limits.py:407-541,
+  src/constants.py:239-258) and displayName = first String property in
+  contents order (dtdl_converter.py:569-572)
+- relationships: target hashed unconditionally (dangling targets allowed,
+  dtdl_converter.py:705-742); targetless relationships dropped silently
+
+All joins here are small-dimension (interface set) — broadcast; the only
+wide data is the documents scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .. import MAX_EXTENDS_DEPTH, NAMESPACE, NAMESPACE_TYPE, VISIBILITY
+from ..functions.ids import dtmi_fabric_id, property_id
+from ..functions.names import sanitize_name
+from ..functions.typemaps import DTDL_TO_FABRIC
+
+CONTENT_TYPE = T.StructType([
+    T.StructField("content_type", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("schema_kind", T.StringType()),
+    T.StructField("schema_json", T.StringType()),
+    T.StructField("target", T.StringType()),
+    T.StructField("pos", T.IntegerType()),
+])
+
+INTERFACES_SCHEMA = T.StructType([
+    T.StructField("dtmi", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("display_name", T.StringType()),
+    T.StructField("extends", T.ArrayType(T.StringType())),
+    T.StructField("context", T.StringType()),
+    T.StructField("contents", T.ArrayType(CONTENT_TYPE)),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("parse_error", T.StringType()),
+])
+
+PK_PATTERNS = ("id", "identifier", "pk", "primary_key", "primarykey", "key",
+               "uuid", "guid", "oid", "object_id", "objectid", "entity_id",
+               "entityid", "record_id", "recordid", "unique_id", "uniqueid")
+
+
+def extract_interfaces(documents: DataFrame) -> DataFrame:
+    """documents → one row per DTDL Interface (Arrow-batched span parse)."""
+
+    def run(batches):
+        import pandas as pd
+        from ..functions.dtdl import parse_dtdl
+        from .extract import sniff_format
+        cols = [f.name for f in INTERFACES_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None:
+                    continue
+                for idx, span in enumerate(spans):
+                    if span["kind"] != "text" or not span["text"]:
+                        continue
+                    if sniff_format(span["text"]) != "dtdl":
+                        continue
+                    try:
+                        for iface in parse_dtdl(span["text"]):
+                            out.append((iface["dtmi"], iface["name"],
+                                        iface["display_name"], iface["extends"],
+                                        iface["context"], iface["contents"],
+                                        doc_id, idx, None))
+                    except Exception as e:
+                        out.append((None, None, None, None, None, None,
+                                    doc_id, idx, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=cols)
+
+    return documents.mapInPandas(run, INTERFACES_SCHEMA)
+
+
+def _dedup_interfaces(interfaces: DataFrame) -> DataFrame:
+    """One row per DTMI, pinned to the first (doc_id, span_idx)."""
+    w = Window.partitionBy("dtmi").orderBy("doc_id", "span_idx")
+    return (interfaces.where(F.col("parse_error").isNull())
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn", "parse_error"))
+
+
+def inheritance_depth(ifaces: DataFrame,
+                      max_depth: int = MAX_EXTENDS_DEPTH) -> DataFrame:
+    """(dtmi, depth): 0 for roots; parents restricted to the interface set."""
+    edges = (ifaces
+             .select("dtmi", F.explode_outer("extends").alias("parent"))
+             .join(ifaces.select(F.col("dtmi").alias("parent")),
+                   "parent", "left_semi")
+             .select("dtmi", "parent"))
+    depth = ifaces.select("dtmi", F.lit(0).alias("depth"))
+    cur = edges
+    for d in range(1, max_depth + 1):
+        if cur.isEmpty():
+            break
+        depth = (depth.join(cur.select("dtmi").dropDuplicates()
+                            .withColumn("d2", F.lit(d)), "dtmi", "left")
+                 .select("dtmi", F.greatest("depth", F.coalesce("d2", F.lit(0)))
+                         .alias("depth")))
+        cur = (cur.alias("a")
+               .join(edges.alias("b"), F.col("a.parent") == F.col("b.dtmi"))
+               .select(F.col("a.dtmi").alias("dtmi"),
+                       F.col("b.parent").alias("parent"))
+               .dropDuplicates().localCheckpoint())
+    return depth
+
+
+def ancestor_closure(ifaces: DataFrame,
+                     max_depth: int = MAX_EXTENDS_DEPTH) -> DataFrame:
+    """(dtmi, ancestor) over extends edges within the set (J8)."""
+    edges = (ifaces
+             .select("dtmi", F.explode("extends").alias("ancestor"))
+             .join(ifaces.select(F.col("dtmi").alias("ancestor")),
+                   "ancestor", "left_semi"))
+    closure = edges.localCheckpoint()
+    for _ in range(max_depth):
+        grown = (closure.alias("a")
+                 .join(edges.alias("b"),
+                       F.col("a.ancestor") == F.col("b.dtmi"))
+                 .select(F.col("a.dtmi").alias("dtmi"),
+                         F.col("b.ancestor").alias("ancestor")))
+        new = closure.unionByName(grown).dropDuplicates().localCheckpoint()
+        if new.count() == closure.count():
+            return new
+        closure = new
+    return closure
+
+
+def _fabric_type_expr(schema_kind) -> F.Column:
+    """schema_kind string → Fabric value type (default modes)."""
+    m = F.create_map(*[F.lit(x) for kv in DTDL_TO_FABRIC.items() for x in kv])
+    enum_vs = F.regexp_extract(schema_kind, "^enum:(.*)$", 1)
+    return (F.when(schema_kind.startswith("complex:"), F.lit("String"))
+            .when(schema_kind.startswith("enum:"),
+                  F.coalesce(m[enum_vs], F.lit("String")))
+            .otherwise(F.coalesce(m[schema_kind], F.lit("String"))))
+
+
+def convert_interfaces(interfaces: DataFrame
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (entity_types, relationship_types, skipped) in the shared schema."""
+    ifaces = _dedup_interfaces(interfaces).localCheckpoint()
+    ifaces = ifaces.withColumn("fabric_id", dtmi_fabric_id(F.col("dtmi")))
+
+    skipped = (interfaces.where(F.col("parse_error").isNotNull())
+               .select(F.lit("interface").alias("item_type"),
+                       F.col("doc_id").alias("name"),
+                       F.col("parse_error").alias("reason"),
+                       F.concat(F.lit("doc://"), "doc_id").alias("uri")))
+
+    # J7: first parent if in set
+    parent = (ifaces
+              .select("dtmi", F.try_element_at("extends", F.lit(1)).alias("parent_dtmi"))
+              .join(F.broadcast(ifaces.select(
+                  F.col("dtmi").alias("parent_dtmi"),
+                  F.col("fabric_id").alias("base_entity_type_id"))),
+                  "parent_dtmi", "left")
+              .select("dtmi", "base_entity_type_id"))
+
+    depth = inheritance_depth(ifaces)
+    anc = ancestor_closure(ifaces)
+
+    # explode property/telemetry contents
+    c = (ifaces
+         .select("dtmi", "fabric_id", F.explode("contents").alias("c"))
+         .select("dtmi", "fabric_id",
+                 F.col("c.content_type").alias("content_type"),
+                 F.col("c.name").alias("prop_name"),
+                 F.col("c.schema_kind").alias("schema_kind"),
+                 F.col("c.target").alias("target"),
+                 F.col("c.pos").alias("pos")))
+    props = (c.where(F.col("content_type").isin("Property", "Telemetry"))
+             .withColumn("value_type", _fabric_type_expr(F.col("schema_kind")))
+             .withColumn("is_timeseries", F.col("content_type") == "Telemetry"))
+
+    # W4a: ancestor conflicts — same name, different type anywhere above
+    anc_props = (anc.join(props.select(F.col("dtmi").alias("ancestor"),
+                                       F.col("prop_name").alias("a_name"),
+                                       F.col("value_type").alias("a_type")),
+                          "ancestor")
+                 .select("dtmi", "a_name", "a_type").dropDuplicates())
+    conflict = (props.alias("p")
+                .join(anc_props.alias("a"),
+                      (F.col("p.dtmi") == F.col("a.dtmi")) &
+                      (F.col("p.prop_name") == F.col("a.a_name")) &
+                      (F.col("p.value_type") != F.col("a.a_type")),
+                      "left")
+                .select("p.*", F.col("a.a_name").isNotNull().alias("anc_conflict"))
+                .dropDuplicates(["dtmi", "prop_name", "pos"]))
+
+    # W4b: sibling registry — first registered type per name in
+    # (depth, dtmi, pos) order among non-ancestor-conflicted props
+    withd = conflict.join(F.broadcast(depth), "dtmi", "left")
+    w = Window.partitionBy("prop_name").orderBy("depth", "dtmi", "pos")
+    first_type = (withd.where(~F.col("anc_conflict"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("prop_name", F.col("value_type").alias("first_type")))
+    resolved = (withd.join(F.broadcast(first_type), "prop_name", "left")
+                .withColumn(
+                    "resolved_name",
+                    F.when(F.col("anc_conflict") |
+                           (F.col("first_type").isNotNull() &
+                            (F.col("value_type") != F.col("first_type"))),
+                           F.concat("prop_name", F.lit("_"),
+                                    F.lower("value_type")))
+                    .otherwise(F.col("prop_name"))))
+
+    resolved = resolved.withColumn(
+        "prop_id",
+        property_id(F.col("fabric_id"),
+                    F.when(F.col("is_timeseries"),
+                           F.concat(F.lit("ts_"), "resolved_name"))
+                    .otherwise(F.col("resolved_name")))) \
+        .withColumn("out_name", sanitize_name(F.col("resolved_name"), 90))
+
+    prop_struct = F.struct(F.col("prop_id").alias("id"),
+                           F.col("out_name").alias("name"),
+                           F.col("value_type").alias("valueType"))
+    per_iface = (resolved
+                 .groupBy("dtmi", "fabric_id")
+                 .agg(
+                     F.array_sort(F.collect_list(F.when(
+                         ~F.col("is_timeseries"),
+                         F.struct("pos", prop_struct.alias("p")))))
+                     .alias("ps"),
+                     F.array_sort(F.collect_list(F.when(
+                         F.col("is_timeseries"),
+                         F.struct("pos", prop_struct.alias("p")))))
+                     .alias("ts"),
+                 )
+                 .select("dtmi", "fabric_id",
+                         F.transform("ps", lambda x: x["p"]).alias("properties"),
+                         F.transform("ts", lambda x: x["p"])
+                         .alias("timeseries_properties")))
+
+    # entityIdParts (auto) + displayName from contents-ordered property array
+    pk_arr = F.array(*[F.lit(p) for p in PK_PATTERNS])
+    valid = lambda p: p["valueType"].isin("String", "BigInt")  # noqa: E731
+    name_matches = lambda p: F.exists(  # noqa: E731
+        pk_arr, lambda pat: F.lower(p["name"]).contains(pat))
+    pk_props = F.filter("properties", lambda p: valid(p) & name_matches(p))
+    valid_props = F.filter("properties", lambda p: valid(p))
+    str_props = F.filter("properties", lambda p: p["valueType"] == "String")
+    per_iface = (per_iface
+                 .withColumn("id_part", F.coalesce(
+                     F.try_element_at(pk_props, F.lit(1))["id"],
+                     F.try_element_at(valid_props, F.lit(1))["id"]))
+                 .withColumn("entity_id_parts",
+                             F.when(F.col("id_part").isNotNull(),
+                                    F.array("id_part"))
+                             .otherwise(F.array().cast("array<string>")))
+                 .withColumn("display_name_property_id",
+                             F.try_element_at(str_props, F.lit(1))["id"])
+                 .drop("id_part"))
+
+    empty_props = F.array().cast(
+        "array<struct<id:string,name:string,valueType:string>>")
+    entity_types = (ifaces
+                    .join(per_iface.drop("fabric_id"), "dtmi", "left")
+                    .join(F.broadcast(parent), "dtmi", "left")
+                    .select(
+                        F.col("fabric_id").alias("id"),
+                        sanitize_name(F.coalesce("display_name", "name"), 90)
+                        .alias("name"),
+                        F.lit(NAMESPACE).alias("namespace"),
+                        F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+                        F.lit(VISIBILITY).alias("visibility"),
+                        "base_entity_type_id",
+                        F.coalesce("entity_id_parts",
+                                   F.array().cast("array<string>"))
+                        .alias("entity_id_parts"),
+                        "display_name_property_id",
+                        F.coalesce("properties", empty_props).alias("properties"),
+                        F.coalesce("timeseries_properties", empty_props)
+                        .alias("timeseries_properties"),
+                        F.col("dtmi").alias("class_uri"),
+                    ))
+
+    rels = (c.where((F.col("content_type") == "Relationship") &
+                    F.col("target").isNotNull())
+            .select(
+                property_id(F.col("fabric_id"),
+                            F.concat(F.lit("rel_"), "prop_name")).alias("id"),
+                sanitize_name(F.col("prop_name"), 90).alias("name"),
+                F.lit(NAMESPACE).alias("namespace"),
+                F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+                F.col("fabric_id").alias("source_entity_type_id"),
+                dtmi_fabric_id(F.col("target")).alias("target_entity_type_id"),
+                F.concat("dtmi", F.lit("::"), "prop_name").alias("rel_key"),
+            ))
+    return entity_types, rels, skipped

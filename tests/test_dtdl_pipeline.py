@@ -1,0 +1,144 @@
+"""DTDL front-end parity vs the reference converter's assertions
+(reference: tests/dtdl/test_dtdl.py:247-346, tests/fixtures/dtdl_fixtures.py).
+"""
+
+import hashlib
+
+import corpus
+from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import docs_from_payloads
+from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
+    convert_interfaces, extract_interfaces)
+from rdf_dtdl_fabric_ontology_converter_spark.functions.ids import (
+    fabric_id_py, property_id_py)
+
+
+def ref_dtmi_id(dtmi: str) -> str:
+    """The reference's exact ID scheme (dtdl_converter.py:486-512)."""
+    clean = dtmi.replace("dtmi:", "").split(";")[0]
+    h = hashlib.sha256(clean.encode()).digest()
+    return str(1_000_000_000_000 + int.from_bytes(h[:8], "big") % 10**12)
+
+
+def convert(spark, *names):
+    docs = docs_from_payloads(spark, {n: corpus.DTDL[n] for n in names})
+    ents, rels, skipped = convert_interfaces(extract_interfaces(docs))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    return emap, rels.collect(), skipped.collect()
+
+
+def test_simple_interface(spark):
+    emap, rels, _ = convert(spark, "thermostat")
+    t = emap["Thermostat"]
+    assert t["id"] == ref_dtmi_id("dtmi:com:example:Thermostat;1")
+    assert [(p["name"], p["valueType"]) for p in t["properties"]] == \
+        [("targetTemperature", "Double")]
+    assert [(p["name"], p["valueType"]) for p in t["timeseries_properties"]] == \
+        [("currentTemperature", "Double")]
+    # property id parity with the reference scheme
+    assert t["properties"][0]["id"] == property_id_py(t["id"], "targetTemperature")
+    assert t["timeseries_properties"][0]["id"] == \
+        property_id_py(t["id"], "ts_currentTemperature")
+
+
+def test_relationship(spark):
+    emap, rels, _ = convert(spark, "room", "thermostat")
+    assert set(emap) == {"Room", "Thermostat"}
+    assert len(rels) == 1
+    rel = rels[0]
+    assert rel["name"] == "hasThermostat"
+    assert rel["source_entity_type_id"] == ref_dtmi_id("dtmi:com:example:Room;1")
+    assert rel["target_entity_type_id"] == \
+        ref_dtmi_id("dtmi:com:example:Thermostat;1")
+
+
+def test_dangling_relationship_target_allowed(spark):
+    # reference hashes unknown targets unconditionally (dtdl_converter.py:723-729)
+    emap, rels, _ = convert(spark, "room")
+    assert len(rels) == 1
+    assert rels[0]["target_entity_type_id"] == \
+        ref_dtmi_id("dtmi:com:example:Thermostat;1")
+
+
+def test_enum_maps_to_value_schema(spark):
+    emap, _, _ = convert(spark, "enum_device")
+    props = emap["Device"]["properties"]
+    assert [(p["name"], p["valueType"]) for p in props] == [("status", "String")]
+
+
+def test_telemetry_all_timeseries(spark):
+    emap, _, _ = convert(spark, "sensor")
+    s = emap["Sensor"]
+    assert [p["name"] for p in s["timeseries_properties"]] == \
+        ["temperature", "humidity", "pressure"]
+    assert all(p["valueType"] == "Double" for p in s["timeseries_properties"])
+    assert s["properties"] == []
+
+
+def test_component_skipped_by_default(spark):
+    emap, rels, _ = convert(spark, "machine_component")
+    m = emap["Machine"]
+    assert [p["name"] for p in m["properties"]] == ["serialNumber"]
+    assert rels == []
+
+
+def test_inheritance_base_id(spark):
+    emap, _, _ = convert(spark, "smart_thermostat", "thermostat")
+    st = emap["Smart_Thermostat"]  # displayName 'Smart Thermostat' sanitized
+    assert st["base_entity_type_id"] == ref_dtmi_id("dtmi:com:example:Thermostat;1")
+    assert {p["name"] for p in st["properties"]} == \
+        {"wifiEnabled", "firmwareVersion"}
+
+
+def test_inheritance_external_parent_is_root(spark):
+    emap, _, _ = convert(spark, "smart_thermostat")  # parent not in set
+    assert emap["Smart_Thermostat"]["base_entity_type_id"] is None
+
+
+def test_complex_object_schema_to_string(spark):
+    emap, _, _ = convert(spark, "nested_objects")
+    props = emap["Building"]["properties"]
+    assert [(p["name"], p["valueType"]) for p in props] == [("address", "String")]
+
+
+def test_display_name_and_id_parts(spark):
+    emap, _, _ = convert(spark, "room")
+    room = emap["Room"]
+    name_prop = room["properties"][0]
+    # 'name' is a String prop: becomes displayName (first String in order);
+    # no pk-pattern match ('name' has no id/key pattern) → first valid
+    assert room["display_name_property_id"] == name_prop["id"]
+    assert room["entity_id_parts"] == [name_prop["id"]]
+
+
+def test_sibling_type_conflict_suffix(spark):
+    import json
+    a = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:A;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Property", "name": "value", "schema": "string"}]})
+    b = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:B;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Property", "name": "value", "schema": "double"}]})
+    docs = docs_from_payloads(spark, {"a": a, "b": b})
+    ents, _, _ = convert_interfaces(extract_interfaces(docs))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    assert emap["A"]["properties"][0]["name"] == "value"        # first registered
+    assert emap["B"]["properties"][0]["name"] == "value_double"  # suffixed
+
+
+def test_ancestor_type_conflict_suffix(spark):
+    import json
+    parent = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:P;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Property", "name": "size", "schema": "string"}]})
+    child = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:C;1",
+        "@type": "Interface", "extends": "dtmi:com:x:P;1",
+        "contents": [{"@type": "Property", "name": "size", "schema": "long"}]})
+    docs = docs_from_payloads(spark, {"p": parent, "c": child})
+    ents, _, _ = convert_interfaces(extract_interfaces(docs))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    assert emap["P"]["properties"][0]["name"] == "size"
+    assert emap["C"]["properties"][0]["name"] == "size_bigint"
