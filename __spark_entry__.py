@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full KG-construction pipeline over turtle
+                     documents derived deterministically from the sf0.001
+                     nation/region tables.
+``queries()``      — one entry per implemented operator family from
+                     SURVEY.md §2 plus the training-data-pipeline operators
+                     (dedup / similarity / text analysis).
+``oracle_sql()``   — DuckDB-equivalent SQL for every query (same column
+                     names; hash-compatible md5/sha256 text hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,712 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+EX = "http://example.org/"
+
+_TTL_HEADER = (
+    "@prefix ex: <http://example.org/> .\\n"
+    "@prefix owl: <http://www.w3.org/2002/07/owl#> .\\n"
+    "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\\n"
+    "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\\n"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _nation_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle document per nation: a class, a data property, an object
+    property to its region class — the deterministic KG corpus over testdata."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), F.col("n_nationkey"), F.lit(" a owl:Class ;\n"),
+        F.lit('    rdfs:label "'), F.col("n_name"), F.lit('" .\n'),
+        F.lit("ex:R"), F.col("n_regionkey"), F.lit(" a owl:Class .\n"),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit("_comment a owl:DatatypeProperty ;\n    rdfs:domain ex:N"),
+        F.col("n_nationkey"), F.lit(" ;\n    rdfs:range xsd:string .\n"),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit("_inRegion a owl:ObjectProperty ;\n    rdfs:domain ex:N"),
+        F.col("n_nationkey"), F.lit(" ;\n    rdfs:range ex:R"),
+        F.col("n_regionkey"), F.lit(" .\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def _kg_result(spark: SparkSession, sf_dir: str):
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+    return run_pipeline(spark, _nation_ttl_docs(spark, sf_dir))
+
+
+# DuckDB twin of rdf_dtdl_fabric_ontology_converter_spark.functions.ids.fabric_id
+def _duck_fabric_id(expr: str) -> str:
+    return ("CAST(1000000000000 + (CAST('0x'||substr(sha256(" + expr +
+            "),1,4) AS UBIGINT)*474976710656 + CAST('0x'||substr(sha256(" +
+            expr + "),5,12) AS UBIGINT)) % 1000000000000 AS VARCHAR)")
+
+
+# ---------------------------------------------------------------------------
+# KG-construction queries (SURVEY §2 operators, DuckDB-checkable)
+# ---------------------------------------------------------------------------
+
+def q_kg_triples_extract(spark, sf_dir):
+    """S1: span text → triples via the Arrow-vectorized turtle tokenizer."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return clean.select("subj", "pred", "obj")
+
+
+def _oracle_kg_triples() -> str:
+    n = "'http://example.org/N'||n_nationkey"
+    r = "'http://example.org/R'||n_regionkey"
+    p = "'http://example.org/N'||n_nationkey||'_comment'"
+    o = "'http://example.org/N'||n_nationkey||'_inRegion'"
+    t, dom, rng = (f"'{RDF_TYPE}'",
+                   "'http://www.w3.org/2000/01/rdf-schema#domain'",
+                   "'http://www.w3.org/2000/01/rdf-schema#range'")
+    return f"""
+    SELECT {n} AS subj, {t} AS pred, '{OWL_CLASS}' AS obj FROM nation
+    UNION ALL SELECT {n}, '{RDFS_LABEL}', n_name FROM nation
+    UNION ALL SELECT {r}, {t}, '{OWL_CLASS}' FROM nation
+    UNION ALL SELECT {p}, {t}, 'http://www.w3.org/2002/07/owl#DatatypeProperty' FROM nation
+    UNION ALL SELECT {p}, {dom}, {n} FROM nation
+    UNION ALL SELECT {p}, {rng}, 'http://www.w3.org/2001/XMLSchema#string' FROM nation
+    UNION ALL SELECT {o}, {t}, 'http://www.w3.org/2002/07/owl#ObjectProperty' FROM nation
+    UNION ALL SELECT {o}, {dom}, {n} FROM nation
+    UNION ALL SELECT {o}, {rng}, {r} FROM nation
+    """
+
+
+def q_kg_entity_types(spark, sf_dir):
+    """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
+    res = _kg_result(spark, sf_dir)
+    return res.entity_types.select(
+        "name", "id",
+        F.size("properties").alias("n_props"),
+        F.try_element_at("entity_id_parts", F.lit(1)).alias("id_part"),
+    )
+
+
+def _oracle_kg_entities() -> str:
+    nid = _duck_fabric_id("'http://example.org/N'||n_nationkey")
+    rid = _duck_fabric_id("'http://example.org/R'||r.r_regionkey")
+    pid = _duck_fabric_id("'http://example.org/N'||n_nationkey||'_comment'")
+    return f"""
+    SELECT 'N'||n_nationkey AS name, {nid} AS id, 1 AS n_props,
+           {pid} AS id_part
+    FROM nation
+    UNION ALL
+    SELECT 'R'||r.r_regionkey, {rid}, 0, NULL
+    FROM region r
+    """
+
+
+def q_kg_relationship_types(spark, sf_dir):
+    res = _kg_result(spark, sf_dir)
+    return res.relationship_types.select(
+        "name", "id", "source_entity_type_id", "target_entity_type_id")
+
+
+def _oracle_kg_relationships() -> str:
+    prop = "'http://example.org/N'||n_nationkey||'_inRegion'"
+    dom = "'http://example.org/N'||n_nationkey"
+    rng = "'http://example.org/R'||n_regionkey"
+    rel_key = f"{prop}||'::'||{dom}||'->'||{rng}"
+    return f"""
+    SELECT 'N'||n_nationkey||'_inRegion' AS name,
+           {_duck_fabric_id(rel_key)} AS id,
+           {_duck_fabric_id(dom)} AS source_entity_type_id,
+           {_duck_fabric_id(rng)} AS target_entity_type_id
+    FROM nation
+    """
+
+
+def q_rel2triples_unpivot(spark, sf_dir):
+    """Relational→triples projection (the fabric_to_ttl reverse direction,
+    S8): unpivot customer into (subj, pred, obj) rows + P1 pred filter."""
+    c = _t(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("customer/"), F.col("c_custkey"))
+    tri = c.select(
+        subj.alias("subj"),
+        F.explode(F.array(
+            F.struct(F.lit("name").alias("pred"), F.col("c_name").alias("obj")),
+            F.struct(F.lit("nation").alias("pred"),
+                     F.col("c_nationkey").cast("string").alias("obj")),
+            F.struct(F.lit("mktsegment").alias("pred"),
+                     F.col("c_mktsegment").alias("obj")),
+        )).alias("po"))
+    return (tri.select("subj", "po.pred", "po.obj")
+            .where(F.col("pred") != "nation")
+            .groupBy("pred").agg(F.count("*").alias("n"))
+            .orderBy("pred"))
+
+
+_ORACLE_UNPIVOT = """
+SELECT pred, count(*) AS n FROM (
+  SELECT 'name' AS pred, c_name AS obj FROM customer
+  UNION ALL SELECT 'mktsegment', c_mktsegment FROM customer
+) GROUP BY pred ORDER BY pred
+"""
+
+
+def q_first_parent_w1(spark, sf_dir):
+    """W1 first-match window: earliest order per customer."""
+    from pyspark.sql.window import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("first_orderkey")))
+
+
+_ORACLE_W1 = """
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q_broadcast_dict_join_j11(spark, sf_dir):
+    """J11 broadcast dictionary join: lineitem × part (small dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"))
+            .orderBy("brand"))
+
+
+_ORACLE_J11 = """
+SELECT p_brand AS brand, count(*) AS n,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY brand
+"""
+
+
+def q_anti_join_j6(spark, sf_dir):
+    """J6 anti-join (skip accounting shape): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .agg(F.count("*").alias("n_customers_without_orders")))
+
+
+_ORACLE_J6 = """
+SELECT count(*) AS n_customers_without_orders FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_union_dedup_a1(spark, sf_dir):
+    """A1/U1: union of name sets + distinct."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return (c.unionByName(s).dropDuplicates()
+            .groupBy().agg(F.count("*").alias("n_distinct_nations")))
+
+
+_ORACLE_A1 = """
+SELECT count(*) AS n_distinct_nations FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_pair_expansion_j5(spark, sf_dir):
+    """J5 domain×range pair expansion + dedup: distinct (cust, supp) pairs."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("l_suppkey").alias("suppkey"))
+            .dropDuplicates()
+            .groupBy("custkey").agg(F.count("*").alias("n_supps"))
+            .orderBy("custkey"))
+
+
+_ORACLE_J5 = """
+SELECT custkey, count(*) AS n_supps FROM (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+GROUP BY custkey ORDER BY custkey
+"""
+
+
+def q_collect_sorted_a9(spark, sf_dir):
+    """A9 collect_list per entity, order-pinned via sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_orderkey").alias("orderkey"))
+            .agg(F.concat_ws(
+                ",", F.sort_array(F.collect_list(
+                    F.col("l_linenumber").cast("string"))))
+                .alias("linenumbers")))
+
+
+_ORACLE_A9 = """
+SELECT l_orderkey AS orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenumbers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_topo_depth_o1(spark, sf_dir):
+    """O1 iterative transitive closure (vs DuckDB recursive CTE): part
+    hierarchy child p → parent p/10 when that part exists."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.classes import (
+        transitive_closure)
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    edges = (p.withColumn("parent_key",
+                          F.floor(F.col("p_partkey") / 10).cast("bigint"))
+             .where(F.col("parent_key") > 0)
+             .join(p.select(F.col("p_partkey").alias("parent_key")),
+                   "parent_key", "left_semi")
+             .select(F.col("p_partkey").alias("child"),
+                     F.col("parent_key").alias("parent")))
+    clo = transitive_closure(edges)
+    return (clo.groupBy(F.col("src").alias("child"))
+            .agg(F.count("*").alias("n_ancestors"),
+                 F.max("dst").alias("max_ancestor"))
+            .orderBy("child"))
+
+
+_ORACLE_O1 = """
+WITH RECURSIVE edges AS (
+  SELECT c.p_partkey AS child, CAST(floor(c.p_partkey/10) AS BIGINT) AS parent
+  FROM part c
+  WHERE CAST(floor(c.p_partkey/10) AS BIGINT) > 0
+    AND EXISTS (SELECT 1 FROM part x
+                WHERE x.p_partkey = CAST(floor(c.p_partkey/10) AS BIGINT))
+), clo AS (
+  SELECT child AS src, parent AS dst FROM edges
+  UNION
+  SELECT clo.src, e.parent FROM clo JOIN edges e ON clo.dst = e.child
+)
+SELECT src AS child, count(DISTINCT dst) AS n_ancestors,
+       max(dst) AS max_ancestor
+FROM clo GROUP BY src ORDER BY child
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via md5 grouping: cluster sizes > 1."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_t(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+_N_HASH = 8          # minhash permutations
+_N_BANDS = 4         # LSH bands (2 rows per band)
+
+
+def _shingles(col):
+    """Token 3-gram shingles, lowercase, whitespace-tokenized."""
+    toks = F.split(F.lower(F.trim(col)), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    return F.array_distinct(F.when(
+        F.size(toks) >= 3,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", toks[i], toks[i + 1], toks[i + 2]))
+    ).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle → minhash → band → bucket
+    join. Hash = md5(seed||shingle) so the oracle computes bit-identical
+    signatures."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import lsh_candidates
+    return (lsh_candidates(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _oracle_minhash() -> str:
+    rows_per_band = _N_HASH // _N_BANDS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+      FROM sh, generate_series(0, {_N_HASH - 1}) AS s(seed)
+      GROUP BY doc_id, seed
+    ), banded AS (
+      SELECT doc_id, CAST(floor(seed/{rows_per_band}) AS INT) AS band,
+             string_agg(mh, '|' ORDER BY mh) AS sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed/{rows_per_band}) AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard for a deterministic pair sample (doc, doc+1)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import ngram_jaccard
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("doc_a"),
+                     (F.col("doc_id") + 1).alias("doc_b")) \
+        .join(d.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    return (ngram_jaccard(d, pairs)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("jaccard"), 4).alias("jaccard"))
+            .orderBy("doc_a"))
+
+
+_ORACLE_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a
+"""
+
+_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit, md5-token-based) per document."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import simhash
+    return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS hv
+  FROM toks
+), contrib AS (
+  SELECT doc_id, bit,
+         CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h, generate_series(0, {_SIMHASH_BITS - 1}) AS g(bit)
+), bitsums AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM bitsums GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Token count / char count / distinct-token ratio quality signals."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+         AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+_ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-ratio language heuristic vs the labelled lang column."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import lang_guess
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", lang_guess(F.col("text")).alias("lang_guess"))
+            .groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+            .orderBy("lang", "lang_guess"))
+
+
+_ORACLE_LANGID = """
+WITH t AS (
+  SELECT lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+           / greatest(len(toks), 1) AS ratio
+  FROM t
+)
+SELECT lang, CASE WHEN ratio > 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
+       count(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY lang, lang_guess
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 3 vectors (JVM-side math)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import cosine_topk
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return (cosine_topk(e, q, k=5)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
+_ORACLE_ANN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_EMB_DIM = 64  # embeddings table dimension (fixed in the testdata schema)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (md5-derived ±1 planes, 8 bits):
+    the scale path for ANN — bucket then search within bucket."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
+        hyperplane_signature)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = hyperplane_signature(F.col("embedding"), _EMB_DIM, 8)
+    return (e.withColumn("bucket", sig)
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .orderBy("bucket"))
+
+
+def _oracle_ann_lsh() -> str:
+    """Plane constants are data-independent — inline them as SQL literals
+    so DuckDB reproduces bucket signatures exactly."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
+        hyperplane_planes)
+    planes = hyperplane_planes(_EMB_DIM, 8)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT bucket, count(*) AS n FROM (
+      SELECT CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
+    GROUP BY bucket ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H anchors (performance baselines with trivial oracles)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                 .alias("sum_base_price_cents"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         AS sum_base_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_shape(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # integer-cents arithmetic: bit-identical across engines (no
+    # double→decimal rounding-mode ambiguity)
+    ep_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = ep_cents * (F.lit(100) - disc_pct)
+    return (c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(F.col("o_orderkey").alias("orderkey"))
+            .agg(F.sum(rev).alias("revenue_micent"))
+            .orderBy(F.desc("revenue_micent"), "orderkey")
+            .limit(10))
+
+
+_ORACLE_Q3 = """
+SELECT o_orderkey AS orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_micent
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_micent DESC, orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on sf0.001."""
+    res = _kg_result(spark, "/root/testdata/sf0.001")
+    return res.entity_types.select(
+        "id", "name", "base_entity_type_id",
+        F.size("properties").alias("n_props"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples_extract": q_kg_triples_extract,
+        "kg_entity_types": q_kg_entity_types,
+        "kg_relationship_types": q_kg_relationship_types,
+        "rel2triples_unpivot": q_rel2triples_unpivot,
+        "first_parent_w1": q_first_parent_w1,
+        "broadcast_dict_join_j11": q_broadcast_dict_join_j11,
+        "anti_join_j6": q_anti_join_j6,
+        "union_dedup_a1": q_union_dedup_a1,
+        "pair_expansion_j5": q_pair_expansion_j5,
+        "collect_sorted_a9": q_collect_sorted_a9,
+        "topo_depth_o1": q_topo_depth_o1,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_shape": q_tpch_q3_shape,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples_extract": _oracle_kg_triples(),
+        "kg_entity_types": _oracle_kg_entities(),
+        "kg_relationship_types": _oracle_kg_relationships(),
+        "rel2triples_unpivot": _ORACLE_UNPIVOT,
+        "first_parent_w1": _ORACLE_W1,
+        "broadcast_dict_join_j11": _ORACLE_J11,
+        "anti_join_j6": _ORACLE_J6,
+        "union_dedup_a1": _ORACLE_A1,
+        "pair_expansion_j5": _ORACLE_J5,
+        "collect_sorted_a9": _ORACLE_A9,
+        "topo_depth_o1": _ORACLE_O1,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_ngram_jaccard": _ORACLE_JACCARD,
+        "dedup_simhash": _ORACLE_SIMHASH,
+        "text_stats": _ORACLE_TEXT_STATS,
+        "text_fingerprint": _ORACLE_FINGERPRINT,
+        "text_langid": _ORACLE_LANGID,
+        "ann_cosine_topk": _ORACLE_ANN,
+        "ann_lsh_buckets": _oracle_ann_lsh(),
+        "tpch_q1": _ORACLE_Q1,
+        "tpch_q3_shape": _ORACLE_Q3,
+    }

@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
+
+The KG-extraction throughput component (the BASELINE.json primary metric)
+runs over the deterministic synthetic ontology corpus
+(SPARK_GRAFT_BENCH_DOCS docs, seed-free arithmetic generator — see
+rdf_dtdl_fabric_ontology_converter_spark.sources.documents.synth_documents).
+
+For the two-cluster-size scaling evidence use tools/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rdf_dtdl_fabric_ontology_converter_spark.session import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_entity_types",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "tpch_q1",
+    "tpch_q3_shape",
+    "collect_sorted_a9",
+    "pair_expansion_j5",
+    "topo_depth_o1",
+    "first_parent_w1",
+]
+
+
+def run_extraction_bench(spark, n_docs: int) -> tuple[int, float]:
+    """Triples/sec over the synthetic corpus: extract → global dedup → count."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import dedup_triples
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        synth_documents)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    docs = synth_documents(spark, n_docs, partitions=cpus * 2)
+    t0 = time.time()
+    clean, _ = split_errors(extract_triples(docs))
+    n = dedup_triples(clean, num_partitions=cpus * 2).count()
+    return n, time.time() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else None
+
+    spark = build_session(
+        app="bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 8),
+        extra={"spark.ui.enabled": "false",
+               "spark.driver.memory": os.environ.get(
+                   "SPARK_GRAFT_DRIVER_MEM", "16g")})
+
+    timings: dict[str, float] = {}
+
+    n_triples, extract_sec = run_extraction_bench(spark, n_docs)
+    timings["kg_extract_dedup"] = round(extract_sec, 3)
+    triples_per_sec = round(n_triples / extract_sec, 1)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "kg_construct_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples_per_sec": triples_per_sec,
+        "bench_docs": n_docs,
+        "bench_triples": n_triples,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

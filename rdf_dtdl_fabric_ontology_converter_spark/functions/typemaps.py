@@ -83,19 +83,92 @@ DTDL_TO_FABRIC: dict[str, str] = {
     "scaledDecimal": "String",
 }
 
-# CDM primitives (note decimal/numeric/money → Decimal, unlike XSD)
+# CDM primitives (note decimal/numeric/money → Decimal, unlike XSD; and
+# time → DateTime, unlike XSD time → String) — keys lowercased, lookup is
+# case-insensitive per the reference
 CDM_TO_FABRIC: dict[str, str] = {
-    "string": "String", "char": "String", "guid": "String",
-    "boolean": "Boolean",
-    "date": "DateTime", "datetime": "DateTime", "datetimeoffset": "DateTime",
-    "time": "String",
-    "byte": "BigInt", "smallinteger": "BigInt", "integer": "BigInt",
-    "biginteger": "BigInt", "int16": "BigInt", "int32": "BigInt",
-    "int64": "BigInt",
-    "float": "Double", "double": "Double",
+    "string": "String", "char": "String", "text": "String",
+    "integer": "BigInt", "int": "BigInt", "int64": "BigInt",
+    "int32": "BigInt", "int16": "BigInt", "smallinteger": "BigInt",
+    "biginteger": "BigInt", "byte": "BigInt", "tinyinteger": "BigInt",
+    "float": "Double", "double": "Double", "real": "Double",
     "decimal": "Decimal", "numeric": "Decimal", "money": "Decimal",
-    "binary": "String", "json": "String", "entity": "String",
+    "smallmoney": "Decimal",
+    "boolean": "Boolean", "bool": "Boolean",
+    "date": "DateTime", "datetime": "DateTime", "datetimeoffset": "DateTime",
+    "time": "DateTime", "timestamp": "DateTime",
+    "guid": "String", "uuid": "String", "uniqueidentifier": "String",
+    "binary": "String", "varbinary": "String", "image": "String",
+    "json": "String", "object": "String", "variant": "String",
 }
+
+# CDM semantic types (reference: cdm_type_mapper.py:112-210) — lowercased
+CDM_SEMANTIC_TO_FABRIC: dict[str, str] = {k.lower(): v for k, v in {
+    "name": "String", "fullName": "String", "firstName": "String",
+    "lastName": "String", "middleName": "String",
+    "email": "String", "phone": "String", "phoneNumber": "String",
+    "fax": "String",
+    "url": "String", "uri": "String", "webAddress": "String",
+    "ipAddress": "String", "ipV4Address": "String", "ipV6Address": "String",
+    "address": "String", "city": "String", "stateOrProvince": "String",
+    "country": "String", "postalCode": "String", "county": "String",
+    "latitude": "Double", "longitude": "Double",
+    "languageTag": "String", "locale": "String", "cultureTag": "String",
+    "timezone": "String",
+    "year": "BigInt", "month": "BigInt", "day": "BigInt", "week": "BigInt",
+    "quarter": "BigInt", "fiscalYear": "BigInt", "fiscalMonth": "BigInt",
+    "fiscalQuarter": "BigInt",
+    "age": "BigInt", "duration": "BigInt",
+    "distance": "Double", "weight": "Double", "height": "Double",
+    "area": "Double", "volume": "Double", "temperature": "Double",
+    "percentage": "Double", "probability": "Double",
+    "currency": "Decimal", "currencyCode": "String",
+    "baseCurrency": "Decimal", "exchangeRate": "Decimal",
+    "amount": "Decimal", "price": "Decimal", "tax": "Decimal",
+    "discount": "Decimal",
+    "count": "BigInt", "quantity": "BigInt", "sequence": "BigInt",
+    "ordinal": "BigInt",
+    "statusCode": "BigInt", "stateCode": "BigInt", "versionNumber": "BigInt",
+    "colorName": "String", "colorValue": "String",
+    "fileName": "String", "filePath": "String", "mimeType": "String",
+    "fileSize": "BigInt",
+    "code": "String", "tickerSymbol": "String", "accountCode": "String",
+    "productCode": "String", "transactionCode": "String",
+    "referenceCode": "String",
+}.items()}
+
+# trait-based inference (reference: cdm_type_mapper.py:371-401)
+CDM_TRAIT_TO_FABRIC: dict[str, str] = {
+    "is.dataFormat.integer": "BigInt",
+    "is.dataFormat.big": "BigInt",
+    "is.dataFormat.small": "BigInt",
+    "is.dataFormat.floatingPoint": "Double",
+    "is.dataFormat.numeric.shaped": "Decimal",
+    "is.dataFormat.boolean": "Boolean",
+    "is.dataFormat.date": "DateTime",
+    "is.dataFormat.time": "DateTime",
+    "is.dataFormat.timeOffset": "DateTime",
+    "is.dataFormat.character": "String",
+    "is.dataFormat.array": "String",
+    "is.dataFormat.guid": "String",
+    "is.dataFormat.byte": "BigInt",
+}
+
+
+def cdm_map_type(cdm_type: str, traits: list[str] | None = None) -> str:
+    """Driver/UDF-side CDM type mapping (reference: map_type semantics):
+    primitives → semantics → trait inference → String default."""
+    t = (cdm_type or "string").lower()
+    if t in ("entity", "entityid", "entityname"):
+        return "String"  # entity references flagged elsewhere
+    if t in CDM_TO_FABRIC:
+        return CDM_TO_FABRIC[t]
+    if t in CDM_SEMANTIC_TO_FABRIC:
+        return CDM_SEMANTIC_TO_FABRIC[t]
+    for tr in traits or []:
+        if tr in CDM_TRAIT_TO_FABRIC:
+            return CDM_TRAIT_TO_FABRIC[tr]
+    return "String"
 
 
 def xsd_map_df(spark: SparkSession) -> DataFrame:

@@ -71,6 +71,8 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     ontology), so every round is a small-table join.
     """
     closure = edges.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
+    if closure.isEmpty():
+        return closure
     closure = closure.localCheckpoint()
     for _ in range(max_rounds):
         grown = (closure.alias("a")

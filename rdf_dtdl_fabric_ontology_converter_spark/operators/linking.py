@@ -1,0 +1,100 @@
+"""Entity linking: mention → ontology-entity via batched label/IRI scoring.
+
+North-rule operator (J12 family). Two tiers:
+
+1. exact tier — broadcast the ontology dictionary (entity label + IRI local
+   name, normalized) and equi-join on the normalized mention. Zero Python.
+2. fuzzy tier — for unlinked mentions: blocking join on a cheap key
+   (first char + length band) against the broadcast dictionary, then a
+   vectorized pandas UDF scores candidates with trigram Jaccard; best
+   score ≥ threshold wins (window rank 1).
+
+The dictionary is ≪ executor memory by the Fabric 500-type cap per
+ontology; at corpus scale (many ontologies) the dictionary join flips from
+broadcast to a shuffle join automatically under AQE when it outgrows the
+broadcast threshold.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from ..functions.names import local_name
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"[^a-z0-9]+", " ")
+
+
+def entity_dictionary(entity_types: DataFrame) -> DataFrame:
+    """(entity_id, label, norm_label) from the vertex table: name + IRI
+    local name, both normalized."""
+    by_name = entity_types.select(
+        F.col("id").alias("entity_id"), F.col("name").alias("label"))
+    by_uri = entity_types.select(
+        F.col("id").alias("entity_id"),
+        local_name(F.col("class_uri")).alias("label"))
+    return (by_name.unionByName(by_uri)
+            .withColumn("norm_label", _norm(F.col("label")))
+            .where(F.col("norm_label") != "")
+            .dropDuplicates(["entity_id", "norm_label"]))
+
+
+@F.pandas_udf(DoubleType())
+def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized char-trigram Jaccard (Arrow-batched; the only Python in
+    the linking path, applied post-blocking to candidate pairs only)."""
+    def grams(s: str) -> set:
+        s = f"  {s} "
+        return {s[i:i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else {s}
+
+    out = []
+    for x, y in zip(a, b):
+        gx, gy = grams(x or ""), grams(y or "")
+        inter = len(gx & gy)
+        out.append(inter / (len(gx) + len(gy) - inter) if inter else 0.0)
+    return pd.Series(out)
+
+
+def link_mentions(mentions: DataFrame, entity_types: DataFrame,
+                  mention_col: str = "mention",
+                  fuzzy_threshold: float = 0.5) -> DataFrame:
+    """mentions(..., mention) → + (entity_id, match_kind, score).
+
+    Exact tier links by normalized label; fuzzy tier scores blocked
+    candidates with trigram Jaccard.
+    """
+    dic = entity_dictionary(entity_types)
+    m = mentions.withColumn("norm_mention", _norm(F.col(mention_col)))
+
+    exact = (m.join(F.broadcast(dic),
+                    m.norm_mention == dic.norm_label, "inner")
+             .withColumn("match_kind", F.lit("exact"))
+             .withColumn("score", F.lit(1.0))
+             .drop("label", "norm_label"))
+
+    linked_keys = exact.select("norm_mention").dropDuplicates()
+    unlinked = m.join(linked_keys, "norm_mention", "left_anti")
+
+    # blocking: first character + coarse length band
+    block = lambda c: F.concat(F.substring(c, 1, 1),  # noqa: E731
+                               F.floor(F.length(c) / 4).cast("string"))
+    cand = (unlinked.withColumn("blk", block(F.col("norm_mention")))
+            .join(F.broadcast(dic.withColumn("blk",
+                                             block(F.col("norm_label")))),
+                  "blk")
+            .withColumn("score", trigram_jaccard(F.col("norm_mention"),
+                                                 F.col("norm_label")))
+            .where(F.col("score") >= fuzzy_threshold))
+    w = Window.partitionBy("norm_mention").orderBy(F.desc("score"),
+                                                   "entity_id")
+    fuzzy = (cand.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .withColumn("match_kind", F.lit("fuzzy"))
+             .drop("rn", "blk", "label", "norm_label"))
+
+    return exact.unionByName(fuzzy).drop("norm_mention")

@@ -30,11 +30,17 @@ MAX_DEPTH = 10  # reference ClassResolver.DEFAULT_MAX_DEPTH
 
 
 def expression_subgraph(triples: DataFrame) -> DataFrame:
-    """Cacheable slice of the graph used by expression resolution."""
+    """Materialized slice of the graph used by expression resolution.
+
+    Tiny relative to the corpus (only the six expression predicates);
+    localCheckpoint here so every resolver call and loop round joins against
+    the materialized slice instead of re-scanning triples.
+    """
     return (triples
             .where(F.col("pred").isin(_EXPR_PREDS))
             .select("subj", "pred", "obj", "obj_kind")
-            .dropDuplicates(["subj", "pred", "obj"]))
+            .dropDuplicates(["subj", "pred", "obj"])
+            .localCheckpoint())
 
 
 def resolve_class_targets(roots: DataFrame, expr: DataFrame,
@@ -44,12 +50,20 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
     ``node`` values that are IRIs resolve to themselves; bnodes are expanded
     through the expression subgraph. Multiple roots resolve concurrently in
     one loop (all properties' domains/ranges at once — not per-property).
-    """
-    expr = expr.localCheckpoint()
 
-    nodes = roots.select("root_key", "node").dropDuplicates()
+    Fast path: direct URIRef targets (the overwhelmingly common case) never
+    enter the iterative loop — only bnode expression roots do.
+    """
+    all_roots = roots.select("root_key", "node").dropDuplicates()
+    direct = all_roots.where(~F.col("node").startswith("_:")) \
+        .select("root_key", F.col("node").alias("class_uri"))
+    bnode_roots = all_roots.where(F.col("node").startswith("_:"))
+    if bnode_roots.isEmpty():
+        return direct
+
+    nodes = bnode_roots
     lists = nodes.limit(0)
-    results = nodes.limit(0).select("root_key", F.col("node").alias("class_uri"))
+    results = direct
     visited_nodes = nodes.limit(0)
     visited_lists = lists.limit(0)
 

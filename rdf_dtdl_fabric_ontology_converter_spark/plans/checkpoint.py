@@ -1,0 +1,120 @@
+"""Stage checkpointing with per-partition lineage and exact resume (T4).
+
+North-rule requirement absent from the reference (its streaming keeps stats
+only — reference: src/core/services/streaming.py:90-132): every stage's
+output is committed as a snapshot; a ``_lineage`` table records per-stage,
+per-partition row counts and wall time; resume restarts from the last
+committed snapshot.
+
+Production target is Iceberg (stage tables with snapshot-id recorded); this
+sandbox has no Iceberg runtime jar, so snapshots are emulated with parquet
+directories committed via an atomic manifest marker written AFTER the data:
+a stage is committed iff its manifest parses, so a kill mid-write is never
+mistaken for a committed snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("stage string, snapshot_id string, partition_id int, "
+                  "rows_out bigint, wall_ms bigint")
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _manifest(self, stage: str) -> Path:
+        return self.root / stage / "manifest.json"
+
+    def _data(self, stage: str) -> str:
+        return str(self.root / stage / "data")
+
+    def is_committed(self, stage: str) -> bool:
+        m = self._manifest(stage)
+        if not m.exists():
+            return False
+        try:
+            json.loads(m.read_text())
+            return True
+        except ValueError:
+            return False
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._data(stage))
+
+    def snapshot_info(self, stage: str) -> dict | None:
+        if not self.is_committed(stage):
+            return None
+        return json.loads(self._manifest(stage).read_text())
+
+    def stage(self, name: str, build: Callable[[], DataFrame],
+              force: bool = False) -> DataFrame:
+        """Run (or resume) a stage. If a committed snapshot exists, read it
+        back instead of recomputing — exact resume."""
+        if not force and self.is_committed(name):
+            return self.read(name)
+        t0 = time.time()
+        df = build()
+        (self.root / name).mkdir(parents=True, exist_ok=True)
+        df.write.mode("overwrite").parquet(self._data(name))
+        wall_ms = int((time.time() - t0) * 1000)
+
+        out = self.read(name)
+        snapshot_id = uuid.uuid4().hex
+        per_part = (out.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count("*").alias("rows_out"))
+                    .select(F.lit(name).alias("stage"),
+                            F.lit(snapshot_id).alias("snapshot_id"),
+                            "partition_id", "rows_out",
+                            F.lit(wall_ms).alias("wall_ms")))
+        per_part.write.mode("append").parquet(str(self.root / "_lineage"))
+        rows = out.count()
+        # manifest written LAST = the commit point
+        self._manifest(name).write_text(json.dumps({
+            "stage": name, "snapshot_id": snapshot_id, "rows": rows,
+            "wall_ms": wall_ms, "committed_at": time.time()}))
+        return out
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / "_lineage"))
+
+    def reset(self, stage: str) -> None:
+        m = self._manifest(stage)
+        if m.exists():
+            m.unlink()
+
+
+def run_pipeline_checkpointed(spark: SparkSession, documents: DataFrame,
+                              root: str):
+    """The full pipeline with one snapshot per stage (A/B/C/D); rerunning
+    after a kill resumes from the last committed stage."""
+    from ..operators.canon import dedup_triples
+    from ..operators.extract import extract_triples, split_errors
+    from .pipeline import build_graph
+
+    cp = CheckpointManager(spark, root)
+
+    def stage_a():
+        return extract_triples(documents)
+
+    raw = cp.stage("A_extract", stage_a)
+    clean, parse_skips = split_errors(raw)
+
+    triples = cp.stage("B_dedup", lambda: dedup_triples(clean))
+
+    res = build_graph(spark, triples, parse_skips)
+    entity_types = cp.stage("C_entities", lambda: res.entity_types)
+    rel_types = cp.stage("C_relationships", lambda: res.relationship_types)
+    skipped = cp.stage("D_skipped", lambda: res.skipped_items)
+    return cp, entity_types, rel_types, skipped

@@ -130,28 +130,33 @@ def synth_documents(spark: SparkSession, num_docs: int,
     cpd, ppc, rpc = classes_per_doc, props_per_class, rels_per_class
 
     def gen(batches):
-        import pandas as pd
-        for pdf in batches:
-            ids = pdf["id"].tolist()
-            rows = []
+        import pyarrow as pa
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()), ("offset", pa.int32())])
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            doc_ids, spans = [], []
             for i in ids:
+                did = f"doc_{int(i):010d}"
                 text = synth_ontology_ttl(int(i), cpd, ppc, rpc)
-                rows.append({
-                    "doc_id": f"doc_{int(i):010d}",
-                    "spans": [
-                        {"kind": "media", "text": None,
-                         "media_ref": f"media://doc_{int(i):010d}/0", "offset": 0},
-                        {"kind": "text", "text": text, "media_ref": None, "offset": 1},
-                        {"kind": "media", "text": None,
-                         "media_ref": f"media://doc_{int(i):010d}/2", "offset": 2},
-                    ],
-                })
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+                doc_ids.append(did)
+                spans.append([
+                    {"kind": "media", "text": None,
+                     "media_ref": f"media://{did}/0", "offset": 0},
+                    {"kind": "text", "text": text, "media_ref": None,
+                     "offset": 1},
+                    {"kind": "media", "text": None,
+                     "media_ref": f"media://{did}/2", "offset": 2},
+                ])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()),
+                 pa.array(spans, pa.list_(span_t))],
+                names=["doc_id", "spans"])
 
     rng = spark.range(num_docs)
     if partitions:
         rng = rng.repartition(partitions)
-    return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)
+    return rng.mapInArrow(gen, DOCUMENTS_SCHEMA)
 
 
 def span_sequence_key(df: DataFrame) -> DataFrame:

@@ -1,0 +1,220 @@
+"""Tests for sinks, export round-trip, checkpoint/resume, validation,
+dedup/similarity/text operators, multimodal plumbing, linking, streaming."""
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import corpus
+from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import docs_from_payloads
+from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def simple_result(spark):
+    docs = docs_from_payloads(spark, {"simple": corpus.TTL["simple"]})
+    return run_pipeline(spark, docs)
+
+
+def test_fabric_definition_sink(spark, simple_result):
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.sinks import create_definition
+    d = create_definition(simple_result.entity_types,
+                          simple_result.relationship_types, "TestOnto")
+    parts = d["parts"]
+    assert parts[0]["path"] == ".platform"
+    platform = json.loads(base64.b64decode(parts[0]["payload"]))
+    assert platform["metadata"] == {"type": "Ontology",
+                                    "displayName": "TestOnto"}
+    assert parts[1]["path"] == "definition.json"
+    ent_parts = [p for p in parts if p["path"].startswith("EntityTypes/")]
+    rel_parts = [p for p in parts if p["path"].startswith("RelationshipTypes/")]
+    assert len(ent_parts) == 2 and len(rel_parts) == 1
+    person = next(json.loads(base64.b64decode(p["payload"]))
+                  for p in ent_parts
+                  if "Person" in base64.b64decode(p["payload"]).decode())
+    assert person["namespaceType"] == "Custom"
+    assert {pr["name"] for pr in person["properties"]} == {"name", "age"}
+
+
+def test_export_round_trip(spark, simple_result):
+    """TTL → pipeline → export → re-pipeline must preserve the name sets
+    (reference: fabric_to_ttl.round_trip_test)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.export import (
+        compare_ontologies, export_triples, render_turtle)
+    exported = export_triples(simple_result.entity_types,
+                              simple_result.relationship_types)
+    ttl = render_turtle(exported)
+    docs2 = docs_from_payloads(spark, {"rt": ttl})
+    res2 = run_pipeline(spark, docs2)
+    names1 = {r["name"] for r in simple_result.entity_types.collect()}
+    names2 = {r["name"] for r in res2.entity_types.collect()}
+    assert names1 == names2
+    exported2 = export_triples(res2.entity_types, res2.relationship_types)
+    diff = compare_ontologies(exported, exported2)
+    assert diff["identical"], diff
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.checkpoint import (
+        CheckpointManager, run_pipeline_checkpointed)
+    docs = docs_from_payloads(spark, {"simple": corpus.TTL["simple"]})
+    root = str(tmp_path / "cp")
+    cp, ents, rels, skipped = run_pipeline_checkpointed(spark, docs, root)
+    assert ents.count() == 2 and rels.count() == 1
+    lin = cp.lineage()
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"A_extract", "B_dedup", "C_entities"} <= stages
+    # resume: a fresh manager must read committed snapshots, not recompute
+    cp2 = CheckpointManager(spark, root)
+    assert cp2.is_committed("A_extract")
+    called = []
+    out = cp2.stage("A_extract", lambda: called.append(1) or None)
+    assert not called and out.count() > 0
+    # a stage whose manifest is missing (killed mid-write) recomputes
+    cp2.reset("B_dedup")
+    assert not cp2.is_committed("B_dedup")
+
+
+def test_preflight_issues(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.validate import (
+        can_import_seamlessly, preflight_issues)
+    payloads = {
+        "r": corpus.TTL["restriction"],
+        "f": corpus.TTL["functional_property"],
+        "i": corpus.TTL["external_import"],
+        "m": corpus.TTL["missing_domain"],
+    }
+    docs = docs_from_payloads(spark, payloads)
+    clean, _ = split_errors(extract_triples(docs))
+    issues = preflight_issues(clean)
+    cats = {(r["category"], r["severity"]) for r in issues.collect()}
+    assert ("external_import", "warning") in cats
+    assert ("property_restriction", "warning") in cats
+    assert ("property_characteristic", "info") in cats
+    assert ("missing_signature", "warning") in cats
+    assert not can_import_seamlessly(issues)
+    # clean ontology is seamless
+    docs_ok = docs_from_payloads(spark, {"s": corpus.TTL["simple"]})
+    clean_ok, _ = split_errors(extract_triples(docs_ok))
+    assert can_import_seamlessly(preflight_issues(clean_ok))
+
+
+def test_dedup_operators(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        exact_duplicates, lsh_candidates, ngram_jaccard, simhash)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different text about spark distributed computing"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ex = exact_duplicates(d).collect()
+    assert len(ex) == 1 and ex[0]["n"] == 2 and ex[0]["keeper_doc_id"] == 1
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(d).collect()}
+    assert (1, 2) in cands
+    assert not any(4 in p for p in cands)
+    pairs = spark.createDataFrame([(1, 3)], "doc_a bigint, doc_b bigint")
+    jac = ngram_jaccard(d, pairs).collect()[0]
+    assert 0.3 < jac["jaccard"] < 1.0
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    assert sh[1] == sh[2]
+    assert bin(int(sh[1]) ^ int(sh[3])).count("1") <= \
+        bin(int(sh[1]) ^ int(sh[4])).count("1")
+
+
+def test_similarity_operators(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    import math
+    vecs = [(i, [math.cos(i / 7.0 + d) for d in range(8)])
+            for i in range(50)]
+    # a near-duplicate of vec 0: must land in its bucket and rank first
+    vecs.append((99, [x + 0.001 for x in vecs[0][1]]))
+    v = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    bf = cosine_topk(v, q, k=5).collect()
+    assert len(bf) == 5 and all(r["query_id"] == 0 for r in bf)
+    assert bf[0]["cos"] >= bf[-1]["cos"]
+    assert bf[0]["neighbor_id"] == 99
+    lsh = lsh_bucketed_topk(v, q, dim=8, k=5, n_planes=4).collect()
+    # bucketed recall: the near-duplicate shares every hyperplane side
+    assert any(r["neighbor_id"] == 99 for r in lsh)
+
+
+def test_text_functions(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import (
+        text_profile)
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a good day for all of us"),
+         (2, "xyzzy plugh abracadabra")],
+        "doc_id bigint, text string")
+    prof = {r["doc_id"]: r for r in text_profile(d).collect()}
+    assert prof[1]["lang_guess"] == "en"
+    assert prof[2]["lang_guess"] == "other"
+    assert prof[1]["n_tokens"] == 16
+    assert prof[1]["quality"] > 0
+    assert len(prof[1]["fingerprint"]) == 32
+
+
+def test_multimodal_plumbing(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        decode_media, frame_sample_plan, media_features_table)
+    docs = docs_from_payloads(spark, {"a": corpus.TTL["minimal"]})
+    feats = media_features_table(docs)
+    rows = feats.collect()
+    assert len(rows) == 2  # two media spans per doc
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["decode_error"] is None for r in rows)
+    # deterministic: same ref → same feature
+    again = media_features_table(docs).collect()
+    assert {tuple(r["feature"]) for r in rows} == \
+        {tuple(r["feature"]) for r in again}
+    vids = feats.where(F.col("media_type") == "video")
+    fs = frame_sample_plan(feats, every_ms=5000)
+    assert fs.count() >= vids.count()
+    # real decoder path raises cleanly into decode_error rows
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import extract_media
+    errs = decode_media(extract_media(docs), decoder="real").collect()
+    assert all(r["decode_error"] and "NotImplementedError" in r["decode_error"]
+               for r in errs)
+
+
+def test_entity_linking(spark, simple_result):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import link_mentions
+    mentions = spark.createDataFrame(
+        [(1, "Person"), (2, "organization"), (3, "Persn"), (4, "zzz")],
+        "mention_id bigint, mention string")
+    linked = link_mentions(mentions, simple_result.entity_types,
+                           fuzzy_threshold=0.4)
+    by_id = {r["mention_id"]: r for r in linked.collect()}
+    assert by_id[1]["match_kind"] == "exact"
+    assert by_id[2]["match_kind"] == "exact"   # case-normalized
+    assert by_id[3]["match_kind"] == "fuzzy" and by_id[3]["score"] >= 0.4
+    assert 4 not in by_id
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.incremental import (
+        stream_extract_to_parquet)
+    docs = docs_from_payloads(spark, {"s": corpus.TTL["simple"],
+                                      "m": corpus.TTL["minimal"]})
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    out = str(tmp_path / "triples")
+    q = stream_extract_to_parquet(spark, in_path, out,
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.where(F.col("parse_error").isNull()).count() == 14 + 5
+    # rerun with same checkpoint: no duplication (exactly-once resume)
+    q2 = stream_extract_to_parquet(spark, in_path, out,
+                                   str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).where(
+        F.col("parse_error").isNull()).count() == 19

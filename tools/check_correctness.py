@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB over the same sf dir, then compares row count, column names,
+and an order-insensitive value multiset (values stringified, floats rounded).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rdf_dtdl_fabric_ontology_converter_spark.session import build_session  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:.4f}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.4f}"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session(master="local[8]", shuffle_partitions=8,
+                          extra={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(srows)} rows "
+                  f"({spark_t:.1f}s)")
+            if len(srows) == 0:
+                failures.append(name)
+            continue
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = ddf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        s_n, d_n = norm_rows(scols, srows), norm_rows(dcols, drows)
+        ok_vals = s_n == d_n
+        status = "PASS" if (ok_cols and ok_vals) else "FAIL"
+        print(f"{status} {name}: spark={len(srows)} duck={len(drows)} "
+              f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+              f"({spark_t:.1f}s)")
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and not ok_vals:
+                sonly = [r for r in s_n if r not in set(map(tuple, d_n))][:3]
+                donly = [r for r in d_n if r not in set(map(tuple, s_n))][:3]
+                print(f"   spark-only: {sonly}")
+                print(f"   duck-only:  {donly}")
+    print("----")
+    print("FAILURES:", failures if failures else "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
