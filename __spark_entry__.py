@@ -328,6 +328,53 @@ FROM clo GROUP BY src ORDER BY child
 """
 
 
+def q_kg_skipped_rollup(spark, sf_dir):
+    """J6 + A3: relationships with deliberately-missing ranges (odd supplier
+    keys) are skipped with the reference's exact reason, then rolled up."""
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+    s = _t(spark, sf_dir, "supplier")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    rng = F.when(F.col("s_suppkey") % 2 == 0,
+                 F.concat(F.lit(" ;\n    rdfs:range ex:S"),
+                          F.col("s_suppkey"))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:S"), F.col("s_suppkey"), F.lit(" a owl:Class .\n"),
+        F.lit("ex:S"), F.col("s_suppkey"),
+        F.lit("_ref a owl:ObjectProperty ;\n    rdfs:domain ex:S"),
+        F.col("s_suppkey"), rng, F.lit(" .\n"))
+    docs = s.select(
+        F.concat(F.lit("supp_"), "s_suppkey").alias("doc_id"),
+        F.array(F.struct(F.lit("text").alias("kind"), text.alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).alias("offset"))).alias("spans"))
+    res = run_pipeline(spark, docs)
+    return (res.skipped_items
+            .groupBy("reason").agg(F.count("*").alias("n"))
+            .orderBy("reason"))
+
+
+_ORACLE_SKIPPED = """
+SELECT 'missing range class' AS reason, count(*) AS n
+FROM supplier WHERE s_suppkey % 2 <> 0
+GROUP BY 1 ORDER BY reason
+"""
+
+
+def q_salted_count(spark, sf_dir):
+    """Hot-key-skew-safe two-phase count (north rule salting, A2/A3 shape)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.metrics import (
+        salted_count_by)
+    e = _t(spark, sf_dir, "events")
+    return salted_count_by(e, "event_type", 16).orderBy("event_type")
+
+
+_ORACLE_SALTED = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup family (documents table)
 # ---------------------------------------------------------------------------
@@ -677,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_extract": q_kg_triples_extract,
         "kg_entity_types": q_kg_entity_types,
         "kg_relationship_types": q_kg_relationship_types,
+        "kg_skipped_rollup": q_kg_skipped_rollup,
+        "salted_count": q_salted_count,
         "rel2triples_unpivot": q_rel2triples_unpivot,
         "first_parent_w1": q_first_parent_w1,
         "broadcast_dict_join_j11": q_broadcast_dict_join_j11,
@@ -704,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_extract": _oracle_kg_triples(),
         "kg_entity_types": _oracle_kg_entities(),
         "kg_relationship_types": _oracle_kg_relationships(),
+        "kg_skipped_rollup": _ORACLE_SKIPPED,
+        "salted_count": _ORACLE_SALTED,
         "rel2triples_unpivot": _ORACLE_UNPIVOT,
         "first_parent_w1": _ORACLE_W1,
         "broadcast_dict_join_j11": _ORACLE_J11,

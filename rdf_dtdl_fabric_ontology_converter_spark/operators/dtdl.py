@@ -151,19 +151,47 @@ def ancestor_closure(ifaces: DataFrame,
     return closure
 
 
-def _fabric_type_expr(schema_kind) -> F.Column:
-    """schema_kind string → Fabric value type (default modes)."""
+def _fabric_type_expr(schema_kind, scaled_decimal_mode: str = "json_string"
+                      ) -> F.Column:
+    """schema_kind string → Fabric value type.
+
+    scaledDecimal maps to Double in CALCULATED mode, else String
+    (reference: dtdl_converter.py:1048-1057,1073-1076).
+    """
     m = F.create_map(*[F.lit(x) for kv in DTDL_TO_FABRIC.items() for x in kv])
     enum_vs = F.regexp_extract(schema_kind, "^enum:(.*)$", 1)
-    return (F.when(schema_kind.startswith("complex:"), F.lit("String"))
+    scaled = (F.lit("Double") if scaled_decimal_mode == "calculated"
+              else F.lit("String"))
+    return (F.when(schema_kind == "scaledDecimal", scaled)
+            .when(schema_kind.startswith("complex:"), F.lit("String"))
             .when(schema_kind.startswith("enum:"),
                   F.coalesce(m[enum_vs], F.lit("String")))
             .otherwise(F.coalesce(m[schema_kind], F.lit("String"))))
 
 
-def convert_interfaces(interfaces: DataFrame
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class DtdlModes:
+    """Conversion modes (reference: dtdl_converter.py:100-118).
+
+    component: skip | flatten | separate
+    command:   skip | property   (entity mode: planned — reference
+               dtdl_converter.py:833-930 — not yet implemented here)
+    scaled_decimal: json_string | structured | calculated
+    """
+    component: str = "skip"
+    command: str = "skip"
+    scaled_decimal: str = "json_string"
+
+
+def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                        ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entity_types, relationship_types, skipped) in the shared schema."""
+    modes = modes or DtdlModes()
+    if modes.command == "entity":
+        raise NotImplementedError("command ENTITY mode: planned")
     ifaces = _dedup_interfaces(interfaces).localCheckpoint()
     ifaces = ifaces.withColumn("fabric_id", dtmi_fabric_id(F.col("dtmi")))
 
@@ -195,7 +223,9 @@ def convert_interfaces(interfaces: DataFrame
                  F.col("c.target").alias("target"),
                  F.col("c.pos").alias("pos")))
     props = (c.where(F.col("content_type").isin("Property", "Telemetry"))
-             .withColumn("value_type", _fabric_type_expr(F.col("schema_kind")))
+             .withColumn("value_type",
+                         _fabric_type_expr(F.col("schema_kind"),
+                                           modes.scaled_decimal))
              .withColumn("is_timeseries", F.col("content_type") == "Telemetry"))
 
     # W4a: ancestor conflicts — same name, different type anywhere above
@@ -239,10 +269,76 @@ def convert_interfaces(interfaces: DataFrame
                     .otherwise(F.col("resolved_name")))) \
         .withColumn("out_name", sanitize_name(F.col("resolved_name"), 90))
 
+    agg_cols = ["dtmi", "fabric_id", "pos", "prop_id", "out_name",
+                "value_type", "is_timeseries"]
+    agg_input = resolved.select(*agg_cols)
+
+    # mode extras are appended AFTER regular properties in the reference's
+    # conversion order: commands (+50k), flattened components (+70k),
+    # structured scaledDecimal extras (+90k) — dtdl_converter.py:579-612
+    if modes.command == "property":
+        cmds = (c.where(F.col("content_type") == "Command")
+                .select("dtmi", "fabric_id",
+                        (F.col("pos") + F.lit(50_000)).alias("pos"),
+                        property_id(F.col("fabric_id"),
+                                    F.concat(F.lit("cmd_"), "prop_name"))
+                        .alias("prop_id"),
+                        sanitize_name(F.concat(F.lit("command_"),
+                                               "prop_name"), 90)
+                        .alias("out_name"),
+                        F.lit("String").alias("value_type"),
+                        F.lit(False).alias("is_timeseries")))
+        agg_input = agg_input.unionByName(cmds)
+
+    comps = c.where(F.col("content_type") == "Component") \
+        .withColumnRenamed("schema_kind", "comp_schema")
+    if modes.component == "flatten":
+        # copy the known target interface's Property contents onto the
+        # parent, names prefixed '<component>_' (dtdl_converter.py:1007-1042)
+        tgt_props = (c.where(F.col("content_type") == "Property")
+                     .select(F.col("dtmi").alias("comp_schema"),
+                             F.col("prop_name").alias("t_name"),
+                             F.col("schema_kind").alias("t_schema"),
+                             F.col("pos").alias("t_pos")))
+        flat = (comps.join(tgt_props, "comp_schema")
+                .withColumn("flat_name",
+                            F.concat("prop_name", F.lit("_"), "t_name"))
+                .select("dtmi", "fabric_id",
+                        (F.lit(70_000) + F.col("pos") * 1000 +
+                         F.col("t_pos")).alias("pos"),
+                        property_id(F.col("fabric_id"), F.col("flat_name"))
+                        .alias("prop_id"),
+                        sanitize_name(F.col("flat_name"), 90)
+                        .alias("out_name"),
+                        _fabric_type_expr(F.col("t_schema"),
+                                          modes.scaled_decimal)
+                        .alias("value_type"),
+                        F.lit(False).alias("is_timeseries")))
+        agg_input = agg_input.unionByName(flat)
+
+    if modes.scaled_decimal == "structured":
+        sd = c.where((F.col("content_type") == "Property") &
+                     (F.col("schema_kind") == "scaledDecimal"))
+        extras = []
+        for i, (suffix, vtype) in enumerate([("_scale", "BigInt"),
+                                             ("_value", "String")]):
+            extras.append(sd.select(
+                "dtmi", "fabric_id",
+                (F.lit(90_000) + F.col("pos") * 2 + F.lit(i)).alias("pos"),
+                property_id(F.col("fabric_id"),
+                            F.concat("prop_name", F.lit(suffix)))
+                .alias("prop_id"),
+                sanitize_name(F.concat("prop_name", F.lit(suffix)), 90)
+                .alias("out_name"),
+                F.lit(vtype).alias("value_type"),
+                F.lit(False).alias("is_timeseries")))
+        for e in extras:
+            agg_input = agg_input.unionByName(e)
+
     prop_struct = F.struct(F.col("prop_id").alias("id"),
                            F.col("out_name").alias("name"),
                            F.col("value_type").alias("valueType"))
-    per_iface = (resolved
+    per_iface = (agg_input
                  .groupBy("dtmi", "fabric_id")
                  .agg(
                      F.array_sort(F.collect_list(F.when(
@@ -314,4 +410,49 @@ def convert_interfaces(interfaces: DataFrame
                 dtmi_fabric_id(F.col("target")).alias("target_entity_type_id"),
                 F.concat("dtmi", F.lit("::"), "prop_name").alias("rel_key"),
             ))
+
+    if modes.component == "separate":
+        # known targets → relationship only; unknown targets → stub entity
+        # with a componentId key + relationship (dtdl_converter.py:744-830)
+        known = ifaces.select(F.col("dtmi").alias("comp_schema"))
+        comp_rels = comps.select(
+            property_id(F.col("fabric_id"),
+                        F.concat(F.lit("comp_"), "prop_name")).alias("id"),
+            sanitize_name(F.concat(F.lit("has_"), "prop_name"), 90)
+            .alias("name"),
+            F.lit(NAMESPACE).alias("namespace"),
+            F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+            F.col("fabric_id").alias("source_entity_type_id"),
+            dtmi_fabric_id(F.col("comp_schema")).alias("target_entity_type_id"),
+            F.concat("dtmi", F.lit("::comp::"), "prop_name").alias("rel_key"))
+        rels = rels.unionByName(comp_rels)
+
+        unknown = comps.join(F.broadcast(known), "comp_schema", "left_anti")
+        stub_id = dtmi_fabric_id(F.col("comp_schema"))
+        schema_name = F.substring_index(
+            F.substring_index(F.regexp_replace("comp_schema", "^dtmi:", ""),
+                              ";", 1), ":", -1)
+        stub_prop = F.struct(
+            property_id(stub_id, F.lit("componentId")).alias("id"),
+            F.lit("componentId").alias("name"),
+            F.lit("String").alias("valueType"))
+        stubs = (unknown
+                 .dropDuplicates(["comp_schema"])
+                 .select(
+                     stub_id.alias("id"),
+                     sanitize_name(F.concat("prop_name", F.lit("_"),
+                                            schema_name), 90).alias("name"),
+                     F.lit(NAMESPACE).alias("namespace"),
+                     F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+                     F.lit(VISIBILITY).alias("visibility"),
+                     F.lit(None).cast("string").alias("base_entity_type_id"),
+                     F.array(property_id(stub_id, F.lit("componentId")))
+                     .alias("entity_id_parts"),
+                     F.lit(None).cast("string")
+                     .alias("display_name_property_id"),
+                     F.array(stub_prop).alias("properties"),
+                     empty_props.alias("timeseries_properties"),
+                     F.col("comp_schema").alias("class_uri")))
+        entity_types = entity_types.unionByName(stubs)
+
     return entity_types, rels, skipped

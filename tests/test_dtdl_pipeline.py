@@ -142,3 +142,80 @@ def test_ancestor_type_conflict_suffix(spark):
     emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
     assert emap["P"]["properties"][0]["name"] == "size"
     assert emap["C"]["properties"][0]["name"] == "size_bigint"
+
+
+def convert_modes(spark, names, modes):
+    docs = docs_from_payloads(spark, {n: corpus.DTDL[n] for n in names})
+    ents, rels, _ = convert_interfaces(extract_interfaces(docs), modes)
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    return emap, rels.collect()
+
+
+def test_component_separate_mode(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    # target known: relationship only
+    emap, rels = convert_modes(spark, ["machine_component", "thermostat"],
+                               DtdlModes(component="separate"))
+    assert set(emap) == {"Machine", "Thermostat"}
+    comp = [r for r in rels if r["name"] == "has_thermostat"]
+    assert len(comp) == 1
+    assert comp[0]["target_entity_type_id"] == emap["Thermostat"]["id"]
+    # target unknown: stub entity with componentId key
+    emap2, rels2 = convert_modes(spark, ["machine_component"],
+                                 DtdlModes(component="separate"))
+    stub = emap2["thermostat_Thermostat"]
+    assert [p["name"] for p in stub["properties"]] == ["componentId"]
+    assert stub["entity_id_parts"] == [stub["properties"][0]["id"]]
+    assert any(r["name"] == "has_thermostat" and
+               r["target_entity_type_id"] == stub["id"] for r in rels2)
+
+
+def test_component_flatten_mode(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    emap, _ = convert_modes(spark, ["machine_component", "thermostat"],
+                            DtdlModes(component="flatten"))
+    m = emap["Machine"]
+    names = [p["name"] for p in m["properties"]]
+    assert names == ["serialNumber", "thermostat_targetTemperature"]
+    types = {p["name"]: p["valueType"] for p in m["properties"]}
+    assert types["thermostat_targetTemperature"] == "Double"
+
+
+def test_command_property_mode(spark):
+    import json
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    payload = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:Bot;1",
+        "@type": "Interface",
+        "contents": [
+            {"@type": "Property", "name": "label", "schema": "string"},
+            {"@type": "Command", "name": "reboot"},
+        ]})
+    docs = docs_from_payloads(spark, {"b": payload})
+    ents, _, _ = convert_interfaces(extract_interfaces(docs),
+                                    DtdlModes(command="property"))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    names = [p["name"] for p in emap["Bot"]["properties"]]
+    assert names == ["label", "command_reboot"]
+
+
+def test_scaled_decimal_modes(spark):
+    import json
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    payload = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:Meter;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Property", "name": "reading",
+                      "schema": "scaledDecimal"}]})
+    docs = docs_from_payloads(spark, {"m": payload})
+
+    def run(modes):
+        ents, _, _ = convert_interfaces(extract_interfaces(docs), modes)
+        e = ents.collect()[0].asDict(recursive=True)
+        return [(p["name"], p["valueType"]) for p in e["properties"]]
+
+    assert run(DtdlModes()) == [("reading", "String")]  # json_string default
+    assert run(DtdlModes(scaled_decimal="calculated")) == [("reading", "Double")]
+    assert run(DtdlModes(scaled_decimal="structured")) == [
+        ("reading", "String"), ("reading_scale", "BigInt"),
+        ("reading_value", "String")]
