@@ -44,6 +44,10 @@ ATTR_TYPE = T.StructType([
     T.StructField("pos", T.IntegerType()),
 ])
 
+ATTR_ARRAY = ("array<struct<name:string,value_type:string,"
+              "is_entity_ref:boolean,is_pk:boolean,is_display:boolean,"
+              "pos:int>>")
+
 CDM_ENTITIES_SCHEMA = T.StructType([
     T.StructField("entity_name", T.StringType()),
     T.StructField("extends", T.StringType()),
@@ -164,7 +168,15 @@ def extract_cdm(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _dedup_entities(ents: DataFrame) -> DataFrame:
-    w = Window.partitionBy("entity_name").orderBy("doc_id", "span_idx")
+    """One row per entity name. Manifest entries are *references* to entity
+    definitions living in other documents (reference resolves entityPath
+    across files — cdm_parser.py:634-748); here the cross-document join is
+    by name, and the attribute-bearing definition wins over manifest stubs.
+    """
+    w = Window.partitionBy("entity_name").orderBy(
+        F.desc(F.size(F.coalesce("attributes",
+                                 F.array().cast(ATTR_ARRAY)))),
+        "doc_id", "span_idx")
     return (ents.where(F.col("parse_error").isNull())
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn", "parse_error"))

@@ -207,3 +207,98 @@ def fabric_limit_issues(entity_types: DataFrame,
                           .alias("message"),
                           F.col("id").alias("uri")))
     return spark.createDataFrame(rows, schema).unionByName(over_props)
+
+
+# ---------------------------------------------------------------------------
+# DTDL validator (reference: src/formats/dtdl/dtdl_validator.py:140-240)
+# ---------------------------------------------------------------------------
+
+DTMI_REGEX = (r"^dtmi:[A-Za-z][A-Za-z0-9_]*(:[A-Za-z_][A-Za-z0-9_]*)*"
+              r"(;[1-9][0-9]{0,8}(\.[1-9][0-9]{0,5})?)?$")
+MAX_INTERFACE_DTMI_LENGTH = 128
+
+
+def dtdl_issues(interfaces: DataFrame) -> DataFrame:
+    """Interface rows (operators.dtdl.INTERFACES_SCHEMA) → issues DataFrame.
+
+    Rule families from the reference DTDL validator: DTMI format + length,
+    duplicate DTMIs, inheritance cycles (via bounded closure), orphan
+    relationship targets, missing component schemas.
+    """
+    good = interfaces.where(F.col("parse_error").isNull())
+    dtmis = good.select("dtmi").dropDuplicates()
+
+    bad_dtmi = _issue(
+        good.where(~F.col("dtmi").rlike(DTMI_REGEX))
+        .select("dtmi").dropDuplicates(),
+        "dtdl:dtmi_format", "error",
+        F.concat(F.lit("Invalid DTMI: "), F.col("dtmi")), F.col("dtmi"))
+
+    long_dtmi = _issue(
+        good.where(F.length("dtmi") > MAX_INTERFACE_DTMI_LENGTH)
+        .select("dtmi").dropDuplicates(),
+        "dtdl:dtmi_length", "error",
+        F.concat(F.lit("Interface DTMI exceeds 128 chars: "), F.col("dtmi")),
+        F.col("dtmi"))
+
+    dupes = _issue(
+        good.groupBy("dtmi").agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("dtmi"),
+        "dtdl:duplicate_dtmi", "error",
+        F.concat(F.lit("Duplicate DTMI: "), F.col("dtmi")), F.col("dtmi"))
+
+    # inheritance cycles: dtmi reaches itself through extends edges
+    from .dtdl import ancestor_closure
+    closure = ancestor_closure(good)
+    cycles = _issue(
+        closure.where(F.col("dtmi") == F.col("ancestor"))
+        .select("dtmi").dropDuplicates()
+        .withColumnRenamed("dtmi", "subj"),
+        "dtdl:inheritance_cycle", "error",
+        F.concat(F.lit("Inheritance cycle through: "), F.col("subj")),
+        F.col("subj"))
+
+    contents = (good.select("dtmi", F.explode("contents").alias("c"))
+                .select("dtmi", "c.*"))
+    rel_targets = (contents
+                   .where((F.col("content_type") == "Relationship") &
+                          F.col("target").isNotNull())
+                   .select("dtmi", F.col("target").alias("ref"),
+                           F.col("name")))
+    orphans = _issue(
+        rel_targets.join(dtmis.withColumnRenamed("dtmi", "ref"),
+                         "ref", "left_anti")
+        .withColumnRenamed("dtmi", "subj"),
+        "dtdl:orphan_relationship_target", "warning",
+        F.concat(F.lit("Relationship '"), F.col("name"),
+                 F.lit("' targets undefined interface "), F.col("ref")),
+        F.col("ref"))
+
+    comp_refs = (contents
+                 .where(F.col("content_type") == "Component")
+                 .select("dtmi", F.col("schema_kind").alias("ref"),
+                         F.col("name")))
+    missing_comp = _issue(
+        comp_refs.join(dtmis.withColumnRenamed("dtmi", "ref"),
+                       "ref", "left_anti")
+        .withColumnRenamed("dtmi", "subj"),
+        "dtdl:missing_component_schema", "warning",
+        F.concat(F.lit("Component '"), F.col("name"),
+                 F.lit("' schema not defined in ontology: "), F.col("ref")),
+        F.col("ref"))
+
+    out = bad_dtmi
+    for df in (long_dtmi, dupes, cycles, orphans, missing_comp):
+        out = out.unionByName(df)
+    return out
+
+
+def definition_size_estimate(entity_types: DataFrame,
+                             relationship_types: DataFrame) -> int:
+    """A7: estimated serialized definition bytes vs the 1 MB Fabric cap
+    (reference: fabric_limits.py:294-367) — sum of JSON payload lengths."""
+    from ..sources.sinks import definition_parts_df
+    parts = definition_parts_df(entity_types, relationship_types)
+    row = parts.agg(F.sum(F.length("payload")).alias("bytes")).first()
+    return int(row["bytes"] or 0)

@@ -1,0 +1,62 @@
+"""Unified multi-format pipeline: one corpus, all three front-ends.
+
+The reference converts one format per CLI run; this engine's corpus is
+interleaved (a document's text spans may be Turtle, JSON-LD, RDF/XML,
+DTDL, or CDM — format-sniffed per span), so the unified plan runs all
+three conversion paths over the same documents scan and unions the
+results into a single vertex/edge/skipped table set.
+
+All three front-ends share the deterministic sha256 ID space, so
+cross-format unions cannot collide unless the same logical identity is
+defined twice — which dropDuplicates on id surfaces rather than hides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cdm import convert_cdm, extract_cdm
+from ..operators.dtdl import DtdlModes, convert_interfaces, extract_interfaces
+from .pipeline import PipelineResult, build_graph, triples_from_documents
+
+
+@dataclass
+class UnifiedResult:
+    entity_types: DataFrame
+    relationship_types: DataFrame
+    skipped_items: DataFrame
+    rdf: PipelineResult
+
+
+def run_unified(spark: SparkSession, documents: DataFrame,
+                dtdl_modes: DtdlModes | None = None,
+                cdm_flatten_inheritance: bool = True) -> UnifiedResult:
+    documents = documents.localCheckpoint()
+
+    # RDF-family spans → triples → graph
+    triples_prov, parse_skips = triples_from_documents(documents)
+    rdf = build_graph(spark, triples_prov, parse_skips)
+
+    # DTDL spans
+    d_ents, d_rels, d_skips = convert_interfaces(
+        extract_interfaces(documents), dtdl_modes)
+
+    # CDM spans
+    c_ent_rows, c_rel_rows = extract_cdm(documents)
+    c_ents, c_rels, c_skips = convert_cdm(
+        c_ent_rows, c_rel_rows, flatten_inheritance=cdm_flatten_inheritance)
+
+    entity_types = (rdf.entity_types
+                    .unionByName(d_ents)
+                    .unionByName(c_ents)
+                    .dropDuplicates(["id"]))
+    relationship_types = (rdf.relationship_types
+                          .unionByName(d_rels)
+                          .unionByName(c_rels)
+                          .dropDuplicates(["id"]))
+    skipped = (rdf.skipped_items
+               .unionByName(d_skips)
+               .unionByName(c_skips))
+    return UnifiedResult(entity_types, relationship_types, skipped, rdf)
