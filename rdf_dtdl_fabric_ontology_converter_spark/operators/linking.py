@@ -60,6 +60,39 @@ def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def extract_mentions(documents: DataFrame, max_ngram: int = 3,
+                     min_len: int = 3) -> DataFrame:
+    """Candidate mentions from text spans: token n-grams (1..max_ngram).
+
+    JVM-side only (split/transform/sequence/explode). At corpus scale the
+    candidate set is pruned by the broadcast-dictionary join in
+    link_mentions, so over-generation here is cheap; the n-gram explosion
+    is bounded by max_ngram × tokens.
+    """
+    toks_of = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
+    spans = (documents
+             .select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+             .where(F.col("s.kind") == "text")
+             .select("doc_id", "span_idx", F.col("s.text").alias("text")))
+    toks = spans.withColumn("toks", toks_of(F.col("text")))
+    def gram_fn(n):
+        # single-arg lambda: pyspark treats 2-arg lambdas as (element, index)
+        return lambda i: F.concat_ws(
+            " ", *[F.get(F.col("toks"), i + F.lit(j)) for j in range(n)])
+
+    grams = []
+    for n in range(1, max_ngram + 1):
+        idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+        gram = F.transform(idx, gram_fn(n))
+        grams.append(F.when(F.size("toks") >= n, gram)
+                     .otherwise(F.array().cast("array<string>")))
+    return (toks
+            .select("doc_id", "span_idx",
+                    F.explode(F.flatten(F.array(*grams))).alias("mention"))
+            .where(F.length("mention") >= min_len)
+            .dropDuplicates())
+
+
 def link_mentions(mentions: DataFrame, entity_types: DataFrame,
                   mention_col: str = "mention",
                   fuzzy_threshold: float = 0.5) -> DataFrame:

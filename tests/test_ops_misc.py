@@ -218,3 +218,42 @@ def test_streaming_incremental(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(out).where(
         F.col("parse_error").isNull()).count() == 19
+
+
+def test_mention_extraction_and_linking(spark, simple_result):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import (
+        extract_mentions, link_mentions)
+    docs = docs_from_payloads(spark, {
+        "d1": "The Person worked for an Organization yesterday",
+    }, interleave_media=False)
+    mentions = extract_mentions(docs, max_ngram=2)
+    got = {r["mention"] for r in mentions.collect()}
+    assert "Person" in got and "Organization" in got
+    linked = link_mentions(mentions, simple_result.entity_types)
+    kinds = {(r["mention"], r["match_kind"]) for r in linked.collect()}
+    assert ("Person", "exact") in kinds
+    assert ("Organization", "exact") in kinds
+
+
+def test_job_cli_end_to_end(spark, tmp_path):
+    """spark-submit entry: documents in → tables + definition JSON out."""
+    import json as _json
+    from rdf_dtdl_fabric_ontology_converter_spark import job as jobmod
+    docs = docs_from_payloads(spark, {
+        "r": corpus.TTL["simple"],
+        "d": corpus.DTDL["thermostat"],
+    })
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    out = str(tmp_path / "out")
+    deff = str(tmp_path / "definition.json")
+    rc = jobmod.main(["--input", in_path, "--output", out,
+                      "--definition-json", deff,
+                      "--checkpoint-root", str(tmp_path / "cp"),
+                      "--shuffle-partitions", "4"])
+    assert rc == 0
+    ents = spark.read.parquet(f"{out}/entity_types")
+    assert {r["name"] for r in ents.collect()} == \
+        {"Person", "Organization", "Thermostat"}
+    d = _json.load(open(deff))
+    assert d["parts"][0]["path"] == ".platform"
