@@ -647,6 +647,115 @@ def _oracle_ann_lsh() -> str:
     """
 
 
+def q_text_quality(spark, sf_dir):
+    """Composite quality score (length band + distinct ratio − punct)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import quality_score
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+            .orderBy("doc_id"))
+
+
+_ORACLE_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, text
+  FROM documents
+)
+SELECT doc_id,
+       round((CASE WHEN len(toks) BETWEEN 10 AND 100000
+                   THEN 0.5 ELSE 0.0 END)
+             + 0.5 * len(list_distinct(toks)) / greatest(len(toks), 1)
+             - length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+               / greatest(length(text), 1), 4) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style min-hash over token 8-gram windows."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import (
+        rolling_fingerprint)
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     rolling_fingerprint(F.col("text")).alias("rfp"))
+            .orderBy("doc_id"))
+
+
+_ORACLE_ROLLING = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(toks) - 8, 0) + 2),
+         i -> md5(array_to_string(toks[i:i+7], ' ')))) AS rfp
+FROM t ORDER BY doc_id
+"""
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN classification: majority label among cosine top-5 per query."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    from pyspark.sql.window import Window
+    topk = cosine_topk(e.select("vec_id", "embedding"), q, k=5)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    return (topk.join(labels, "neighbor_id")
+            .groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"))
+            .orderBy("query_id"))
+
+
+_ORACLE_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, label, count(*) AS votes FROM topk
+  WHERE rank <= 5 GROUP BY query_id, label
+), best AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT query_id, label AS predicted_label FROM best WHERE rn = 1
+ORDER BY query_id
+"""
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation (streaming-shaped)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+             .alias("value_milli"))
+        .orderBy("hour", "event_type"))
+
+
+_ORACLE_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H anchors (performance baselines with trivial oracles)
 # ---------------------------------------------------------------------------
@@ -741,6 +850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "knn_label_vote": q_knn_label_vote,
+        "events_window_agg": q_events_window_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "tpch_q1": q_tpch_q1,
@@ -770,6 +883,10 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "text_langid": _ORACLE_LANGID,
+        "text_quality": _ORACLE_QUALITY,
+        "text_rolling_fingerprint": _ORACLE_ROLLING,
+        "knn_label_vote": _ORACLE_KNN,
+        "events_window_agg": _ORACLE_EVENTS_WINDOW,
         "ann_cosine_topk": _ORACLE_ANN,
         "ann_lsh_buckets": _oracle_ann_lsh(),
         "tpch_q1": _ORACLE_Q1,
