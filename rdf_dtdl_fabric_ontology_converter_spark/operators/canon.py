@@ -31,12 +31,24 @@ TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "lang",
 
 
 def dedup_triples(triples_prov: DataFrame,
-                  num_partitions: int | None = None) -> DataFrame:
-    """Provenance-bearing triples → deduplicated graph view (north rule)."""
+                  num_partitions: int | None = None,
+                  spread_hot_subjects: bool = False) -> DataFrame:
+    """Provenance-bearing triples → deduplicated graph view (north rule).
+
+    Default exchange is keyed on subj (downstream subject joins reuse it).
+    A hot subject (a popular entity with millions of triples) would pin one
+    reducer, so ``spread_hot_subjects`` keys the exchange on (subj, obj)
+    instead — still a subset of the dedup key, so Catalyst recognizes the
+    clustering and the dedup aggregate adds NO extra exchange (a derived
+    salt column like pmod(hash(obj), k) would not be recognized and would
+    force a second full shuffle), while a hot subject spreads across its
+    distinct objects.
+    """
     cols = [c for c in TRIPLE_KEY if c in triples_prov.columns]
     t = triples_prov.select(*cols)
-    t = t.repartition(num_partitions, "subj") if num_partitions \
-        else t.repartition("subj")
+    keys = ["subj", "obj"] if spread_hot_subjects else ["subj"]
+    t = t.repartition(num_partitions, *keys) if num_partitions \
+        else t.repartition(*keys)
     return t.dropDuplicates(cols)
 
 

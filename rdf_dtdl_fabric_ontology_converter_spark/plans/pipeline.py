@@ -57,10 +57,12 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
     """Stages B-D over a (possibly multi-document) triple corpus."""
     xsd_map = xsd_map_df(spark)
 
-    # north rule: global sort-merge dedup of the emitted triples.
+    # north rule: global sort-merge dedup of the emitted triples, with
+    # hot-subject salting (popular entities can't pin one reducer).
     # localCheckpoint materializes the deduped graph once — every later
     # stage (B-D) re-reads it instead of re-running extraction per action.
-    triples = dedup_triples(triples_prov).localCheckpoint()
+    triples = dedup_triples(triples_prov,
+                            spread_hot_subjects=True).localCheckpoint()
 
     classes = classes_with_parents(triples, extract_classes(triples))
     classes = classes.localCheckpoint()

@@ -99,3 +99,95 @@ def test_definition_size_estimate(spark):
     res = run_pipeline(spark, docs)
     n = definition_size_estimate(res.entity_types, res.relationship_types)
     assert 100 < n < 1_000_000
+
+
+def test_dedup_salting_equivalent(spark):
+    """Salted and unsalted global dedup must produce identical triple sets;
+    salted spreads a hot subject across partitions."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import dedup_triples
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    # skewed corpus: one subject with many distinct objects across docs
+    hot = "\n".join(
+        f'<http://hot/entity> <http://p> "v{i}" .' for i in range(500))
+    payloads = {f"d{j}": hot for j in range(4)}
+    payloads["other"] = corpus.TTL["simple"]
+    docs = docs_from_payloads(spark, payloads)
+    clean, _ = split_errors(extract_triples(docs))
+    plain = dedup_triples(clean, num_partitions=8)
+    salted = dedup_triples(clean, num_partitions=8, spread_hot_subjects=True)
+    assert plain.count() == salted.count() == 500 + 14
+    rows_p = {tuple(r) for r in plain.collect()}
+    rows_s = {tuple(r) for r in salted.collect()}
+    assert rows_p == rows_s
+    # the hot subject occupies >1 partition when salted
+    parts = (salted.where(F.col("subj") == "http://hot/entity")
+             .select(F.spark_partition_id().alias("p"))
+             .distinct().count())
+    assert parts > 1
+
+
+def test_cross_serialization_pipeline_consistency(spark):
+    """Same ontology in turtle vs JSON-LD vs RDF/XML documents must yield
+    identical entity/property sets (reference:
+    tests/rdf/test_rdf_formats.py:446-576)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+    ttl = """
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/iot/> .
+ex:Device a owl:Class .
+ex:Location a owl:Class .
+ex:serial a owl:DatatypeProperty ; rdfs:domain ex:Device ;
+    rdfs:range xsd:string .
+ex:locatedAt a owl:ObjectProperty ; rdfs:domain ex:Device ;
+    rdfs:range ex:Location .
+"""
+    jld = json.dumps({
+        "@context": {"owl": "http://www.w3.org/2002/07/owl#",
+                     "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+                     "xsd": "http://www.w3.org/2001/XMLSchema#",
+                     "ex": "http://example.org/iot/"},
+        "@graph": [
+            {"@id": "ex:Device", "@type": "owl:Class"},
+            {"@id": "ex:Location", "@type": "owl:Class"},
+            {"@id": "ex:serial", "@type": "owl:DatatypeProperty",
+             "rdfs:domain": {"@id": "ex:Device"},
+             "rdfs:range": {"@id": "xsd:string"}},
+            {"@id": "ex:locatedAt", "@type": "owl:ObjectProperty",
+             "rdfs:domain": {"@id": "ex:Device"},
+             "rdfs:range": {"@id": "ex:Location"}},
+        ]})
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://example.org/iot/Device"/>
+  <owl:Class rdf:about="http://example.org/iot/Location"/>
+  <owl:DatatypeProperty rdf:about="http://example.org/iot/serial">
+    <rdfs:domain rdf:resource="http://example.org/iot/Device"/>
+    <rdfs:range rdf:resource="http://www.w3.org/2001/XMLSchema#string"/>
+  </owl:DatatypeProperty>
+  <owl:ObjectProperty rdf:about="http://example.org/iot/locatedAt">
+    <rdfs:domain rdf:resource="http://example.org/iot/Device"/>
+    <rdfs:range rdf:resource="http://example.org/iot/Location"/>
+  </owl:ObjectProperty>
+</rdf:RDF>"""
+
+    def signature(payload):
+        docs = docs_from_payloads(spark, {"d": payload})
+        res = run_pipeline(spark, docs)
+        ents = {(r["name"],
+                 tuple((p["name"], p["valueType"])
+                       for p in r["properties"]))
+                for r in (x.asDict(recursive=True)
+                          for x in res.entity_types.collect())}
+        rels = {(r["name"], r["source_entity_type_id"],
+                 r["target_entity_type_id"])
+                for r in res.relationship_types.collect()}
+        return ents, rels
+
+    s_ttl = signature(ttl)
+    assert s_ttl == signature(jld) == signature(xml)
+    assert {e[0] for e in s_ttl[0]} == {"Device", "Location"}
