@@ -361,6 +361,43 @@ GROUP BY 1 ORDER BY reason
 """
 
 
+def q_kg_preflight(spark, sf_dir):
+    """Preflight rule families over the supplier-derived corpus: odd
+    suppkeys produce missing-range properties → missing_signature warnings."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.validate import (
+        preflight_issues)
+    s = _t(spark, sf_dir, "supplier")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    rng = F.when(F.col("s_suppkey") % 2 == 0,
+                 F.concat(F.lit(" ;\n    rdfs:range ex:S"),
+                          F.col("s_suppkey"))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:S"), F.col("s_suppkey"), F.lit(" a owl:Class .\n"),
+        F.lit("ex:S"), F.col("s_suppkey"),
+        F.lit("_ref a owl:ObjectProperty ;\n    rdfs:domain ex:S"),
+        F.col("s_suppkey"), rng, F.lit(" .\n"))
+    docs = s.select(
+        F.concat(F.lit("supp_"), "s_suppkey").alias("doc_id"),
+        F.array(F.struct(F.lit("text").alias("kind"), text.alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).alias("offset"))).alias("spans"))
+    clean, _ = split_errors(extract_triples(docs))
+    return (preflight_issues(clean)
+            .groupBy("category", "severity").agg(F.count("*").alias("n"))
+            .orderBy("category", "severity"))
+
+
+_ORACLE_PREFLIGHT = """
+SELECT 'missing_signature' AS category, 'warning' AS severity,
+       count(*) AS n
+FROM supplier WHERE s_suppkey % 2 <> 0
+GROUP BY 1, 2 ORDER BY category, severity
+"""
+
+
 def q_salted_count(spark, sf_dir):
     """Hot-key-skew-safe two-phase count (north rule salting, A2/A3 shape)."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.metrics import (
@@ -834,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_relationship_types": q_kg_relationship_types,
         "kg_skipped_rollup": q_kg_skipped_rollup,
+        "kg_preflight": q_kg_preflight,
         "salted_count": q_salted_count,
         "rel2triples_unpivot": q_rel2triples_unpivot,
         "first_parent_w1": q_first_parent_w1,
@@ -867,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_types": _oracle_kg_entities(),
         "kg_relationship_types": _oracle_kg_relationships(),
         "kg_skipped_rollup": _ORACLE_SKIPPED,
+        "kg_preflight": _ORACLE_PREFLIGHT,
         "salted_count": _ORACLE_SALTED,
         "rel2triples_unpivot": _ORACLE_UNPIVOT,
         "first_parent_w1": _ORACLE_W1,

@@ -93,7 +93,8 @@ class _Tokens:
     __slots__ = ("toks", "pos")
 
     def __init__(self, text: str):
-        self.toks = []
+        toks = []
+        append = toks.append
         for m in _TOKEN_RE.finditer(text):
             kind = m.lastgroup
             if kind == "COMMENT":
@@ -105,14 +106,17 @@ class _Tokens:
                     kind = "PNAME"
                 else:
                     continue
-            self.toks.append((kind or "PNAME", m.group(0)))
+            append((kind, m.group(0)))
+        # sentinels: peek/next never bounds-check in the hot loop
+        toks.extend(((None, None),) * 4)
+        self.toks = toks
         self.pos = 0
 
     def peek(self):
-        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+        return self.toks[self.pos]
 
     def next(self):
-        t = self.peek()
+        t = self.toks[self.pos]
         self.pos += 1
         return t
 
@@ -130,6 +134,9 @@ class TurtleParser:
         self.base = ""
         self._bnode_n = 0
         self.triples: list[tuple] = []
+        # pname → IRI memo (vocab terms like owl:Class repeat constantly);
+        # invalidated whenever a prefix is (re)declared
+        self._pname_cache: dict[str, str] = {}
 
     # -- terms ------------------------------------------------------------
 
@@ -144,11 +151,18 @@ class TurtleParser:
         return iri
 
     def _resolve_pname(self, raw: str) -> str:
+        hit = self._pname_cache.get(raw)
+        if hit is not None:
+            return hit
         pfx, _, local = raw.partition(":")
         ns = self.prefixes.get(pfx)
         if ns is None:
             raise TurtleParseError(f"undefined prefix {pfx!r}:")
-        return ns + local.replace("\\", "")
+        if "\\" in local:
+            local = local.replace("\\", "")
+        out = ns + local
+        self._pname_cache[raw] = out
+        return out
 
     def _parse_term(self, tk, tv, *, as_subject: bool):
         """Return (value, kind, datatype, lang); may consume more tokens."""
@@ -299,6 +313,7 @@ class TurtleParser:
                         raise TurtleParseError(f"bad prefix decl {pv!r}")
                     ik, iv = self.toks.next()
                     self.prefixes[pv[:-1]] = self._resolve_iri(iv)
+                    self._pname_cache.clear()
                 else:
                     ik, iv = self.toks.next()
                     self.base = self._resolve_iri(iv)

@@ -120,14 +120,16 @@ def extract_triples(documents: DataFrame) -> DataFrame:
     """
 
     def run(batches):
+        from itertools import chain
+
         import pyarrow as pa
         names = [f.name for f in TRIPLES_SCHEMA.fields]
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             spans_col = batch.column("spans").to_pylist()
-            cols = [[] for _ in names]
-            (c_s, c_p, c_o, c_ok, c_dt, c_lg, c_g, c_f, c_d, c_i,
-             c_e) = cols
+            # per-span column chunks, concatenated once per batch (zip
+            # transpose + list-multiply constants beat per-triple appends)
+            chunks = [[] for _ in range(11)]
             for doc_id, spans in zip(doc_ids, spans_col):
                 if spans is None:
                     continue
@@ -136,28 +138,33 @@ def extract_triples(documents: DataFrame) -> DataFrame:
                         continue
                     fmt, rows, err = _parse_span(span["text"])
                     if err is not None:
-                        c_s.append(None); c_p.append(None); c_o.append(None)
-                        c_ok.append(None); c_dt.append(None); c_lg.append(None)
-                        c_g.append(None); c_f.append(fmt); c_d.append(doc_id)
-                        c_i.append(idx); c_e.append(err)
+                        for c, v in zip(chunks,
+                                        ([None], [None], [None], [None],
+                                         [None], [None], [None], [fmt],
+                                         [doc_id], [idx], [err])):
+                            c.append(v)
                         continue
+                    if not rows:
+                        continue
+                    n = len(rows)
+                    s, p, o, ok, dt, lg, g = zip(*rows)
                     bq = f"_:{doc_id}/{idx}/"
-                    for (s, p, o, ok, dt, lg, g) in rows:
-                        if s.startswith("_:"):
-                            s = bq + s[2:]
-                        if ok == "bnode" or o.startswith("_:"):
-                            o = bq + o[2:]
-                        c_s.append(s); c_p.append(p); c_o.append(o)
-                        c_ok.append(ok); c_dt.append(dt); c_lg.append(lg)
-                        c_g.append(g); c_f.append(fmt); c_d.append(doc_id)
-                        c_i.append(idx); c_e.append(None)
+                    s = [bq + x[2:] if x[:2] == "_:" else x for x in s]
+                    o = [bq + x[2:] if k == "bnode" or x[:2] == "_:" else x
+                         for x, k in zip(o, ok)]
+                    for c, v in zip(chunks,
+                                    (s, p, o, ok, dt, lg, g,
+                                     [fmt] * n, [doc_id] * n, [idx] * n,
+                                     [None] * n)):
+                        c.append(v)
+            flat = [list(chain.from_iterable(c)) for c in chunks]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(c_s, pa.string()), pa.array(c_p, pa.string()),
-                 pa.array(c_o, pa.string()), pa.array(c_ok, pa.string()),
-                 pa.array(c_dt, pa.string()), pa.array(c_lg, pa.string()),
-                 pa.array(c_g, pa.string()), pa.array(c_f, pa.string()),
-                 pa.array(c_d, pa.string()), pa.array(c_i, pa.int32()),
-                 pa.array(c_e, pa.string())],
+                [pa.array(flat[0], pa.string()), pa.array(flat[1], pa.string()),
+                 pa.array(flat[2], pa.string()), pa.array(flat[3], pa.string()),
+                 pa.array(flat[4], pa.string()), pa.array(flat[5], pa.string()),
+                 pa.array(flat[6], pa.string()), pa.array(flat[7], pa.string()),
+                 pa.array(flat[8], pa.string()), pa.array(flat[9], pa.int32()),
+                 pa.array(flat[10], pa.string())],
                 names=names)
 
     return documents.mapInArrow(run, TRIPLES_SCHEMA)
