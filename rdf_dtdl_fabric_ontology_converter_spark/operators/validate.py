@@ -302,3 +302,61 @@ def definition_size_estimate(entity_types: DataFrame,
     parts = definition_parts_df(entity_types, relationship_types)
     row = parts.agg(F.sum(F.length("payload")).alias("bytes")).first()
     return int(row["bytes"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# CDM validator (reference: src/formats/cdm/cdm_validator.py:180-400)
+# ---------------------------------------------------------------------------
+
+def cdm_issues(cdm_entities: DataFrame) -> DataFrame:
+    """CDM entity rows (operators.cdm.CDM_ENTITIES_SCHEMA) → issues.
+
+    Rule families: duplicate entity names, entities with no attributes,
+    entities with no primary-key attribute, entity-reference typed
+    attributes (converted to relationships, flagged info), parse errors.
+    """
+    good = cdm_entities.where(F.col("parse_error").isNull())
+
+    parse_errs = _issue(
+        cdm_entities.where(F.col("parse_error").isNotNull()),
+        "cdm:parse", "error", F.col("parse_error"),
+        F.concat(F.lit("doc://"), F.col("doc_id")))
+
+    dupes = _issue(
+        good.groupBy("entity_name").agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1).select("entity_name"),
+        "cdm:duplicate_entity", "warning",
+        F.concat(F.lit("Duplicate entity name: '"), F.col("entity_name"),
+                 F.lit("'")), F.col("entity_name"))
+
+    no_attrs = _issue(
+        good.where(F.size(F.coalesce("attributes", F.array())) == 0)
+        .select("entity_name").dropDuplicates(),
+        "cdm:empty_entity", "warning",
+        F.concat(F.lit("Entity '"), F.col("entity_name"),
+                 F.lit("' has no attributes")), F.col("entity_name"))
+
+    has_pk = F.exists("attributes", lambda a: a["is_pk"])
+    no_pk = _issue(
+        good.where(F.size(F.coalesce("attributes", F.array())) > 0)
+        .where(~has_pk)
+        .select("entity_name").dropDuplicates(),
+        "cdm:no_primary_key", "info",
+        F.concat(F.lit("Entity '"), F.col("entity_name"),
+                 F.lit("' has no primary key attribute")),
+        F.col("entity_name"))
+
+    ent_refs = _issue(
+        good.select("entity_name",
+                    F.explode("attributes").alias("a"))
+        .where(F.col("a.is_entity_ref"))
+        .select("entity_name", F.col("a.name").alias("attr")),
+        "cdm:entity_reference", "info",
+        F.concat(F.lit("Attribute '"), F.col("attr"),
+                 F.lit("' is an entity reference (modeled as relationship)")),
+        F.col("entity_name"))
+
+    out = parse_errs
+    for df in (dupes, no_attrs, no_pk, ent_refs):
+        out = out.unionByName(df)
+    return out

@@ -191,3 +191,31 @@ ex:locatedAt a owl:ObjectProperty ; rdfs:domain ex:Device ;
     s_ttl = signature(ttl)
     assert s_ttl == signature(jld) == signature(xml)
     assert {e[0] for e in s_ttl[0]} == {"Device", "Location"}
+
+
+def test_cdm_validator_rules(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.cdm import extract_cdm
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.validate import cdm_issues
+    payloads = {
+        "empty_ent": json.dumps({
+            "jsonSchemaSemanticVersion": "1.0.0",
+            "definitions": [{"entityName": "Empty", "hasAttributes": []}]}),
+        "no_pk": json.dumps({
+            "jsonSchemaSemanticVersion": "1.0.0",
+            "definitions": [{"entityName": "NoKey",
+                             "hasAttributes": [{"name": "a",
+                                                "dataType": "string"}]}]}),
+        "entref": json.dumps({
+            "jsonSchemaSemanticVersion": "1.0.0",
+            "definitions": [{"entityName": "HasRef",
+                             "hasAttributes": [
+                                 {"name": "other",
+                                  "entity": {"entityName": "Other"}}]}]}),
+    }
+    docs = docs_from_payloads(spark, payloads)
+    ents, _ = extract_cdm(docs)
+    issues = cdm_issues(ents)
+    cats = {(r["category"], r["severity"]) for r in issues.collect()}
+    assert ("cdm:empty_entity", "warning") in cats
+    assert ("cdm:no_primary_key", "info") in cats
+    assert ("cdm:entity_reference", "info") in cats
