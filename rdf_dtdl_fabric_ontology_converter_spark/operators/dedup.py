@@ -106,6 +106,42 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
                     .alias("jaccard")))
 
 
+def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
+                              dim: int | None = None, n_planes: int = 8,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos ≥ threshold).
+
+    Scale path: random-hyperplane LSH bucket self-join (near-identical
+    vectors share all plane signs with high probability), then exact cosine
+    within bucket. For exhaustive recall at small scale pass n_planes=0
+    (full cross join).
+    """
+    from .similarity import _dot, _norm, hyperplane_signature
+    v = vectors.select(id_col, vec_col)
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim required when bucketing (n_planes > 0)")
+        v = v.withColumn("bucket",
+                         hyperplane_signature(F.col(vec_col), dim, n_planes))
+        a = v.select(F.col(id_col).alias("doc_a"),
+                     F.col(vec_col).alias("va"), "bucket")
+        b = v.select(F.col(id_col).alias("doc_b"),
+                     F.col(vec_col).alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+    else:
+        a = v.select(F.col(id_col).alias("doc_a"),
+                     F.col(vec_col).alias("va"))
+        b = v.select(F.col(id_col).alias("doc_b"),
+                     F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
+                                            _norm(F.col("vb")))
+    return (pairs.withColumn("cos", cos)
+            .where(F.col("cos") >= threshold)
+            .select("doc_a", "doc_b", "cos"))
+
+
 def simhash(documents: DataFrame, text_col: str = "text",
             key_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """→ (doc_id, simhash): md5-token SimHash fingerprint."""
