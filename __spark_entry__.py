@@ -774,6 +774,26 @@ ORDER BY query_id
 """
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exhaustive at this scale)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        embedding_near_duplicates)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = embedding_near_duplicates(e, threshold=0.45, n_planes=0)
+    return (pairs.select("doc_a", "doc_b",
+                         F.round("cos", 4).alias("cos"))
+            .orderBy("doc_a", "doc_b"))
+
+
+_ORACLE_EMB_NEAR_DUP = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling 1-hour event-time window aggregation (streaming-shaped)."""
     e = _t(spark, sf_dir, "events")
@@ -891,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "knn_label_vote": q_knn_label_vote,
+        "emb_near_dup": q_emb_near_dup,
         "events_window_agg": q_events_window_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -925,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_QUALITY,
         "text_rolling_fingerprint": _ORACLE_ROLLING,
         "knn_label_vote": _ORACLE_KNN,
+        "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
         "events_window_agg": _ORACLE_EVENTS_WINDOW,
         "ann_cosine_topk": _ORACLE_ANN,
         "ann_lsh_buckets": _oracle_ann_lsh(),
