@@ -215,7 +215,7 @@ def q_broadcast_dict_join_j11(spark, sf_dir):
 
 _ORACLE_J11 = """
 SELECT p_brand AS brand, count(*) AS n,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY brand
 """
@@ -543,7 +543,8 @@ WITH toks AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bitsums GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -808,7 +809,8 @@ def q_events_window_agg(spark, sf_dir):
 
 _ORACLE_EVENTS_WINDOW = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-       sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
@@ -830,8 +832,8 @@ def q_tpch_q1(spark, sf_dir):
 
 _ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS sum_base_price_cents,
        count(*) AS count_order
 FROM lineitem
@@ -861,8 +863,9 @@ def q_tpch_q3_shape(spark, sf_dir):
 
 _ORACLE_Q3 = """
 SELECT o_orderkey AS orderkey,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_micent
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_micent
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

@@ -25,14 +25,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    """Stringify a cell the way a rendering-strict harness would.
+
+    Crucially int-vs-float is NOT blurred: a DuckDB HUGEINT sum that
+    surfaces as float64 through the pandas fetch path renders "3.0" while
+    Spark's bigint renders "3" — so a type divergence that would fail the
+    driver's value-hash also fails here.  Non-integral floats are rounded
+    to 4 decimals to tolerate engine float jitter only.
+    """
     import datetime
     import decimal
     if v is None:
         return ""
     if isinstance(v, float):
+        if v != v:  # NaN (pandas NULL in a float column)
+            return ""
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
         return f"{v:.4f}"
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.4f}"
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return f"{f:.1f}"
+        return f"{f:.4f}"
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     return str(v)
@@ -76,9 +91,11 @@ def main():
                 failures.append(name)
             continue
         try:
-            ddf = con.execute(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            # fetch via pandas (like the driver) so HUGEINT/decimal sums
+            # surface as float64 instead of being silently coerced to int
+            pdf = con.execute(oracles[name]).df()
+            dcols = [str(c) for c in pdf.columns]
+            drows = list(pdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
