@@ -77,6 +77,12 @@ def _duck_fabric_id(expr: str) -> str:
             expr + "),5,12) AS UBIGINT)) % 1000000000000 AS VARCHAR)")
 
 
+# DuckDB twin of functions.ids.property_id (entity_id + md5-derived 4 digits)
+def _duck_property_id(entity_expr: str, name_expr: str) -> str:
+    return (f"{entity_expr} || lpad(CAST(CAST('0x'||substr(md5({name_expr})"
+            ",1,8) AS UBIGINT) % 10000 AS VARCHAR), 4, '0')")
+
+
 # ---------------------------------------------------------------------------
 # KG-construction queries (SURVEY §2 operators, DuckDB-checkable)
 # ---------------------------------------------------------------------------
@@ -665,22 +671,25 @@ def q_ann_lsh_buckets(spark, sf_dir):
             .orderBy("bucket"))
 
 
-def _oracle_ann_lsh() -> str:
-    """Plane constants are data-independent — inline them as SQL literals
-    so DuckDB reproduces bucket signatures exactly."""
+def _duck_bucket_expr(n_planes: int, vec: str = "embedding") -> str:
+    """Hyperplane-signature SQL: plane constants are data-independent —
+    inline them as literals so DuckDB reproduces bucket signatures exactly."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
         hyperplane_planes)
-    planes = hyperplane_planes(_EMB_DIM, 8)
+    planes = hyperplane_planes(_EMB_DIM, n_planes)
     terms = []
     for j, plane in enumerate(planes):
         lit = "[" + ",".join(f"{x:.1f}" for x in plane) + "]"
         terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {lit}) > 0 "
             f"THEN {1 << j} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _oracle_ann_lsh() -> str:
     return f"""
     SELECT bucket, count(*) AS n FROM (
-      SELECT CAST({bucket} AS BIGINT) AS bucket FROM embeddings)
+      SELECT {_duck_bucket_expr(8)} AS bucket FROM embeddings)
     GROUP BY bucket ORDER BY bucket
     """
 
@@ -775,22 +784,35 @@ ORDER BY query_id
 """
 
 
+_EMB_ND_PLANES = 4  # LSH bands for the near-dup demo (the 100-TB path)
+
+
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exhaustive at this scale)."""
+    """Embedding-cosine near-duplicate pairs via the SCALE path: hyperplane
+    LSH bucket self-join, then exact cosine within bucket. Recall < 1 by
+    design (near-identical vectors share all plane signs w.h.p.); the
+    oracle reproduces the identical bucketed semantics so the check is
+    exact. Pass n_planes=0 for the exhaustive O(N²) cross-check instead."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
         embedding_near_duplicates)
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = embedding_near_duplicates(e, threshold=0.45, n_planes=0)
+    pairs = embedding_near_duplicates(e, threshold=0.45, dim=_EMB_DIM,
+                                      n_planes=_EMB_ND_PLANES)
     return (pairs.select("doc_a", "doc_b",
                          F.round("cos", 4).alias("cos"))
             .orderBy("doc_a", "doc_b"))
 
 
-_ORACLE_EMB_NEAR_DUP = """
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+def _oracle_emb_near_dup() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_duck_bucket_expr(_EMB_ND_PLANES)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+       round(list_cosine_similarity(a.embedding, c.embedding), 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.45
 ORDER BY doc_a, doc_b
 """
 
@@ -877,6 +899,191 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# DTDL / CDM front-end queries (S4/S6, J7-J10, command ENTITY mode)
+# ---------------------------------------------------------------------------
+
+def _span(text_col):
+    return F.array(F.struct(
+        F.lit("text").alias("kind"), text_col.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset")))
+
+
+def _nation_dtdl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DTDL Interface per nation (extends its region's interface, one
+    Property, one Telemetry, one Relationship, one Command with a request
+    parameter) + one Interface per region — the deterministic DTDL corpus."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ndoc = F.concat(
+        F.lit('{"@context":"dtmi:dtdl:context;3","@id":"dtmi:ex:nation:N'),
+        F.col("n_nationkey"),
+        F.lit(';1","@type":"Interface","displayName":"'), F.col("n_name"),
+        F.lit('","extends":["dtmi:ex:region:R'), F.col("n_regionkey"),
+        F.lit(';1"],"contents":['
+              '{"@type":"Property","name":"comment","schema":"string"},'
+              '{"@type":"Telemetry","name":"load","schema":"double"},'
+              '{"@type":"Relationship","name":"inRegion",'
+              '"target":"dtmi:ex:region:R'), F.col("n_regionkey"),
+        F.lit(';1"},'
+              '{"@type":"Command","name":"ping",'
+              '"request":{"name":"timeout","schema":"integer"}}]}'))
+    rdoc = F.concat(
+        F.lit('{"@context":"dtmi:dtdl:context;3","@id":"dtmi:ex:region:R'),
+        F.col("r_regionkey"),
+        F.lit(';1","@type":"Interface","contents":'
+              '[{"@type":"Property","name":"rname","schema":"string"}]}'))
+    return (nation.select(
+        F.concat(F.lit("dtdl_n_"), "n_nationkey").alias("doc_id"),
+        _span(ndoc).alias("spans"))
+        .unionByName(region.select(
+            F.concat(F.lit("dtdl_r_"), "r_regionkey").alias("doc_id"),
+            _span(rdoc).alias("spans"))))
+
+
+def _dtdl_result(spark, sf_dir):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
+        DtdlModes, convert_interfaces, extract_interfaces)
+    return convert_interfaces(
+        extract_interfaces(_nation_dtdl_docs(spark, sf_dir)),
+        DtdlModes(command="entity"))
+
+
+def q_dtdl_entity_types(spark, sf_dir):
+    """S4+J7+W4 + command ENTITY mode: full DTDL front-end."""
+    ents, _, _ = _dtdl_result(spark, sf_dir)
+    return ents.select(
+        "name", "id",
+        F.col("base_entity_type_id").alias("base_id"),
+        F.size("properties").alias("n_props"),
+        F.size("timeseries_properties").alias("n_ts"))
+
+
+def _oracle_dtdl_entities() -> str:
+    nid = _duck_fabric_id("'ex:nation:N'||n_nationkey")
+    rid_parent = _duck_fabric_id("'ex:region:R'||n_regionkey")
+    rid = _duck_fabric_id("'ex:region:R'||r_regionkey")
+    cid = _duck_fabric_id("'ex:nation:N'||n_nationkey||':cmd:ping'")
+    return f"""
+    SELECT regexp_replace(n_name, '[^a-zA-Z0-9_]', '_', 'g') AS name,
+           {nid} AS id, {rid_parent} AS base_id, 1 AS n_props, 1 AS n_ts
+    FROM nation
+    UNION ALL
+    SELECT 'R'||r_regionkey, {rid}, NULL, 1, 0 FROM region
+    UNION ALL
+    SELECT 'Command_ping', {cid}, NULL, 3, 0 FROM nation
+    """
+
+
+def q_dtdl_relationship_types(spark, sf_dir):
+    """DTDL relationships + ENTITY-mode supports_* links."""
+    _, rels, _ = _dtdl_result(spark, sf_dir)
+    return rels.select(
+        "name", "id",
+        F.col("source_entity_type_id").alias("source_id"),
+        F.col("target_entity_type_id").alias("target_id"))
+
+
+def _oracle_dtdl_relationships() -> str:
+    nid = _duck_fabric_id("'ex:nation:N'||n_nationkey")
+    rid = _duck_fabric_id("'ex:region:R'||n_regionkey")
+    cid = _duck_fabric_id("'ex:nation:N'||n_nationkey||':cmd:ping'")
+    return f"""
+    SELECT 'inRegion' AS name,
+           {_duck_property_id(nid, "'rel_inRegion'")} AS id,
+           {nid} AS source_id, {rid} AS target_id
+    FROM nation
+    UNION ALL
+    SELECT 'supports_ping', {_duck_property_id(nid, "'cmd_rel_ping'")},
+           {nid}, {cid}
+    FROM nation
+    """
+
+
+def _nation_cdm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: an entity-schema doc (extends RegionBase, pk + display
+    traits) and a model.json doc carrying the relationship; plus ONE
+    definitions-only doc for RegionBase (exercises the no-'imports' CDM
+    sniff path)."""
+    nation = _t(spark, sf_dir, "nation")
+    edoc = F.concat(
+        F.lit('{"jsonSchemaSemanticVersion":"1.0.0","imports":[],'
+              '"definitions":[{"entityName":"N'), F.col("n_nationkey"),
+        F.lit('","extendsEntity":"RegionBase","hasAttributes":['
+              '{"name":"nationId","dataType":"integer",'
+              '"purpose":"identifiedBy"},'
+              '{"name":"nationName","dataType":"string","purpose":"namedBy"},'
+              '{"name":"comment","dataType":"string"}]}]}'))
+    mdoc = F.concat(
+        F.lit('{"name":"relmodel","entities":[],"relationships":['
+              '{"fromEntity":"N'), F.col("n_nationkey"),
+        F.lit('","fromEntityAttribute":"regionKey",'
+              '"toEntity":"RegionBase","toEntityAttribute":"regionKey"}]}'))
+    base = spark.range(1).select(
+        F.lit("cdm_base").alias("doc_id"),
+        _span(F.lit('{"definitions":[{"entityName":"RegionBase",'
+                    '"hasAttributes":[{"name":"regionKey",'
+                    '"dataType":"integer"}]}]}')).alias("spans"))
+    return (nation.select(
+        F.concat(F.lit("cdm_n_"), "n_nationkey").alias("doc_id"),
+        _span(edoc).alias("spans"))
+        .unionByName(nation.select(
+            F.concat(F.lit("cdm_m_"), "n_nationkey").alias("doc_id"),
+            _span(mdoc).alias("spans")))
+        .unionByName(base))
+
+
+def _cdm_result(spark, sf_dir):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.cdm import (
+        convert_cdm, extract_cdm)
+    ents, rels = extract_cdm(_nation_cdm_docs(spark, sf_dir))
+    return convert_cdm(ents, rels)
+
+
+def q_cdm_entity_types(spark, sf_dir):
+    """S6+J9 (flattened inheritance) + pk/display trait resolution."""
+    ents, _, _ = _cdm_result(spark, sf_dir)
+    return ents.select(
+        "name", "id",
+        F.size("properties").alias("n_props"),
+        F.try_element_at("entity_id_parts", F.lit(1)).alias("id_part"),
+        F.col("display_name_property_id").alias("display_id"))
+
+
+def _oracle_cdm_entities() -> str:
+    eid = _duck_fabric_id("'cdm:N'||n_nationkey")
+    rid = _duck_fabric_id("'cdm:RegionBase'")
+    return f"""
+    SELECT 'N'||n_nationkey AS name, {eid} AS id, 4 AS n_props,
+           {_duck_property_id(eid, "'nationId'")} AS id_part,
+           {_duck_property_id(eid, "'nationName'")} AS display_id
+    FROM nation
+    UNION ALL
+    SELECT 'RegionBase', {rid}, 1, NULL, NULL
+    """
+
+
+def q_cdm_relationship_types(spark, sf_dir):
+    """J10 endpoint resolution by entity name."""
+    _, rels, _ = _cdm_result(spark, sf_dir)
+    return rels.select(
+        "name", "id",
+        F.col("source_entity_type_id").alias("source_id"),
+        F.col("target_entity_type_id").alias("target_id"))
+
+
+def _oracle_cdm_relationships() -> str:
+    name = "'N'||n_nationkey||'_to_RegionBase'"
+    rel_key = f"'cdmrel:'||{name}||'|N'||n_nationkey||'->RegionBase'"
+    return f"""
+    SELECT {name} AS name, {_duck_fabric_id(rel_key)} AS id,
+           {_duck_fabric_id("'cdm:N'||n_nationkey")} AS source_id,
+           {_duck_fabric_id("'cdm:RegionBase'")} AS target_id
+    FROM nation
+    """
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -920,6 +1127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_shape": q_tpch_q3_shape,
+        "dtdl_entity_types": q_dtdl_entity_types,
+        "dtdl_relationship_types": q_dtdl_relationship_types,
+        "cdm_entity_types": q_cdm_entity_types,
+        "cdm_relationship_types": q_cdm_relationship_types,
     }
 
 
@@ -949,10 +1160,14 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_QUALITY,
         "text_rolling_fingerprint": _ORACLE_ROLLING,
         "knn_label_vote": _ORACLE_KNN,
-        "emb_near_dup": _ORACLE_EMB_NEAR_DUP,
+        "emb_near_dup": _oracle_emb_near_dup(),
         "events_window_agg": _ORACLE_EVENTS_WINDOW,
         "ann_cosine_topk": _ORACLE_ANN,
         "ann_lsh_buckets": _oracle_ann_lsh(),
         "tpch_q1": _ORACLE_Q1,
         "tpch_q3_shape": _ORACLE_Q3,
+        "dtdl_entity_types": _oracle_dtdl_entities(),
+        "dtdl_relationship_types": _oracle_dtdl_relationships(),
+        "cdm_entity_types": _oracle_cdm_entities(),
+        "cdm_relationship_types": _oracle_cdm_relationships(),
     }

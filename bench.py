@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "pair_expansion_j5",
     "topo_depth_o1",
     "first_parent_w1",
+    "emb_near_dup",
+    "dtdl_entity_types",
+    "cdm_entity_types",
 ]
 
 

@@ -39,15 +39,17 @@ def _trait_names(raw) -> list[str]:
 
 def _parse_attr(data, pos: int) -> list[dict]:
     if isinstance(data, str):
-        return [{"name": data, "data_type": "string", "traits": [],
-                 "purpose": None, "pos": pos}]
+        return [{"name": data, "data_type": "string", "raw_type": None,
+                 "max_length": None, "traits": [], "purpose": None,
+                 "pos": pos}]
     if not isinstance(data, dict):
         return []
     if "attributeGroupReference" in data:
         return []
     if "entity" in data or "entityReference" in data:
         return [{"name": data.get("name", "entityRef"),
-                 "data_type": "entity", "traits": [],
+                 "data_type": "entity", "raw_type": "entity",
+                 "max_length": None, "traits": [],
                  "purpose": data.get("purpose"), "pos": pos}]
     if "attributeReference" in data:
         ref = data["attributeReference"]
@@ -55,18 +57,24 @@ def _parse_attr(data, pos: int) -> list[dict]:
                         ref if isinstance(ref, str)
                         else ref.get("name", "ref") if isinstance(ref, dict)
                         else "ref")
-        return [{"name": name, "data_type": "string", "traits": [],
-                 "purpose": None, "pos": pos}]
+        return [{"name": name, "data_type": "string", "raw_type": None,
+                 "max_length": None, "traits": [], "purpose": None,
+                 "pos": pos}]
     name = data.get("name")
     if not name:
         return []
-    dt = data.get("dataType", "string")
-    if isinstance(dt, dict):
-        dt = dt.get("dataType", "string")
+    raw = data.get("dataType")
+    if isinstance(raw, dict):
+        raw = raw.get("dataType")
+    raw = raw if isinstance(raw, str) else None
+    ml = data.get("maximumLength")
     purpose = data.get("purpose")
     if isinstance(purpose, dict):
         purpose = purpose.get("purposeReference")
-    return [{"name": name, "data_type": dt if isinstance(dt, str) else "string",
+    return [{"name": name, "data_type": raw or "string",
+             "raw_type": raw,
+             "max_length": ml if isinstance(ml, int)
+             and not isinstance(ml, bool) else None,
              "traits": _trait_names(data.get("appliedTraits")),
              "purpose": purpose if isinstance(purpose, str) else None,
              "pos": pos}]

@@ -60,6 +60,38 @@ def _schema_info(schema) -> tuple[str, str | None]:
     return "string", None
 
 
+def _command_info(c: dict) -> str:
+    """Command content → JSON payload for ENTITY-mode conversion.
+
+    Mirrors the reference's CommandConverter.convert_to_entity /
+    _extract_command_parameters semantics
+    (reference: src/formats/dtdl/mode_converters.py:345-483):
+    requestSchema/responseSchema marker properties when the payload exists,
+    plus one parameter property per Object field ("{prefix}_{field.name}")
+    or one for a primitive payload schema ("{prefix}_{payload.name}").
+    """
+    info: dict = {"id": c.get("@id"), "has_request": False,
+                  "has_response": False, "req_params": [], "resp_params": []}
+    for prefix, key in (("request", "req_params"), ("response", "resp_params")):
+        payload = c.get(prefix)
+        if not isinstance(payload, dict):
+            continue
+        info[f"has_{prefix}"] = True
+        schema = payload.get("schema")
+        if isinstance(schema, dict) and isinstance(schema.get("fields"), list):
+            for field in schema["fields"]:
+                if isinstance(field, dict) and field.get("name"):
+                    kind, _ = _schema_info(field.get("schema"))
+                    info[key].append({"name": f"{prefix}_{field['name']}",
+                                      "kind": kind})
+        elif isinstance(schema, str) and schema:
+            pname = payload.get("name")
+            if pname:
+                info[key].append({"name": f"{prefix}_{pname}",
+                                  "kind": schema})
+    return json.dumps(info)
+
+
 def parse_dtdl(text: str) -> list[dict]:
     """→ one dict per Interface:
 
@@ -93,7 +125,11 @@ def parse_dtdl(text: str) -> list[dict]:
                         None)
             if kind is None:
                 continue
-            schema_kind, schema_json = _schema_info(c.get("schema"))
+            if kind == "Command":
+                # commands carry a request/response payload, not a schema
+                schema_kind, schema_json = "command", _command_info(c)
+            else:
+                schema_kind, schema_json = _schema_info(c.get("schema"))
             contents.append({
                 "content_type": kind,
                 "name": c.get("name", ""),

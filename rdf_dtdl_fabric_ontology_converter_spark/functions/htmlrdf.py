@@ -1,0 +1,310 @@
+"""HTML-embedded RDF span parsers: RDFa-lite and microdata.
+
+The reference delegates these two formats to rdflib's HTML plugin parsers
+(reference: src/formats/rdf/rdf_parser.py:187-234 lists 'rdfa' and
+'microdata' with html/xhtml aliases). This engine implements the
+commonly-used subset of each public spec over the stdlib ``html.parser``
+(no external libs on executors):
+
+RDFa-lite 1.1: ``vocab`` / ``prefix`` / ``about`` / ``resource`` /
+``typeof`` / ``property`` / ``content`` / ``datatype`` / ``href`` /
+``src`` / ``lang``. Out of subset (documented): @rel/@rev, @inlist,
+xmlns:-style prefixes.
+
+Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
+``itemtype`` / ``itemid`` / ``itemprop``; value extraction per element
+kind (a/link/area → href, img/audio/video/embed/iframe/source → src,
+meta → content, time → datetime, data/meter → value, nested itemscope →
+the nested item, else text content). Property IRIs resolve against the
+itemtype's vocabulary (last path segment replaced — the schema.org
+convention).
+
+Both return the shared 7-tuple shape
+``(subj, pred, obj, obj_kind, obj_datatype, lang, graph_ctx)``; blank
+nodes are ``_:label`` and doc-qualified by the caller.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+_VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
+         "link", "meta", "param", "source", "track", "wbr"}
+
+
+class HtmlRdfParseError(ValueError):
+    pass
+
+
+def _is_abs(term: str) -> bool:
+    return bool(_ABS_IRI.match(term))
+
+
+# ---------------------------------------------------------------------------
+# RDFa-lite
+# ---------------------------------------------------------------------------
+
+class _RdfaParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.triples: list[tuple] = []
+        self.bnode_n = 0
+        # scope stack entries: dict(subject, vocab, prefixes, lang)
+        self.scopes = [{"subject": None, "vocab": None, "prefixes": {},
+                        "lang": None}]
+        # pending text-content captures: list of
+        # [depth, subject, pred, datatype, lang, buf]
+        self.captures: list[list] = []
+        self.depth = 0
+
+    def _bnode(self) -> str:
+        self.bnode_n += 1
+        return f"_:rdfa{self.bnode_n}"
+
+    def _resolve(self, term: str, scope: dict) -> str | None:
+        if not term:
+            return None
+        if term.startswith("_:"):
+            return term
+        pfx, sep, local = term.partition(":")
+        if sep and pfx in scope["prefixes"]:
+            return scope["prefixes"][pfx] + local
+        if _is_abs(term):
+            return term
+        if scope["vocab"]:
+            return scope["vocab"] + term
+        return term
+
+    def handle_starttag(self, tag, attrs):
+        self.depth += 1
+        a = dict(attrs)
+        parent = self.scopes[-1]
+        scope = {"subject": parent["subject"], "vocab": parent["vocab"],
+                 "prefixes": parent["prefixes"], "lang": parent["lang"],
+                 "_depth": self.depth, "_tag": tag}
+        if "vocab" in a and a["vocab"]:
+            scope["vocab"] = a["vocab"]
+        if "prefix" in a and a["prefix"]:
+            toks = a["prefix"].split()
+            pfx = dict(parent["prefixes"])
+            for i in range(0, len(toks) - 1, 2):
+                pfx[toks[i].rstrip(":")] = toks[i + 1]
+            scope["prefixes"] = pfx
+        lang = a.get("lang") or a.get("xml:lang")
+        if lang:
+            scope["lang"] = lang
+
+        about = a.get("about")
+        resource = a.get("resource")
+        typeof = a.get("typeof")
+        prop = a.get("property")
+
+        new_subject = None
+        if about is not None:
+            new_subject = self._resolve(about, scope)
+        elif typeof is not None and prop is None:
+            # typeof without about/property: new (b)node subject
+            new_subject = (self._resolve(resource, scope) if resource
+                           else self._bnode())
+
+        if prop:
+            psubj = parent["subject"] or scope["subject"] or self._bnode()
+            pred = self._resolve(prop, scope)
+            dt = self._resolve(a.get("datatype"), scope) \
+                if a.get("datatype") else None
+            obj_iri = None
+            if resource is not None:
+                obj_iri = self._resolve(resource, scope)
+            elif "href" in a:
+                obj_iri = a["href"]
+            elif "src" in a:
+                obj_iri = a["src"]
+            if "content" in a:
+                self.triples.append((psubj, pred, a["content"] or "",
+                                     "literal", dt, scope["lang"], None))
+            elif typeof is not None and obj_iri is None:
+                # property + typeof chaining: object is a fresh bnode that
+                # becomes the subject for descendants
+                obj = self._bnode()
+                self.triples.append((psubj, pred, obj, "bnode",
+                                     None, None, None))
+                new_subject = obj
+            elif obj_iri is not None:
+                kind = "bnode" if obj_iri.startswith("_:") else "iri"
+                self.triples.append((psubj, pred, obj_iri, kind,
+                                     None, None, None))
+                if typeof is not None:
+                    new_subject = obj_iri
+            elif tag in _VOID:
+                self.triples.append((psubj, pred, "", "literal",
+                                     dt, scope["lang"], None))
+            else:
+                self.captures.append(
+                    [self.depth, psubj, pred, dt, scope["lang"], []])
+        elif resource is not None and new_subject is None:
+            new_subject = self._resolve(resource, scope)
+
+        if new_subject is not None:
+            scope["subject"] = new_subject
+        if typeof is not None:
+            tsubj = new_subject or scope["subject"] or self._bnode()
+            scope["subject"] = scope["subject"] or tsubj
+            for t in typeof.split():
+                t_iri = self._resolve(t, scope)
+                if t_iri:
+                    self.triples.append((tsubj, RDF_TYPE, t_iri, "iri",
+                                         None, None, None))
+        self.scopes.append(scope)
+        if tag in _VOID:
+            self._pop()
+
+    def _pop(self):
+        if len(self.scopes) > 1:
+            self.scopes.pop()
+        while self.captures and self.captures[-1][0] >= self.depth:
+            d, subj, pred, dt, lang, buf = self.captures.pop()
+            self.triples.append((subj, pred, "".join(buf).strip(),
+                                 "literal", dt, lang, None))
+        self.depth -= 1
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        self._pop()
+
+    def handle_data(self, data):
+        for cap in self.captures:
+            cap[5].append(data)
+
+
+def parse_rdfa(text: str) -> list[tuple]:
+    p = _RdfaParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception as e:  # html.parser is forgiving; be explicit anyway
+        raise HtmlRdfParseError(f"RDFa parse failed: {e}") from e
+    if not p.triples:
+        raise HtmlRdfParseError("no RDFa triples found")
+    return p.triples
+
+
+# ---------------------------------------------------------------------------
+# microdata
+# ---------------------------------------------------------------------------
+
+class _MicrodataParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.triples: list[tuple] = []
+        self.bnode_n = 0
+        # item stack entries: dict(item, vocab, depth) — None sentinel root
+        self.items: list[dict] = [{"item": None, "vocab": None, "depth": 0}]
+        self.captures: list[list] = []  # [depth, item, pred, buf]
+        self.depth = 0
+
+    def _bnode(self) -> str:
+        self.bnode_n += 1
+        return f"_:md{self.bnode_n}"
+
+    def _pred(self, prop: str, vocab: str | None) -> str:
+        if _is_abs(prop):
+            return prop
+        if vocab:
+            return vocab + prop
+        return prop
+
+    @staticmethod
+    def _vocab_of(itemtype: str) -> str:
+        if "#" in itemtype:
+            return itemtype.split("#")[0] + "#"
+        return itemtype.rsplit("/", 1)[0] + "/"
+
+    def handle_starttag(self, tag, attrs):
+        self.depth += 1
+        a = dict(attrs)
+        cur = self.items[-1]
+        prop = a.get("itemprop")
+
+        if "itemscope" in a:
+            item = a.get("itemid") or self._bnode()
+            vocab = cur["vocab"]
+            itemtype = a.get("itemtype")
+            if itemtype:
+                types = itemtype.split()
+                vocab = self._vocab_of(types[0])
+                for t in types:
+                    self.triples.append((item, RDF_TYPE, t, "iri",
+                                         None, None, None))
+            if prop and cur["item"] is not None:
+                for pn in prop.split():
+                    kind = "bnode" if item.startswith("_:") else "iri"
+                    self.triples.append(
+                        (cur["item"], self._pred(pn, cur["vocab"]), item,
+                         kind, None, None, None))
+            self.items.append({"item": item, "vocab": vocab,
+                               "depth": self.depth})
+            if tag in _VOID:
+                self._pop_items()
+            return
+
+    # non-itemscope itemprop: extract a value
+        if prop and cur["item"] is not None:
+            val, kind = None, "literal"
+            if tag in ("a", "link", "area") and "href" in a:
+                val, kind = a["href"], "iri"
+            elif tag in ("img", "audio", "video", "embed", "iframe",
+                         "source", "track") and "src" in a:
+                val, kind = a["src"], "iri"
+            elif tag == "meta":
+                val = a.get("content", "")
+            elif tag == "time":
+                val = a.get("datetime") or None
+            elif tag in ("data", "meter") and "value" in a:
+                val = a["value"]
+            if val is not None:
+                for pn in prop.split():
+                    self.triples.append(
+                        (cur["item"], self._pred(pn, cur["vocab"]), val,
+                         kind, None, None, None))
+            elif tag not in _VOID:
+                for pn in prop.split():
+                    self.captures.append(
+                        [self.depth, cur["item"],
+                         self._pred(pn, cur["vocab"]), []])
+        if tag in _VOID:
+            self.depth -= 1
+
+    def _pop_items(self):
+        while len(self.items) > 1 and self.items[-1]["depth"] >= self.depth:
+            self.items.pop()
+        while self.captures and self.captures[-1][0] >= self.depth:
+            d, item, pred, buf = self.captures.pop()
+            self.triples.append((item, pred, "".join(buf).strip(),
+                                 "literal", None, None, None))
+        self.depth -= 1
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        self._pop_items()
+
+    def handle_data(self, data):
+        for cap in self.captures:
+            cap[3].append(data)
+
+
+def parse_microdata(text: str) -> list[tuple]:
+    p = _MicrodataParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception as e:
+        raise HtmlRdfParseError(f"microdata parse failed: {e}") from e
+    if not p.triples:
+        raise HtmlRdfParseError("no microdata items found")
+    return p.triples

@@ -15,9 +15,54 @@ Each becomes a small broadcast-joined DataFrame (J11 in SURVEY §2.3) — the
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# the Fabric value-type universe (reference:
+# src/shared/utilities/type_registry.py FABRIC_TYPES plus the two extra
+# API-documented types accepted by src/core/validators/fabric_schema.py:46)
+FABRIC_TYPES = frozenset({"String", "Boolean", "DateTime", "BigInt",
+                          "Double", "Decimal", "Binary", "Guid"})
+
+
+@dataclass
+class TypeMappingRegistry:
+    """User-supplied (format, source_type) → fabric_type overrides.
+
+    Spark mapping of the reference TypeMappingRegistry
+    (reference: src/shared/utilities/type_registry.py:68-130): per-format
+    custom mappings layered over the built-in dictionaries. The reference's
+    per-value converter callables are driver-side Python; here the registry
+    is pure data ("dictionary-as-data") merged into the broadcast map
+    DataFrames / UDF lookup dicts, so overrides distribute for free.
+    """
+    default_type: str = "String"
+    _maps: dict[str, dict[str, str]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.default_type not in FABRIC_TYPES:
+            raise ValueError(f"Invalid default type: {self.default_type}")
+
+    def register_mapping(self, format_name: str, source_type: str,
+                         fabric_type: str) -> None:
+        if fabric_type not in FABRIC_TYPES:
+            raise ValueError(
+                f"Invalid Fabric type '{fabric_type}'. Must be one of: "
+                f"{', '.join(sorted(FABRIC_TYPES))}")
+        self._maps.setdefault(format_name.lower(), {})[source_type] = \
+            fabric_type
+
+    def overrides(self, format_name: str) -> dict[str, str]:
+        return dict(self._maps.get(format_name.lower(), {}))
+
+    def merged(self, format_name: str, base: dict[str, str]
+               ) -> dict[str, str]:
+        out = dict(base)
+        out.update(self._maps.get(format_name.lower(), {}))
+        return out
 
 XSD_TO_FABRIC: dict[str, str] = {
     # string family
@@ -155,10 +200,24 @@ CDM_TRAIT_TO_FABRIC: dict[str, str] = {
 }
 
 
-def cdm_map_type(cdm_type: str, traits: list[str] | None = None) -> str:
+def cdm_is_supported(cdm_type: str | None) -> bool:
+    """Whether a CDM data type maps without the String fallback
+    (reference: cdm_type_mapper.is_supported_type; entity references count
+    as supported here — they are flagged separately as INFO)."""
+    if cdm_type is None:
+        return True  # missing type is its own (missing_data_type) rule
+    t = cdm_type.lower()
+    return (t in CDM_TO_FABRIC or t in CDM_SEMANTIC_TO_FABRIC
+            or t in ("entity", "entityid", "entityname", "entityreference"))
+
+
+def cdm_map_type(cdm_type: str, traits: list[str] | None = None,
+                 overrides: dict[str, str] | None = None) -> str:
     """Driver/UDF-side CDM type mapping (reference: map_type semantics):
-    primitives → semantics → trait inference → String default."""
+    overrides → primitives → semantics → trait inference → String default."""
     t = (cdm_type or "string").lower()
+    if overrides and t in overrides:
+        return overrides[t]
     if t in ("entity", "entityid", "entityname"):
         return "String"  # entity references flagged elsewhere
     if t in CDM_TO_FABRIC:
@@ -171,8 +230,11 @@ def cdm_map_type(cdm_type: str, traits: list[str] | None = None) -> str:
     return "String"
 
 
-def xsd_map_df(spark: SparkSession) -> DataFrame:
-    rows = [(k, v, XSD_RANK.get(k, (99, v))[0]) for k, v in XSD_TO_FABRIC.items()]
+def xsd_map_df(spark: SparkSession,
+               registry: TypeMappingRegistry | None = None) -> DataFrame:
+    base = XSD_TO_FABRIC if registry is None \
+        else registry.merged("rdf", XSD_TO_FABRIC)
+    rows = [(k, v, XSD_RANK.get(k, (99, v))[0]) for k, v in base.items()]
     return spark.createDataFrame(rows, "xsd_iri string, fabric_type string, rank int")
 
 

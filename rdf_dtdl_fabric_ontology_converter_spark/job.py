@@ -31,20 +31,23 @@ def main(argv=None) -> int:
     p.add_argument("--dtdl-component", default="skip",
                    choices=["skip", "flatten", "separate"])
     p.add_argument("--dtdl-command", default="skip",
-                   choices=["skip", "property"])
+                   choices=["skip", "property", "entity"])
     p.add_argument("--scaled-decimal", default="json_string",
                    choices=["json_string", "structured", "calculated"])
     p.add_argument("--definition-json", default=None)
+    p.add_argument("--dtmi-mapping", action="store_true",
+                   help="also write the dtmi→fabric-id mapping table")
     p.add_argument("--shuffle-partitions", type=int, default=200)
     args = p.parse_args(argv)
 
     from .operators.dtdl import DtdlModes
     from .operators.metrics import ontology_name, skipped_rollup, success_rate
-    from .operators.validate import preflight_issues
+    from .operators.validate import definition_schema_issues, preflight_issues
     from .plans.unified import run_unified
     from .session import build_session
     from .sources.documents import read_documents
-    from .sources.sinks import create_definition, write_table
+    from .sources.sinks import (create_definition, definition_parts_df,
+                                write_table)
 
     from pyspark.sql import SparkSession
     existing = SparkSession.getActiveSession()
@@ -75,7 +78,17 @@ def main(argv=None) -> int:
     write_table(ents, f"{args.output}/entity_types")
     write_table(rels, f"{args.output}/relationship_types")
     write_table(skipped, f"{args.output}/skipped_items")
-    write_table(issues, f"{args.output}/issues")
+    # structural re-validation of the engine's own serialized output
+    # (reference: src/core/validators/fabric_schema.py) — catches sink
+    # regressions before any upload
+    schema_issues = definition_schema_issues(definition_parts_df(ents, rels))
+    all_issues = issues.unionByName(schema_issues)
+    write_table(all_issues, f"{args.output}/issues")
+    from .operators.metrics import compliance_report
+    write_table(compliance_report(all_issues), f"{args.output}/compliance")
+    if args.dtmi_mapping:
+        from .operators.dtdl import dtmi_mapping
+        write_table(dtmi_mapping(ents), f"{args.output}/dtmi_mapping")
 
     if args.definition_json:
         name = ontology_name(triples)

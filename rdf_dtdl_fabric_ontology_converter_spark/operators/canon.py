@@ -103,17 +103,17 @@ def sameas_components(triples: DataFrame, max_rounds: int = 20,
         neigh = (und.join(labels, und.b == labels.node)
                  .groupBy(F.col("a").alias("node"))
                  .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(neigh, "node", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce("nbr_label", F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels = new_labels
+        # carry old+new label in one checkpointed frame so the convergence
+        # check is a single count on the frame that materializes the round
+        # (no second join-the-previous-round job)
+        merged = (labels.join(neigh, "node", "left")
+                  .select("node", F.col("label").alias("old_label"),
+                          F.least(F.col("label"),
+                                  F.coalesce("nbr_label", F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("member"),

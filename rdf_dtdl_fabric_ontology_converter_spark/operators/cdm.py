@@ -38,13 +38,17 @@ from ..functions.names import sanitize_name
 ATTR_TYPE = T.StructType([
     T.StructField("name", T.StringType()),
     T.StructField("value_type", T.StringType()),
+    T.StructField("raw_type", T.StringType()),    # as written (None=absent)
+    T.StructField("max_length", T.LongType()),
+    T.StructField("is_known_type", T.BooleanType()),
     T.StructField("is_entity_ref", T.BooleanType()),
     T.StructField("is_pk", T.BooleanType()),
     T.StructField("is_display", T.BooleanType()),
     T.StructField("pos", T.IntegerType()),
 ])
 
-ATTR_ARRAY = ("array<struct<name:string,value_type:string,"
+ATTR_ARRAY = ("array<struct<name:string,value_type:string,raw_type:string,"
+              "max_length:bigint,is_known_type:boolean,"
               "is_entity_ref:boolean,is_pk:boolean,is_display:boolean,"
               "pos:int>>")
 
@@ -69,22 +73,68 @@ CDM_RELS_SCHEMA = T.StructType([
 ])
 
 
-def extract_cdm(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """documents → (cdm entity rows, cdm relationship rows)."""
+# single-pass combined schema: one row per CDM span, entities + rels nested
+_ENTITY_T = T.StructType([
+    T.StructField("entity_name", T.StringType()),
+    T.StructField("extends", T.StringType()),
+    T.StructField("attributes", T.ArrayType(ATTR_TYPE)),
+    T.StructField("dialect", T.StringType()),
+])
+_REL_T = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("from_entity", T.StringType()),
+    T.StructField("from_attribute", T.StringType()),
+    T.StructField("to_entity", T.StringType()),
+    T.StructField("to_attribute", T.StringType()),
+])
+CDM_COMBINED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("entities", T.ArrayType(_ENTITY_T)),
+    T.StructField("rels", T.ArrayType(_REL_T)),
+    T.StructField("parse_error", T.StringType()),
+])
 
-    def run_entities(batches):
+
+def extract_cdm(documents: DataFrame, materialize: bool = True,
+                type_overrides: dict[str, str] | None = None
+                ) -> tuple[DataFrame, DataFrame]:
+    """documents → (cdm entity rows, cdm relationship rows).
+
+    ONE parse per span: a single ``mapInArrow`` emits a combined per-span
+    row (nested entities + rels arrays) that both outputs explode from.
+    With ``materialize`` (default) the small combined extract is persisted
+    so the wide documents scan and the Python parse run exactly once even
+    though two downstream plans consume it. ``type_overrides`` layers user
+    type-registry mappings (case-insensitive) over the CDM dictionaries
+    (reference: type_registry.py:68-130).
+    """
+    ovr = {k.lower(): v for k, v in (type_overrides or {}).items()} or None
+
+    def run(batches):
         import pyarrow as pa
         from ..functions.cdm import attr_flags, parse_cdm
-        from ..functions.typemaps import cdm_map_type
+        from ..functions.typemaps import cdm_is_supported, cdm_map_type
         from .extract import sniff_format
         at = pa.struct([("name", pa.string()), ("value_type", pa.string()),
+                        ("raw_type", pa.string()),
+                        ("max_length", pa.int64()),
+                        ("is_known_type", pa.bool_()),
                         ("is_entity_ref", pa.bool_()), ("is_pk", pa.bool_()),
                         ("is_display", pa.bool_()), ("pos", pa.int32())])
+        ent_t = pa.struct([("entity_name", pa.string()),
+                           ("extends", pa.string()),
+                           ("attributes", pa.list_(at)),
+                           ("dialect", pa.string())])
+        rel_t = pa.struct([("name", pa.string()),
+                           ("from_entity", pa.string()),
+                           ("from_attribute", pa.string()),
+                           ("to_entity", pa.string()),
+                           ("to_attribute", pa.string())])
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             spans_col = batch.column("spans").to_pylist()
-            names, exts, attrs_c, dials, dids, idxs, errs = \
-                [], [], [], [], [], [], []
+            dids, idxs, ents_c, rels_c, errs = [], [], [], [], []
             for doc_id, spans in zip(doc_ids, spans_col):
                 if spans is None:
                     continue
@@ -94,13 +144,13 @@ def extract_cdm(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
                     if sniff_format(span["text"]) != "cdm":
                         continue
                     try:
-                        ents, _ = parse_cdm(span["text"])
+                        ents, rels = parse_cdm(span["text"])
                     except Exception as e:
-                        names.append(None); exts.append(None)
-                        attrs_c.append(None); dials.append(None)
                         dids.append(doc_id); idxs.append(idx)
+                        ents_c.append(None); rels_c.append(None)
                         errs.append(f"{type(e).__name__}: {e}")
                         continue
+                    ent_rows = []
                     for ent in ents:
                         rows = []
                         for a in ent["attributes"]:
@@ -108,63 +158,48 @@ def extract_cdm(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
                             rows.append({
                                 "name": a["name"],
                                 "value_type": cdm_map_type(a["data_type"],
-                                                           a["traits"]),
+                                                           a["traits"],
+                                                           ovr),
+                                "raw_type": a.get("raw_type"),
+                                "max_length": a.get("max_length"),
+                                "is_known_type":
+                                    cdm_is_supported(a.get("raw_type")),
                                 "is_entity_ref": a["data_type"].lower() in
                                 ("entity", "entityreference"),
                                 "is_pk": pk, "is_display": dn,
                                 "pos": a["pos"]})
-                        names.append(ent["name"]); exts.append(ent["extends"])
-                        attrs_c.append(rows); dials.append(ent["dialect"])
-                        dids.append(doc_id); idxs.append(idx); errs.append(None)
+                        ent_rows.append({"entity_name": ent["name"],
+                                         "extends": ent["extends"],
+                                         "attributes": rows,
+                                         "dialect": ent["dialect"]})
+                    dids.append(doc_id); idxs.append(idx)
+                    ents_c.append(ent_rows); rels_c.append(rels)
+                    errs.append(None)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(names, pa.string()), pa.array(exts, pa.string()),
-                 pa.array(attrs_c, pa.list_(at)), pa.array(dials, pa.string()),
-                 pa.array(dids, pa.string()), pa.array(idxs, pa.int32()),
+                [pa.array(dids, pa.string()), pa.array(idxs, pa.int32()),
+                 pa.array(ents_c, pa.list_(ent_t)),
+                 pa.array(rels_c, pa.list_(rel_t)),
                  pa.array(errs, pa.string())],
-                names=[f.name for f in CDM_ENTITIES_SCHEMA.fields])
+                names=[f.name for f in CDM_COMBINED_SCHEMA.fields])
 
-    def run_rels(batches):
-        import pyarrow as pa
-        from ..functions.cdm import parse_cdm
-        from .extract import sniff_format
-        for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
-            spans_col = batch.column("spans").to_pylist()
-            cols = {k: [] for k in ("name", "from_entity", "from_attribute",
-                                    "to_entity", "to_attribute", "doc_id",
-                                    "span_idx")}
-            for doc_id, spans in zip(doc_ids, spans_col):
-                if spans is None:
-                    continue
-                for idx, span in enumerate(spans):
-                    if span["kind"] != "text" or not span["text"]:
-                        continue
-                    if sniff_format(span["text"]) != "cdm":
-                        continue
-                    try:
-                        _, rels = parse_cdm(span["text"])
-                    except Exception:
-                        continue
-                    for r in rels:
-                        cols["name"].append(r["name"])
-                        cols["from_entity"].append(r["from_entity"])
-                        cols["from_attribute"].append(r["from_attribute"])
-                        cols["to_entity"].append(r["to_entity"])
-                        cols["to_attribute"].append(r["to_attribute"])
-                        cols["doc_id"].append(doc_id)
-                        cols["span_idx"].append(idx)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(cols["name"], pa.string()),
-                 pa.array(cols["from_entity"], pa.string()),
-                 pa.array(cols["from_attribute"], pa.string()),
-                 pa.array(cols["to_entity"], pa.string()),
-                 pa.array(cols["to_attribute"], pa.string()),
-                 pa.array(cols["doc_id"], pa.string()),
-                 pa.array(cols["span_idx"], pa.int32())],
-                names=[f.name for f in CDM_RELS_SCHEMA.fields])
+    combined = documents.mapInArrow(run, CDM_COMBINED_SCHEMA)
+    if materialize:
+        combined = combined.persist()
 
-    return (documents.mapInArrow(run_entities, CDM_ENTITIES_SCHEMA),
-            documents.mapInArrow(run_rels, CDM_RELS_SCHEMA))
+    ents = (combined
+            .select("doc_id", "span_idx", "parse_error",
+                    F.explode_outer("entities").alias("e"))
+            .where(F.col("e").isNotNull() | F.col("parse_error").isNotNull())
+            .select(F.col("e.entity_name").alias("entity_name"),
+                    F.col("e.extends").alias("extends"),
+                    F.col("e.attributes").alias("attributes"),
+                    F.col("e.dialect").alias("dialect"),
+                    "doc_id", "span_idx", "parse_error"))
+    rels = (combined
+            .select("doc_id", "span_idx", F.explode("rels").alias("r"))
+            .select("r.name", "r.from_entity", "r.from_attribute",
+                    "r.to_entity", "r.to_attribute", "doc_id", "span_idx"))
+    return ents, rels
 
 
 def _dedup_entities(ents: DataFrame) -> DataFrame:

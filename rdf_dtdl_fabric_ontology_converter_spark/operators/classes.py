@@ -71,17 +71,23 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     ontology), so every round is a small-table join.
     """
     closure = edges.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
-    if closure.isEmpty():
+    # one driver action per round: the count() materializes the lazy
+    # checkpoint AND is the convergence check (vs old-count comparison,
+    # which re-counted the previous round's frame every round)
+    closure = closure.localCheckpoint(eager=False)
+    prev = closure.count()
+    if prev == 0:
         return closure
-    closure = closure.localCheckpoint()
     for _ in range(max_rounds):
         grown = (closure.alias("a")
                  .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
                  .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
-        new_closure = closure.unionByName(grown).dropDuplicates().localCheckpoint()
-        if new_closure.count() == closure.count():
+        new_closure = (closure.unionByName(grown).dropDuplicates()
+                       .localCheckpoint(eager=False))
+        n = new_closure.count()
+        if n == prev:
             return new_closure
-        closure = new_closure
+        closure, prev = new_closure, n
     return closure
 
 

@@ -144,22 +144,25 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
 
 def simhash(documents: DataFrame, text_col: str = "text",
             key_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
-    """→ (doc_id, simhash): md5-token SimHash fingerprint."""
+    """→ (doc_id, simhash): md5-token SimHash fingerprint.
+
+    One aggregation: per-bit ±1 sums are `bits` static SUM expressions over
+    the (doc, token) rows — no bits× row explode, no second exchange, and
+    partial (map-side) aggregation applies to every bit column.
+    """
     toks = documents.select(
         key_col, F.explode(F.array_distinct(tokens(F.col(text_col))))
         .alias("tok"))
     h = toks.withColumn(
         "hv", F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
         .cast("long"))
-    contrib = (h.select(key_col, "hv",
-                        F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-                        .alias("bit"))
-               .withColumn("c", F.when(F.expr("(hv >> bit) & 1") == 1,
-                                       F.lit(1)).otherwise(F.lit(-1))))
-    return (contrib.groupBy(key_col, "bit")
-            .agg(F.sum("c").alias("s"))
-            .withColumn("bitval", F.when(F.col("s") > 0,
-                                         F.expr("CAST(1 AS BIGINT) << bit"))
-                        .otherwise(F.lit(0)))
-            .groupBy(key_col)
-            .agg(F.sum("bitval").alias("simhash")))
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(hv >> {j}) & 1") == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{j}")
+        for j in range(bits)]
+    agg = h.groupBy(key_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0,
+                           F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return agg.select(key_col, sim.alias("simhash"))

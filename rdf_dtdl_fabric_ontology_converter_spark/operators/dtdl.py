@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .. import MAX_EXTENDS_DEPTH, NAMESPACE, NAMESPACE_TYPE, VISIBILITY
-from ..functions.ids import dtmi_fabric_id, property_id
+from ..functions.ids import clean_dtmi, dtmi_fabric_id, property_id
 from ..functions.names import sanitize_name
 from ..functions.typemaps import DTDL_TO_FABRIC
 
@@ -151,14 +151,19 @@ def ancestor_closure(ifaces: DataFrame,
     return closure
 
 
-def _fabric_type_expr(schema_kind, scaled_decimal_mode: str = "json_string"
-                      ) -> F.Column:
+def _fabric_type_expr(schema_kind, scaled_decimal_mode: str = "json_string",
+                      overrides: dict[str, str] | None = None) -> F.Column:
     """schema_kind string → Fabric value type.
 
     scaledDecimal maps to Double in CALCULATED mode, else String
-    (reference: dtdl_converter.py:1048-1057,1073-1076).
+    (reference: dtdl_converter.py:1048-1057,1073-1076). ``overrides``
+    layers user type-registry mappings over the built-in dictionary
+    (reference: type_registry.py:68-130).
     """
-    m = F.create_map(*[F.lit(x) for kv in DTDL_TO_FABRIC.items() for x in kv])
+    table = dict(DTDL_TO_FABRIC)
+    if overrides:
+        table.update(overrides)
+    m = F.create_map(*[F.lit(x) for kv in table.items() for x in kv])
     enum_vs = F.regexp_extract(schema_kind, "^enum:(.*)$", 1)
     scaled = (F.lit("Double") if scaled_decimal_mode == "calculated"
               else F.lit("String"))
@@ -177,21 +182,37 @@ class DtdlModes:
     """Conversion modes (reference: dtdl_converter.py:100-118).
 
     component: skip | flatten | separate
-    command:   skip | property   (entity mode: planned — reference
-               dtdl_converter.py:833-930 — not yet implemented here)
+    command:   skip | property | entity
+               (entity mode: reference mode_converters.py:345-483 —
+               command → standalone CommandType entity + supports_* rel)
     scaled_decimal: json_string | structured | calculated
     """
     component: str = "skip"
     command: str = "skip"
     scaled_decimal: str = "json_string"
+    # user type-registry overrides layered over DTDL_TO_FABRIC
+    # (reference: src/shared/utilities/type_registry.py:68-130)
+    type_overrides: dict | None = None
+
+
+# payload emitted by functions.dtdl._command_info for Command contents
+CMD_PARAM = T.ArrayType(T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("kind", T.StringType()),
+]))
+CMD_INFO = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("has_request", T.BooleanType()),
+    T.StructField("has_response", T.BooleanType()),
+    T.StructField("req_params", CMD_PARAM),
+    T.StructField("resp_params", CMD_PARAM),
+])
 
 
 def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                        ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entity_types, relationship_types, skipped) in the shared schema."""
     modes = modes or DtdlModes()
-    if modes.command == "entity":
-        raise NotImplementedError("command ENTITY mode: planned")
     ifaces = _dedup_interfaces(interfaces).localCheckpoint()
     ifaces = ifaces.withColumn("fabric_id", dtmi_fabric_id(F.col("dtmi")))
 
@@ -220,12 +241,14 @@ def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                  F.col("c.content_type").alias("content_type"),
                  F.col("c.name").alias("prop_name"),
                  F.col("c.schema_kind").alias("schema_kind"),
+                 F.col("c.schema_json").alias("schema_json"),
                  F.col("c.target").alias("target"),
                  F.col("c.pos").alias("pos")))
     props = (c.where(F.col("content_type").isin("Property", "Telemetry"))
              .withColumn("value_type",
                          _fabric_type_expr(F.col("schema_kind"),
-                                           modes.scaled_decimal))
+                                           modes.scaled_decimal,
+                                           modes.type_overrides))
              .withColumn("is_timeseries", F.col("content_type") == "Telemetry"))
 
     # W4a: ancestor conflicts — same name, different type anywhere above
@@ -311,7 +334,8 @@ def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                         sanitize_name(F.col("flat_name"), 90)
                         .alias("out_name"),
                         _fabric_type_expr(F.col("t_schema"),
-                                          modes.scaled_decimal)
+                                          modes.scaled_decimal,
+                                          modes.type_overrides)
                         .alias("value_type"),
                         F.lit(False).alias("is_timeseries")))
         agg_input = agg_input.unionByName(flat)
@@ -411,6 +435,102 @@ def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                 F.concat("dtmi", F.lit("::"), "prop_name").alias("rel_key"),
             ))
 
+    if modes.command == "entity":
+        # Command → standalone CommandType entity + supports_* relationship
+        # (reference: mode_converters.py:345-430). The reference falls back
+        # to a non-deterministic id generator for unknown command DTMIs; this
+        # engine hashes the command DTMI (or its synthesized
+        # "<iface>:cmd:<name>" fallback) for determinism at scale.
+        cmds = (c.where(F.col("content_type") == "Command")
+                .withColumn("info", F.from_json("schema_json", CMD_INFO))
+                # fallback synthesized from the CLEANED interface dtmi:
+                # clean_dtmi truncates at ';', so "<iface>;1:cmd:x" would
+                # collapse every command of one interface to the same id
+                .withColumn("cmd_dtmi", F.coalesce(
+                    F.col("info.id"),
+                    F.concat(clean_dtmi(F.col("dtmi")),
+                             F.lit(":cmd:"), "prop_name")))
+                .withColumn("cmd_id", dtmi_fabric_id(F.col("cmd_dtmi"))))
+
+        # property order pinned by the reference's append order
+        # (mode_converters.py:374-415): commandName, requestSchema?,
+        # request params..., responseSchema?, response params...
+        entry_t = "array<struct<name:string,kind:string>>"
+        empty_entries = F.array().cast(entry_t)
+
+        def _marker(nm):
+            return F.array(F.struct(F.lit(nm).alias("name"),
+                                    F.lit("string").alias("kind"))).cast(entry_t)
+
+        ordered = F.concat(
+            _marker("commandName"),
+            F.when(F.col("info.has_request"),
+                   _marker("requestSchema")).otherwise(empty_entries),
+            F.coalesce(F.col("info.req_params").cast(entry_t), empty_entries),
+            F.when(F.col("info.has_response"),
+                   _marker("responseSchema")).otherwise(empty_entries),
+            F.coalesce(F.col("info.resp_params").cast(entry_t), empty_entries))
+
+        # dedup shared command DTMIs, pinned to first (dtmi, pos)
+        wc = Window.partitionBy("cmd_id").orderBy("dtmi", "pos")
+        cmd_one = (cmds.withColumn("rn", F.row_number().over(wc))
+                   .where(F.col("rn") == 1))
+
+        # per-parameter rows (explode instead of a lambda-nested md5 —
+        # pyspark 4.1 miscompiles md5(concat(lit, lambda_var)) in nested
+        # higher-order functions)
+        cprops = (cmd_one
+                  .select("cmd_id", "cmd_dtmi", "prop_name",
+                          F.posexplode(ordered).alias("ppos", "e"))
+                  .select("cmd_id", "cmd_dtmi", "prop_name", "ppos",
+                          F.struct(
+                              # id hashes the RAW name; display name is
+                              # sanitized (mode_converters.py:316-319,465)
+                              property_id(F.col("cmd_id"), F.col("e.name"))
+                              .alias("id"),
+                              sanitize_name(F.col("e.name"), 90).alias("name"),
+                              _fabric_type_expr(F.col("e.kind"),
+                                                modes.scaled_decimal,
+                                                modes.type_overrides)
+                              .alias("valueType")).alias("prop")))
+        cmd_entities = (cprops
+                        .groupBy("cmd_id", "cmd_dtmi", "prop_name")
+                        .agg(F.array_sort(F.collect_list(
+                            F.struct("ppos", F.col("prop").alias("p"))))
+                            .alias("ps"))
+                        .select(
+                            F.col("cmd_id").alias("id"),
+                            sanitize_name(F.concat(F.lit("Command_"),
+                                                   "prop_name"), 90)
+                            .alias("name"),
+                            F.lit(NAMESPACE).alias("namespace"),
+                            F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+                            F.lit(VISIBILITY).alias("visibility"),
+                            F.lit(None).cast("string")
+                            .alias("base_entity_type_id"),
+                            F.array(property_id(F.col("cmd_id"),
+                                                F.lit("commandName")))
+                            .alias("entity_id_parts"),
+                            property_id(F.col("cmd_id"), F.lit("commandName"))
+                            .alias("display_name_property_id"),
+                            F.transform("ps", lambda x: x["p"])
+                            .alias("properties"),
+                            empty_props.alias("timeseries_properties"),
+                            F.col("cmd_dtmi").alias("class_uri")))
+        entity_types = entity_types.unionByName(cmd_entities)
+
+        cmd_rels = cmds.select(
+            property_id(F.col("fabric_id"),
+                        F.concat(F.lit("cmd_rel_"), "prop_name")).alias("id"),
+            sanitize_name(F.concat(F.lit("supports_"), "prop_name"), 90)
+            .alias("name"),
+            F.lit(NAMESPACE).alias("namespace"),
+            F.lit(NAMESPACE_TYPE).alias("namespace_type"),
+            F.col("fabric_id").alias("source_entity_type_id"),
+            F.col("cmd_id").alias("target_entity_type_id"),
+            F.concat("dtmi", F.lit("::cmd::"), "prop_name").alias("rel_key"))
+        rels = rels.unionByName(cmd_rels)
+
     if modes.component == "separate":
         # known targets → relationship only; unknown targets → stub entity
         # with a componentId key + relationship (dtdl_converter.py:744-830)
@@ -456,3 +576,17 @@ def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
         entity_types = entity_types.unionByName(stubs)
 
     return entity_types, rels, skipped
+
+
+def dtmi_mapping(entity_types: DataFrame) -> DataFrame:
+    """(dtmi, fabric_id) mapping table — the reference's saved
+    `.mapping.json` artifact (reference:
+    src/app/cli/commands/unified/convert.py:273-278,
+    dtdl_converter.py:1249-1258) as a DataFrame; write or collect at the
+    sink. Only DTDL-derived rows qualify (class_uri carries the DTMI)."""
+    return (entity_types
+            .where(F.col("class_uri").startswith("dtmi:") |
+                   F.col("class_uri").contains(":cmd:"))
+            .select(F.col("class_uri").alias("dtmi"),
+                    F.col("id").alias("fabric_id"))
+            .dropDuplicates(["dtmi"]))

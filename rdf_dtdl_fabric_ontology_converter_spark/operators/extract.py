@@ -27,7 +27,7 @@ TRIPLES_SCHEMA = T.StructType([
     T.StructField("obj_datatype", T.StringType()),
     T.StructField("lang", T.StringType()),
     T.StructField("graph_ctx", T.StringType()),
-    T.StructField("fmt", T.StringType()),           # turtle|jsonld|rdfxml|trix|dtdl|cdm
+    T.StructField("fmt", T.StringType()),   # turtle|jsonld|rdfxml|trix|hext|rdfa|microdata|dtdl|cdm
     T.StructField("doc_id", T.StringType()),
     T.StructField("span_idx", T.IntegerType()),
     T.StructField("parse_error", T.StringType()),   # non-null => error row
@@ -55,8 +55,24 @@ def sniff_format(text: str) -> str:
         return "rdfxml"
     if s.startswith("<TriX") or s.startswith("<trix"):
         return "trix"
+    if s[0] == "<":
+        import re
+        low = s[:2048].lower()
+        if re.match(r"<!doctype\b|<(html|head|body|div|section|article|span"
+                    r"|main|p|ul|ol|li|table|meta|article)\b", low):
+            return "microdata" if "itemscope" in low else "rdfa"
     if s[0] in "{[":
         import json
+        if s[0] == "[":
+            # HexTuples: ND-JSON, each line a 6-element string array
+            first = s.splitlines()[0].strip()
+            try:
+                row = json.loads(first)
+                if (isinstance(row, list) and len(row) == 6 and
+                        all(isinstance(x, str) for x in row)):
+                    return "hext"
+            except ValueError:
+                pass
         try:
             doc = json.loads(s)
         except ValueError:
@@ -67,8 +83,14 @@ def sniff_format(text: str) -> str:
             ctx_str = ctx if isinstance(ctx, str) else ""
             if "dtmi:dtdl" in ctx_str or probe.get("@type") == "Interface":
                 return "dtdl"
-            if ("jsonSchemaSemanticVersion" in probe or "definitions" in probe
-                    and "imports" in probe):
+            if "jsonSchemaSemanticVersion" in probe:
+                return "cdm"
+            # entity-schema docs need no 'imports': any definitions list
+            # with entityName entries is CDM (aligned with
+            # functions.cdm.detect_dialect, reference cdm_parser.py:208-250)
+            defs = probe.get("definitions")
+            if isinstance(defs, list) and any(
+                    isinstance(d, dict) and "entityName" in d for d in defs):
                 return "cdm"
             if "name" in probe and ("entities" in probe or "version" in probe
                                     and "culture" in probe):
@@ -82,6 +104,7 @@ def _parse_span(text: str):
     from ..functions.turtle import parse_turtle
     from ..functions.jsonld import parse_jsonld
     from ..functions.rdfxml import parse_rdfxml, parse_trix
+    from ..functions.hext import parse_hext
 
     fmt = sniff_format(text)
     try:
@@ -89,6 +112,12 @@ def _parse_span(text: str):
             return fmt, parse_turtle(text), None
         if fmt == "jsonld":
             return fmt, parse_jsonld(text), None
+        if fmt == "hext":
+            return fmt, parse_hext(text), None
+        if fmt in ("rdfa", "microdata"):
+            from ..functions.htmlrdf import parse_microdata, parse_rdfa
+            parse = parse_microdata if fmt == "microdata" else parse_rdfa
+            return fmt, parse(text), None
         if fmt == "rdfxml":
             return fmt, parse_rdfxml(text), None
         if fmt == "trix":

@@ -74,3 +74,15 @@ def predicate_stats(triples: DataFrame, n_salt: int = 16) -> DataFrame:
     """Hot-predicate distribution (salted): the observability view for
     choosing skew strategies at corpus scale."""
     return salted_count_by(triples, "pred", n_salt).orderBy(F.desc("n"))
+
+
+def compliance_report(issues: DataFrame) -> DataFrame:
+    """Severity/category rollup of validation issues with an example row —
+    the distributed twin of the reference's compliance report generator
+    (reference: src/core/compliance/report_generator.py:259-360, which
+    renders per-construct issue lists + statistics driver-side)."""
+    return (issues
+            .groupBy("severity", "category")
+            .agg(F.count("*").alias("n"),
+                 F.min("message").alias("example_message"))
+            .orderBy("severity", F.desc("n"), "category"))

@@ -58,56 +58,57 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
     direct = all_roots.where(~F.col("node").startswith("_:")) \
         .select("root_key", F.col("node").alias("class_uri"))
     bnode_roots = all_roots.where(F.col("node").startswith("_:"))
-    if bnode_roots.isEmpty():
+
+    # single tagged frontier ('n' = class-expression node, 'l' = RDF list
+    # node): ONE expr join and ONE driver action (the count materializing
+    # the lazy checkpoint) per round, vs the old 2 joins + 5 jobs per round.
+    frontier = (bnode_roots
+                .select("root_key", F.lit("n").alias("tag"), "node")
+                .localCheckpoint(eager=False))
+    n_frontier = frontier.count()
+    if n_frontier == 0:
         return direct
 
-    nodes = bnode_roots
-    lists = nodes.limit(0)
-    results = direct
-    visited_nodes = nodes.limit(0)
-    visited_lists = lists.limit(0)
+    # visited is a plain union of checkpointed frontiers: left_anti needs
+    # no dedup, and each constituent is already materialized
+    visited = frontier
+    results_parts = [direct]
 
     for _ in range(max_depth):
-        if nodes.isEmpty() and lists.isEmpty():
+        # IRIs in the node frontier are resolved classes (dedup at the end)
+        results_parts.append(
+            frontier.where((F.col("tag") == "n") &
+                           ~F.col("node").startswith("_:"))
+            .select("root_key", F.col("node").alias("class_uri")))
+
+        expandable = frontier.where(
+            (F.col("tag") == "l") | F.col("node").startswith("_:"))
+        joined = expandable.join(F.broadcast(expr).hint("broadcast"),
+                                 expandable.node == expr.subj)
+        # routing: node --union/intersection/oneOf--> list head;
+        #          node --complementOf--> node;
+        #          list --first--> node;  list --rest (≠nil)--> list
+        is_head = (F.col("tag") == "n") & F.col("pred").isin(
+            [OWL_UNION_OF, OWL_INTERSECTION_OF, OWL_ONE_OF])
+        is_comp = (F.col("tag") == "n") & (F.col("pred") == OWL_COMPLEMENT_OF)
+        is_first = (F.col("tag") == "l") & (F.col("pred") == RDF_FIRST)
+        is_rest = ((F.col("tag") == "l") & (F.col("pred") == RDF_REST) &
+                   (F.col("obj") != RDF_NIL))
+        frontier = (joined
+                    .where(is_head | is_comp | is_first | is_rest)
+                    .select("root_key",
+                            F.when(is_comp | is_first, F.lit("n"))
+                            .otherwise(F.lit("l")).alias("tag"),
+                            F.col("obj").alias("node"))
+                    .dropDuplicates()
+                    .join(visited, ["root_key", "tag", "node"], "left_anti")
+                    .localCheckpoint(eager=False))
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
+        visited = visited.unionByName(frontier)
 
-        # 1) IRIs in the node frontier are resolved classes
-        iris = nodes.where(~F.col("node").startswith("_:"))
-        results = results.unionByName(
-            iris.select("root_key", F.col("node").alias("class_uri")))
-
-        # 2) bnode expansion through union/intersection/oneOf (→ list heads)
-        #    and complementOf (→ node frontier)
-        bnodes = nodes.where(F.col("node").startswith("_:"))
-        expanded = bnodes.join(F.broadcast(expr).hint("broadcast"),
-                               bnodes.node == expr.subj)
-        new_lists = (expanded
-                     .where(F.col("pred").isin([OWL_UNION_OF, OWL_INTERSECTION_OF,
-                                                OWL_ONE_OF]))
-                     .select("root_key", F.col("obj").alias("node")))
-        new_nodes_c = (expanded
-                       .where(F.col("pred") == OWL_COMPLEMENT_OF)
-                       .select("root_key", F.col("obj").alias("node")))
-
-        # 3) list walk: rdf:first → node frontier; rdf:rest → stay in lists
-        walked = lists.join(F.broadcast(expr).hint("broadcast"),
-                            lists.node == expr.subj)
-        new_nodes_f = (walked.where(F.col("pred") == RDF_FIRST)
-                       .select("root_key", F.col("obj").alias("node")))
-        new_lists_r = (walked.where((F.col("pred") == RDF_REST) &
-                                    (F.col("obj") != RDF_NIL))
-                       .select("root_key", F.col("obj").alias("node")))
-
-        visited_nodes = visited_nodes.unionByName(nodes).dropDuplicates()
-        visited_lists = visited_lists.unionByName(lists).dropDuplicates()
-
-        nodes = (new_nodes_c.unionByName(new_nodes_f).dropDuplicates()
-                 .join(visited_nodes, ["root_key", "node"], "left_anti")
-                 .localCheckpoint())
-        lists = (new_lists.unionByName(new_lists_r).dropDuplicates()
-                 .where(F.col("node") != RDF_NIL)
-                 .join(visited_lists, ["root_key", "node"], "left_anti")
-                 .localCheckpoint())
-        results = results.dropDuplicates().localCheckpoint()
-
-    return results.dropDuplicates()
+    out = results_parts[0]
+    for part in results_parts[1:]:
+        out = out.unionByName(part)
+    return out.dropDuplicates()

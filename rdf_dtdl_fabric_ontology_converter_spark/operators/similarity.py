@@ -76,6 +76,34 @@ def hyperplane_signature(vec_col: Column, dim: int,
     return sig
 
 
+def hyperplane_probe_buckets(vec_col: Column, dim: int, n_planes: int = 8,
+                             n_probes: int = 1) -> Column:
+    """Multi-probe bucket list: the base signature plus variants with the
+    lowest-|margin| plane bits flipped (one flip per extra probe).
+
+    Low |dot| means the vector sits near that hyperplane, so its true
+    neighbors are likely just across it — flipping that bit probes the
+    adjacent bucket first (standard multi-probe LSH). Plane constants are
+    driver-side literals (see hyperplane_signature for why).
+    """
+    planes = hyperplane_planes(dim, n_planes)
+    dots = [_dot(vec_col, F.array(*[F.lit(x) for x in p])) for p in planes]
+    base = F.lit(0).cast("long")
+    for j, d in enumerate(dots):
+        base = base + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)) \
+            .cast("long")
+    # planes ordered by |margin| ascending; struct sort uses field order
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(d).alias("m"), F.lit(j).alias("j"))
+        for j, d in enumerate(dots)]))
+    buckets = [base]
+    for k in range(1, min(n_probes, n_planes + 1)):
+        j_k = F.try_element_at(margins, F.lit(k))["j"]
+        flip = F.pow(F.lit(2.0), j_k.cast("double")).cast("long")
+        buckets.append(base.bitwiseXOR(flip))
+    return F.array_distinct(F.array(*buckets))
+
+
 def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        qid_col: str = "query_id",
@@ -110,14 +138,23 @@ def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_bucketed_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                       k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
                       vec_col: str = "embedding", qid_col: str = "query_id",
-                      qvec_col: str = "qv") -> DataFrame:
+                      qvec_col: str = "qv", n_probes: int = 1) -> DataFrame:
     """Bucketed ANN: candidates = same hyperplane signature; then exact
     cosine rank within bucket. Recall < 1 by design; raise n_planes ↓bucket
-    size, lower it ↑recall."""
+    size, lower it ↑recall. n_probes > 1 additionally probes the buckets
+    across the query's lowest-margin hyperplanes (multi-probe LSH) —
+    recall rises without shrinking n_planes. Each vector lives in exactly
+    one bucket, so probe buckets yield disjoint candidate sets (no dedup
+    shuffle needed)."""
     sig_v = hyperplane_signature(F.col(vec_col), dim, n_planes)
-    sig_q = hyperplane_signature(F.col(qvec_col), dim, n_planes)
     v = vectors.withColumn("bucket", sig_v)
-    q = queries.withColumn("bucket", sig_q)
+    if n_probes > 1:
+        probes = hyperplane_probe_buckets(F.col(qvec_col), dim, n_planes,
+                                          n_probes)
+        q = queries.withColumn("bucket", F.explode(probes))
+    else:
+        q = queries.withColumn(
+            "bucket", hyperplane_signature(F.col(qvec_col), dim, n_planes))
     scored = (v.join(F.broadcast(q), "bucket")
               .where(F.col(id_col) != F.col(qid_col))
               .withColumn("cos", _dot(F.col(vec_col), F.col(qvec_col)) /

@@ -72,22 +72,43 @@ class CheckpointManager:
 
         out = self.read(name)
         snapshot_id = uuid.uuid4().hex
-        per_part = (out.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(F.count("*").alias("rows_out"))
-                    .select(F.lit(name).alias("stage"),
-                            F.lit(snapshot_id).alias("snapshot_id"),
-                            "partition_id", "rows_out",
-                            F.lit(wall_ms).alias("wall_ms")))
-        per_part.write.mode("append").parquet(str(self.root / "_lineage"))
-        rows = out.count()
-        # manifest written LAST = the commit point
+        # ONE scan: the per-partition aggregate is collected (bounded by
+        # partition count) and the total row count derived from it — no
+        # second full count() pass over the snapshot
+        part_rows = (out.groupBy(F.spark_partition_id()
+                                 .alias("partition_id"))
+                     .agg(F.count("*").alias("rows_out"))).collect()
+        rows = sum(r["rows_out"] for r in part_rows)
+        lineage_rows = ([(name, snapshot_id, r["partition_id"],
+                          r["rows_out"], wall_ms) for r in part_rows]
+                        or [(name, snapshot_id, -1, 0, wall_ms)])
+        self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) \
+            .write.mode("append").parquet(str(self.root / "_lineage"))
+        # manifest written LAST = the commit point; lineage rows from runs
+        # killed before this line are orphans that lineage() filters out
         self._manifest(name).write_text(json.dumps({
             "stage": name, "snapshot_id": snapshot_id, "rows": rows,
             "wall_ms": wall_ms, "committed_at": time.time()}))
         return out
 
-    def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.root / "_lineage"))
+    def committed_snapshot_ids(self) -> list[str]:
+        ids = []
+        for m in self.root.glob("*/manifest.json"):
+            try:
+                ids.append(json.loads(m.read_text())["snapshot_id"])
+            except (ValueError, KeyError):
+                continue
+        return ids
+
+    def lineage(self, committed_only: bool = True) -> DataFrame:
+        """Per-partition lineage; by default restricted to snapshot_ids with
+        a committed manifest (kills between the lineage append and the
+        manifest write can leave orphan rows — never surfaced here)."""
+        df = self.spark.read.parquet(str(self.root / "_lineage"))
+        if not committed_only:
+            return df
+        return df.where(F.col("snapshot_id").isin(
+            self.committed_snapshot_ids()))
 
     def reset(self, stage: str) -> None:
         m = self._manifest(stage)

@@ -53,9 +53,13 @@ def triples_from_documents(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def build_graph(spark: SparkSession, triples_prov: DataFrame,
-                parse_skips: DataFrame | None = None) -> PipelineResult:
-    """Stages B-D over a (possibly multi-document) triple corpus."""
-    xsd_map = xsd_map_df(spark)
+                parse_skips: DataFrame | None = None,
+                registry=None) -> PipelineResult:
+    """Stages B-D over a (possibly multi-document) triple corpus.
+
+    ``registry``: optional functions.typemaps.TypeMappingRegistry with
+    user 'rdf' type overrides merged into the broadcast XSD map."""
+    xsd_map = xsd_map_df(spark, registry)
 
     # north rule: global sort-merge dedup of the emitted triples, with
     # hot-subject salting (popular entities can't pin one reducer).

@@ -32,19 +32,29 @@ class UnifiedResult:
 
 def run_unified(spark: SparkSession, documents: DataFrame,
                 dtdl_modes: DtdlModes | None = None,
-                cdm_flatten_inheritance: bool = True) -> UnifiedResult:
+                cdm_flatten_inheritance: bool = True,
+                registry=None) -> UnifiedResult:
+    """``registry`` is an optional functions.typemaps.TypeMappingRegistry —
+    user type overrides applied per format ('rdf', 'dtdl', 'cdm')."""
     documents = documents.localCheckpoint()
 
     # RDF-family spans → triples → graph
     triples_prov, parse_skips = triples_from_documents(documents)
-    rdf = build_graph(spark, triples_prov, parse_skips)
+    rdf = build_graph(spark, triples_prov, parse_skips, registry=registry)
 
     # DTDL spans
+    if registry is not None:
+        dtdl_modes = dtdl_modes or DtdlModes()
+        merged = dict(registry.overrides("dtdl"))
+        merged.update(dtdl_modes.type_overrides or {})
+        dtdl_modes.type_overrides = merged
     d_ents, d_rels, d_skips = convert_interfaces(
         extract_interfaces(documents), dtdl_modes)
 
     # CDM spans
-    c_ent_rows, c_rel_rows = extract_cdm(documents)
+    c_ent_rows, c_rel_rows = extract_cdm(
+        documents,
+        type_overrides=registry.overrides("cdm") if registry else None)
     c_ents, c_rels, c_skips = convert_cdm(
         c_ent_rows, c_rel_rows, flatten_inheritance=cdm_flatten_inheritance)
 

@@ -199,6 +199,80 @@ def test_command_property_mode(spark):
     assert names == ["label", "command_reboot"]
 
 
+def test_command_entity_mode(spark):
+    """Command → standalone CommandType entity + supports_* relationship
+    (reference: mode_converters.py:345-483)."""
+    import json
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    payload = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:Robot;1",
+        "@type": "Interface",
+        "contents": [
+            {"@type": "Property", "name": "label", "schema": "string"},
+            {"@type": "Command", "name": "calibrate",
+             "request": {"name": "req", "schema": {
+                 "@type": "Object", "fields": [
+                     {"name": "axis", "schema": "string"},
+                     {"name": "force", "schema": "double"}]}},
+             "response": {"name": "ok", "schema": "boolean"}},
+            {"@type": "Command", "name": "reboot"},
+        ]})
+    docs = docs_from_payloads(spark, {"r": payload})
+    ents, rels, _ = convert_interfaces(extract_interfaces(docs),
+                                       DtdlModes(command="entity"))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    rels = [r.asDict() for r in rels.collect()]
+    assert set(emap) == {"Robot", "Command_calibrate", "Command_reboot"}
+
+    cal = emap["Command_calibrate"]
+    robot_id = ref_dtmi_id("dtmi:com:x:Robot;1")
+    # deterministic id from cleaned fallback dtmi (no ';version' ambiguity)
+    assert cal["id"] == fabric_id_py("com:x:Robot:cmd:calibrate")
+    # reference property order: commandName, requestSchema, request params,
+    # responseSchema, response params (mode_converters.py:374-415)
+    assert [(p["name"], p["valueType"]) for p in cal["properties"]] == [
+        ("commandName", "String"), ("requestSchema", "String"),
+        ("request_axis", "String"), ("request_force", "Double"),
+        ("responseSchema", "String"), ("response_ok", "Boolean")]
+    name_prop = cal["properties"][0]
+    assert name_prop["id"] == property_id_py(cal["id"], "commandName")
+    assert cal["entity_id_parts"] == [name_prop["id"]]
+    assert cal["display_name_property_id"] == name_prop["id"]
+    assert cal["base_entity_type_id"] is None
+
+    # command without payloads: commandName only
+    reboot = emap["Command_reboot"]
+    assert [(p["name"], p["valueType"]) for p in reboot["properties"]] == [
+        ("commandName", "String")]
+
+    # supports_* relationships, parent-side id scheme
+    # (mode_converters.py:428-436)
+    sup = {r["name"]: r for r in rels if r["name"].startswith("supports_")}
+    assert set(sup) == {"supports_calibrate", "supports_reboot"}
+    assert sup["supports_calibrate"]["id"] == \
+        property_id_py(robot_id, "cmd_rel_calibrate")
+    assert sup["supports_calibrate"]["source_entity_type_id"] == robot_id
+    assert sup["supports_calibrate"]["target_entity_type_id"] == cal["id"]
+    # parent keeps its regular properties; command NOT added as property
+    assert [p["name"] for p in emap["Robot"]["properties"]] == ["label"]
+
+
+def test_command_entity_explicit_dtmi(spark):
+    """Command with its own @id hashes that dtmi (version-stripped)."""
+    import json
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    payload = json.dumps({
+        "@context": "dtmi:dtdl:context;4", "@id": "dtmi:com:x:Bot;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Command", "@id": "dtmi:com:x:Bot:boot;1",
+                      "name": "boot"}]})
+    docs = docs_from_payloads(spark, {"b": payload})
+    ents, _, _ = convert_interfaces(extract_interfaces(docs),
+                                    DtdlModes(command="entity"))
+    emap = {r["name"]: r.asDict(recursive=True) for r in ents.collect()}
+    assert emap["Command_boot"]["id"] == ref_dtmi_id("dtmi:com:x:Bot:boot;1")
+
+
 def test_scaled_decimal_modes(spark):
     import json
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes

@@ -147,6 +147,44 @@ def test_similarity_operators(spark):
     assert any(r["neighbor_id"] == 99 for r in lsh)
 
 
+def test_multi_probe_lsh(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
+        cosine_topk, hyperplane_probe_buckets, hyperplane_signature,
+        lsh_bucketed_topk)
+    import math
+    vecs = [(i, [math.sin(i * 1.3 + d * 0.7) for d in range(8)])
+            for i in range(60)]
+    v = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    q = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+
+    # probe list: first element is the base signature; extras differ by
+    # exactly one bit; no duplicates
+    probes = (q.select("query_id",
+                       hyperplane_signature(F.col("qv"), 8, 6).alias("sig"),
+                       hyperplane_probe_buckets(F.col("qv"), 8, 6,
+                                                n_probes=3).alias("pb"))
+              .collect())
+    for r in probes:
+        assert r["pb"][0] == r["sig"]
+        assert len(set(r["pb"])) == len(r["pb"]) == 3
+        for extra in r["pb"][1:]:
+            assert bin(extra ^ r["sig"]).count("1") == 1
+
+    # more probes → candidate coverage (and thus recall vs brute force)
+    # monotonically non-decreasing
+    def hits(n_probes):
+        got = lsh_bucketed_topk(v, q, dim=8, k=5, n_planes=6,
+                                n_probes=n_probes).collect()
+        return {(r["query_id"], r["neighbor_id"]) for r in got}
+
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk(v, q, k=5).collect()}
+    h1, h3 = hits(1), hits(3)
+    assert len(h3 & bf) >= len(h1 & bf)
+    assert len(h3) >= len(h1)
+
+
 def test_text_functions(spark):
     from rdf_dtdl_fabric_ontology_converter_spark.functions.text import (
         text_profile)

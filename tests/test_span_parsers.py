@@ -141,3 +141,103 @@ def test_all_corpus_fixtures_parse():
     for name, text in corpus.TTL.items():
         rows = parse_turtle(text)
         assert rows, name
+
+
+def test_hextuples():
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.hext import (
+        HextParseError, parse_hext)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        sniff_format)
+    import json
+    import pytest
+    lines = [
+        [EX + "Person", RDF_TYPE, OWL_CLASS, "globalId", "", ""],
+        [EX + "Person", EX + "label", "Person", "http://www.w3.org/2001/XMLSchema#string", "", ""],
+        [EX + "Person", EX + "note", "hello", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en", ""],
+        ["_:b0", EX + "memberOf", "_:b1", "localId", "", EX + "g1"],
+    ]
+    text = "\n".join(json.dumps(x) for x in lines)
+    assert sniff_format(text) == "hext"
+    rows = parse_hext(text)
+    assert (EX + "Person", RDF_TYPE, OWL_CLASS) in spo(rows)
+    kinds = {(s, o): k for (s, _p, o, k, *_r) in rows}
+    assert kinds[(EX + "Person", OWL_CLASS)] == "iri"
+    assert kinds[("_:b0", "_:b1")] == "bnode"
+    lit = [r for r in rows if r[2] == "hello"][0]
+    assert lit[3] == "literal" and lit[5] == "en"
+    graphs = {r[6] for r in rows}
+    assert graphs == {None, EX + "g1"}
+    with pytest.raises(HextParseError):
+        parse_hext('["only", "three", "slots"]')
+    # single-line hext is still valid whole-doc JSON: must NOT sniff jsonld
+    assert sniff_format(json.dumps(lines[0])) == "hext"
+
+
+def test_rdfa_lite():
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import parse_rdfa
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        sniff_format)
+    html = """<!DOCTYPE html>
+<html lang="en"><body vocab="http://schema.org/"
+      prefix="ex: http://example.org/">
+  <div about="ex:alice" typeof="Person">
+    <span property="name">Alice</span>
+    <a property="url" href="http://alice.example/">home</a>
+    <meta property="ex:age" content="30"
+          datatype="http://www.w3.org/2001/XMLSchema#integer">
+    <div property="knows" typeof="Person">
+      <span property="name">Bob</span>
+    </div>
+  </div>
+</body></html>"""
+    assert sniff_format(html) == "rdfa"
+    rows = parse_rdfa(html)
+    got = spo(rows)
+    alice = "http://example.org/alice"
+    assert (alice, RDF_TYPE, "http://schema.org/Person") in got
+    assert (alice, "http://schema.org/name", "Alice") in got
+    assert (alice, "http://schema.org/url", "http://alice.example/") in got
+    by = {(s, p): (o, k, dt, lg) for (s, p, o, k, dt, lg, _g) in rows}
+    assert by[(alice, "http://example.org/age")][0] == "30"
+    assert by[(alice, "http://example.org/age")][2].endswith("integer")
+    assert by[(alice, "http://schema.org/name")][3] == "en"  # lang cascade
+    # chaining: knows → bnode that carries Bob's name
+    knows = by[(alice, "http://schema.org/knows")]
+    assert knows[1] == "bnode"
+    bob = knows[0]
+    assert (bob, "http://schema.org/name", "Bob") in got
+    assert (bob, RDF_TYPE, "http://schema.org/Person") in got
+
+
+def test_microdata():
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        parse_microdata)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        sniff_format)
+    html = """<!DOCTYPE html>
+<html><body>
+  <div itemscope itemtype="https://schema.org/Person"
+       itemid="http://example.org/carol">
+    <span itemprop="name">Carol</span>
+    <img itemprop="image" src="http://example.org/carol.jpg">
+    <time itemprop="birthDate" datetime="1990-01-02">Jan 2 1990</time>
+    <div itemprop="address" itemscope
+         itemtype="https://schema.org/PostalAddress">
+      <span itemprop="addressLocality">Springfield</span>
+    </div>
+  </div>
+</body></html>"""
+    assert sniff_format(html) == "microdata"
+    rows = parse_microdata(html)
+    got = spo(rows)
+    carol = "http://example.org/carol"
+    assert (carol, RDF_TYPE, "https://schema.org/Person") in got
+    assert (carol, "https://schema.org/name", "Carol") in got
+    assert (carol, "https://schema.org/image",
+            "http://example.org/carol.jpg") in got
+    assert (carol, "https://schema.org/birthDate", "1990-01-02") in got
+    addr = [o for (s, p, o) in got
+            if p == "https://schema.org/address"][0]
+    assert addr.startswith("_:")
+    assert (addr, "https://schema.org/addressLocality", "Springfield") in got
+    assert (addr, RDF_TYPE, "https://schema.org/PostalAddress") in got

@@ -219,3 +219,168 @@ def test_cdm_validator_rules(spark):
     assert ("cdm:empty_entity", "warning") in cats
     assert ("cdm:no_primary_key", "info") in cats
     assert ("cdm:entity_reference", "info") in cats
+
+
+def test_cdm_validator_deep_rules(spark):
+    """One issue family each for the reference's deeper rule surface
+    (reference: cdm_validator.py:180-548)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.cdm import extract_cdm
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.validate import cdm_issues
+    payloads = {
+        "deep": json.dumps({
+            "jsonSchemaSemanticVersion": "1.0.0",
+            "definitions": [
+                {"entityName": "Self", "extendsEntity": "Self",
+                 "hasAttributes": [
+                     {"name": "dup", "dataType": "string",
+                      "purpose": "identifiedBy"},
+                     {"name": "dup", "dataType": "integer"},
+                     {"name": "weird", "dataType": "frobnicate"},
+                     {"name": "notype"},
+                     {"name": "bad len", "dataType": "string",
+                      "maximumLength": -5},
+                     {"name": "type", "dataType": "string"},
+                     {"name": "9starts", "dataType": "string"},
+                     {"name": "x" * 120, "dataType": "string"}]},
+                {"entityName": "Child", "extendsEntity": "Self",
+                 "hasAttributes": [{"name": "ok", "dataType": "string",
+                                    "purpose": "identifiedBy"}]}]}),
+        "relmodel": json.dumps({
+            "name": "m", "entities": [],
+            "relationships": [
+                {"fromEntity": "Child", "fromEntityAttribute": "nope",
+                 "toEntity": "Ghost", "toEntityAttribute": "gid"},
+                {"fromEntity": "", "toEntity": "Child",
+                 "toEntityAttribute": "ok"}]}),
+    }
+    docs = docs_from_payloads(spark, payloads)
+    ents, rels = extract_cdm(docs)
+    got = cdm_issues(ents, rels).collect()
+    cats = {(r["category"], r["severity"]) for r in got}
+    assert ("cdm:circular_extends", "error") in cats
+    assert ("cdm:duplicate_attribute", "error") in cats
+    assert ("cdm:unknown_data_type", "warning") in cats
+    assert ("cdm:missing_data_type", "warning") in cats
+    assert ("cdm:constraint_violation", "warning") in cats
+    assert ("cdm:reserved_name", "info") in cats          # attr 'type'
+    assert ("cdm:invalid_name_start", "warning") in cats  # '9starts'
+    assert ("cdm:name_has_spaces", "warning") in cats     # 'bad len'
+    assert ("cdm:name_too_long", "error") in cats         # 120-char attr
+    assert ("cdm:extends_dependency", "info") in cats     # Child→Self
+    assert ("cdm:missing_endpoint", "error") in cats      # empty fromEntity
+    assert ("cdm:unknown_endpoint", "info") in cats       # Ghost
+    assert ("cdm:unknown_endpoint_attribute", "warning") in cats  # 'nope'
+    msgs = {r["message"] for r in got}
+    assert any("cannot extend itself" in m for m in msgs)
+    assert any("'frobnicate'" in m for m in msgs)
+
+
+def test_definition_schema_validator(spark):
+    """Structural re-validation of the engine's own serialized parts
+    (reference: src/core/validators/fabric_schema.py)."""
+    import base64
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.validate import (
+        definition_schema_issues)
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.sinks import (
+        definition_parts_df)
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+
+    docs = docs_from_payloads(spark, {"t": corpus.TTL["simple"]})
+    res = run_pipeline(spark, docs)
+    parts = definition_parts_df(res.entity_types, res.relationship_types)
+    issues = definition_schema_issues(parts).collect()
+    # the engine's own output must be structurally clean
+    assert [r for r in issues if r["severity"] == "error"] == []
+
+    # corrupted parts fire the right rules
+    def part(payload: dict, path: str):
+        return (path, base64.b64encode(
+            json.dumps(payload).encode()).decode(), "InlineBase64")
+
+    bad = spark.createDataFrame([
+        part({"id": "abc", "name": "0bad name!", "namespace": "fabric",
+              "namespaceType": "Weird", "visibility": "Shiny",
+              "properties": [{"id": "1", "name": "p", "valueType": "Float"}]},
+             "EntityTypes/999/definition.json"),
+        part({"id": "123", "name": "R", "namespace": "ok",
+              "namespaceType": "Custom",
+              "source": {"entityTypeId": "777"}, "target": {}},
+             "RelationshipTypes/123/definition.json"),
+        ("EntityTypes/5/definition.json", "!!!notbase64json", "Other"),
+    ], "path string, payload string, payloadType string")
+    cats = {r["category"] for r in definition_schema_issues(bad).collect()}
+    assert {"fabric:nonnumeric_id", "fabric:path_id_mismatch",
+            "fabric:invalid_name", "fabric:reserved_namespace",
+            "fabric:invalid_namespace_type", "fabric:invalid_visibility",
+            "fabric:invalid_value_type", "fabric:endpoint_missing",
+            "fabric:unknown_endpoint", "fabric:payload_type",
+            "fabric:bad_payload"} <= cats
+
+
+def test_type_registry_overrides(spark):
+    """User type-registry overrides reach all three front-ends
+    (reference: src/shared/utilities/type_registry.py:68-130)."""
+    import pytest
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.typemaps import (
+        TypeMappingRegistry)
+    reg = TypeMappingRegistry()
+    with pytest.raises(ValueError):
+        reg.register_mapping("rdf", "x", "Float")  # not a Fabric type
+    reg.register_mapping(
+        "rdf", "http://www.w3.org/2001/XMLSchema#decimal", "Decimal")
+    reg.register_mapping("dtdl", "double", "Decimal")
+    reg.register_mapping("cdm", "MONEY", "String")
+
+    payloads = {
+        "r": ('@prefix ex: <http://ex/> .\n'
+              '@prefix owl: <http://www.w3.org/2002/07/owl#> .\n'
+              '@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n'
+              '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+              'ex:C a owl:Class .\n'
+              'ex:amount a owl:DatatypeProperty ; rdfs:domain ex:C ;'
+              ' rdfs:range xsd:decimal .'),
+        "d": json.dumps({
+            "@context": "dtmi:dtdl:context;3", "@id": "dtmi:x:D;1",
+            "@type": "Interface",
+            "contents": [{"@type": "Property", "name": "speed",
+                          "schema": "double"}]}),
+        "c": json.dumps({
+            "jsonSchemaSemanticVersion": "1.0.0",
+            "definitions": [{"entityName": "Bill", "hasAttributes": [
+                {"name": "total", "dataType": "money"}]}]}),
+    }
+    docs = docs_from_payloads(spark, payloads)
+    res = run_unified(spark, docs, registry=reg)
+    types = {(r["name"], p["valueType"])
+             for r in res.entity_types.collect()
+             for p in r["properties"]}
+    assert ("C", "Decimal") in types       # rdf override (default: Double)
+    assert ("D", "Decimal") in types       # dtdl override (default: Double)
+    assert ("Bill", "String") in types     # cdm override (default: Decimal)
+
+
+def test_dtmi_mapping_and_compliance_report(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
+        DtdlModes, convert_interfaces, dtmi_mapping, extract_interfaces)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.metrics import (
+        compliance_report)
+    payload = json.dumps({
+        "@context": "dtmi:dtdl:context;3", "@id": "dtmi:x:Dev;1",
+        "@type": "Interface",
+        "contents": [{"@type": "Command", "name": "go"}]})
+    docs = docs_from_payloads(spark, {"d": payload})
+    ents, _, _ = convert_interfaces(extract_interfaces(docs),
+                                    DtdlModes(command="entity"))
+    m = {r["dtmi"]: r["fabric_id"] for r in dtmi_mapping(ents).collect()}
+    assert set(m) == {"dtmi:x:Dev;1", "x:Dev:cmd:go"}
+    assert all(len(v) == 13 and v.isdigit() for v in m.values())
+
+    issues = spark.createDataFrame(
+        [("cdm:parse", "error", "boom", "u1"),
+         ("cdm:parse", "error", "bang", "u2"),
+         ("dtdl:dtmi_format", "warning", "bad", "u3")],
+        "category string, severity string, message string, uri string")
+    rep = {(r["severity"], r["category"]): (r["n"], r["example_message"])
+           for r in compliance_report(issues).collect()}
+    assert rep[("error", "cdm:parse")] == (2, "bang")
+    assert rep[("warning", "dtdl:dtmi_format")][0] == 1
