@@ -905,6 +905,238 @@ LIMIT 10
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user via Spark's
+    built-in session_window — the batch twin of the streaming stateful
+    operator; oracle is the classic gaps-and-islands SQL."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                 .alias("value_milli"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events",
+                    F.col("value_milli").cast("bigint").alias("value_milli"))
+            .orderBy("user_id", "session_start"))
+
+
+_ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the props column (§2.8 json family)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(k).cast("bigint").alias("sum_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))
+
+
+_ORACLE_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    """REAL WAV decode through the multimodal batch path: one synthesized
+    PCM payload per nation (rate 8000, 800+8k frames → duration 100+k ms);
+    the oracle recomputes the expected metadata arithmetically."""
+    import io
+    import struct
+    import wave
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        decode_media)
+    keys = [r["n_nationkey"]
+            for r in _t(spark, sf_dir, "nation")
+            .select("n_nationkey").collect()]
+    rows = []
+    for k in keys:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            w.writeframes(struct.pack("<h", 12000) * (800 + 8 * int(k)))
+        rows.append((f"nation_{k}", 0, f"wav://{k}",
+                     bytearray(buf.getvalue())))
+    refs = spark.createDataFrame(
+        rows, "doc_id string, span_idx int, media_ref string, payload binary")
+    return (decode_media(refs, decoder="stdlib")
+            .select("doc_id", "media_type", "duration_ms")
+            .orderBy("doc_id"))
+
+
+_ORACLE_MEDIA_DECODE = """
+SELECT 'nation_'||n_nationkey AS doc_id, 'audio' AS media_type,
+       CAST(100 + n_nationkey AS BIGINT) AS duration_ms
+FROM nation ORDER BY doc_id
+"""
+
+
+_IVF_K = 4        # coarse-quantizer cells for the driver demo
+_IVF_PROBE = 2    # clusters each query scans
+
+
+def _ivf_demo_centroids() -> list[list[float]]:
+    """Data-independent ±1 grid centroids (md5-derived, like the LSH
+    planes) so the DuckDB oracle can inline identical literals. The
+    k-means-TRAINED path (train_ivf_centroids) is exercised in pytest —
+    trained centroids depend on the data, which a static oracle string
+    cannot reproduce."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import (
+        hyperplane_planes)
+    return hyperplane_planes(_EMB_DIM, _IVF_K)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid inverted file, n_probe clusters per query,
+    exact cosine rank within."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return (ivf_topk(e, q, _ivf_demo_centroids(), k=5, n_probe=_IVF_PROBE)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
+def _oracle_ann_ivf() -> str:
+    cents = ", ".join(
+        f"({j}, [{','.join(f'{x:.1f}' for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(_ivf_demo_centroids()))
+    return f"""
+WITH cents(cid, c) AS (VALUES {cents}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 3),
+assign AS (
+  SELECT vec_id, embedding,
+         (SELECT cid FROM cents
+          ORDER BY list_distance(embedding::DOUBLE[], c), cid
+          LIMIT 1) AS cid
+  FROM embeddings
+), probe AS (
+  SELECT query_id, qv, p.cid
+  FROM q, LATERAL (SELECT cid FROM cents
+                   ORDER BY list_distance(qv::DOUBLE[], c), cid
+                   LIMIT {_IVF_PROBE}) p
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(a.embedding, p.qv) AS cos
+  FROM probe p JOIN assign a USING (cid)
+  WHERE a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation inside one region+year —
+    a 6-table join chain with two broadcast dims (region, nation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    ep_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = ep_cents * (F.lit(100) - disc_pct)
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey) &
+                  (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), (n.n_regionkey == r.r_regionkey) &
+                  (r.r_name == "ASIA"))
+            .where((F.col("o_orderdate") >= "1995-01-01") &
+                   (F.col("o_orderdate") < "1997-01-01"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(rev).alias("revenue_micent"))
+            .orderBy(F.desc("revenue_micent"), "nation"))
+
+
+_ORACLE_Q5 = """
+SELECT n_name AS nation,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_micent
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_micent DESC, nation
+"""
+
+
+_Q18_MIN_QTY = 150  # sized so sf0.01 yields a non-trivial result set
+
+
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (HAVING over a join-aggregate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"))
+           .where(F.col("sum_qty") > _Q18_MIN_QTY))
+    return (qty.join(o, qty.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(F.col("c_name").alias("cust"),
+                    F.col("o_orderkey").alias("orderkey"), "sum_qty")
+            .orderBy(F.desc("sum_qty"), "orderkey"))
+
+
+_ORACLE_Q18 = f"""
+SELECT c_name AS cust, o_orderkey AS orderkey,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, o_orderkey
+HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {_Q18_MIN_QTY}
+ORDER BY sum_qty DESC, orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # DTDL / CDM front-end queries (S4/S6, J7-J10, command ENTITY mode)
 # ---------------------------------------------------------------------------
@@ -1134,6 +1366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_shape": q_tpch_q3_shape,
+        "tpch_q5_shape": q_tpch_q5_shape,
+        "tpch_q18_shape": q_tpch_q18_shape,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "events_sessionize": q_events_sessionize,
+        "events_json_extract": q_events_json_extract,
+        "media_decode": q_media_decode,
         "dtdl_entity_types": q_dtdl_entity_types,
         "dtdl_relationship_types": q_dtdl_relationship_types,
         "cdm_entity_types": q_cdm_entity_types,
@@ -1173,6 +1411,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": _oracle_ann_lsh(),
         "tpch_q1": _ORACLE_Q1,
         "tpch_q3_shape": _ORACLE_Q3,
+        "tpch_q5_shape": _ORACLE_Q5,
+        "tpch_q18_shape": _ORACLE_Q18,
+        "ann_ivf_topk": _oracle_ann_ivf(),
+        "events_sessionize": _ORACLE_SESSIONIZE,
+        "events_json_extract": _ORACLE_EVENTS_JSON,
+        "media_decode": _ORACLE_MEDIA_DECODE,
         "dtdl_entity_types": _oracle_dtdl_entities(),
         "dtdl_relationship_types": _oracle_dtdl_relationships(),
         "cdm_entity_types": _oracle_cdm_entities(),

@@ -5,10 +5,11 @@ provides the Spark-side plumbing for decode / feature-extract / resize /
 frame-sample as Arrow-batched mapInPandas stages:
 
 - schemas and batch shapes are real and tested;
-- the actual codec work is stubbed (image/audio libs are not in this
-  container) behind ``DECODERS`` — a deterministic fake decoder is used in
-  tests, and a NotImplementedError decoder marks the integration point for
-  real libs (pillow/torchaudio/pyav) in production.
+- ``DECODERS`` selects the codec tier: ``stdlib`` REALLY decodes WAV
+  (wave module), BMP (struct) and PNG headers+IDAT (zlib) with zero
+  external deps; ``fake`` is the deterministic stand-in for formats the
+  stdlib can't parse; ``real`` is the NotImplementedError integration
+  point for full codecs (pillow/torchaudio/pyav) in production.
 
 Scale shape: media payload fetch+decode is the bandwidth hog, so it runs
 as a narrow mapInPandas over a repartitioned ref table (no shuffle of the
@@ -51,44 +52,145 @@ def fake_decoder(ref: str, payload: bytes | None) -> dict:
     }
 
 
-def real_decoder(ref: str, payload: bytes | None) -> dict:
-    """Integration point for production codecs (pillow / pyav / soundfile).
+def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
+    """REAL decode for the containers the Python stdlib can handle —
+    no external codec libs needed:
 
-    Those libraries are not available in this container; wire them here and
-    the surrounding Spark plumbing (schema, partitioning, batching) is
-    already in place.
+    - WAV (RIFF/WAVE, 8/16-bit PCM): channels / sample rate / duration via
+      the ``wave`` module; feature = 8-bin RMS envelope of the samples.
+    - BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp): width / height via
+      ``struct``; feature = 8-bin grayscale histogram over the pixel rows.
+    - PNG: width / height from the IHDR chunk; feature = 8-bin histogram
+      of the zlib-decompressed IDAT stream (a content signature in
+      filtered-scanline space, not pixel space — full pixel decode needs a
+      real codec; see ``real_decoder``).
+
+    Anything else raises → a decode_error row, never a task failure.
+    """
+    import struct
+    if not payload:
+        raise ValueError("no payload bytes for stdlib decode")
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, sw, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                      w.getframerate(), w.getnframes())
+            raw = w.readframes(nframes)
+        if sw == 2:
+            import array
+            samples = array.array("h")
+            samples.frombytes(raw[:len(raw) - (len(raw) % 2)])
+            scale = 32768.0
+        else:  # 8-bit unsigned PCM
+            samples = [b - 128 for b in raw]
+            scale = 128.0
+        n = max(len(samples), 1)
+        bins = [0.0] * 8
+        for i, s in enumerate(samples):
+            bins[(i * 8) // n] += (s / scale) ** 2
+        per = max(n // 8, 1)
+        feature = [float((b / per) ** 0.5) for b in bins]
+        return {"media_type": "audio", "width": None, "height": None,
+                "duration_ms": int(nframes * 1000 / max(rate, 1)),
+                "feature": feature, "decode_error": None}
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off, = struct.unpack_from("<I", payload, 10)
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if comp != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+        h = abs(height)
+        nbytes = bpp // 8
+        row_len = ((width * nbytes + 3) // 4) * 4
+        hist = [0] * 8
+        for r in range(h):
+            base = off + r * row_len
+            for c in range(width):
+                p = base + c * nbytes
+                if p + 3 > len(payload):
+                    break
+                bl, g, rd = payload[p], payload[p + 1], payload[p + 2]
+                gray = (rd * 299 + g * 587 + bl * 114) // 1000
+                hist[gray >> 5] += 1
+        tot = max(sum(hist), 1)
+        return {"media_type": "image", "width": int(width),
+                "height": int(h), "duration_ms": None,
+                "feature": [v / tot for v in hist], "decode_error": None}
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+        width, height = struct.unpack_from(">II", payload, 16)
+        idat, pos = b"", 8
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            if typ == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + ln]
+            if typ == b"IEND":
+                break
+            pos += 12 + ln
+        raw = zlib.decompress(idat) if idat else b""
+        hist = [0] * 8
+        for b in raw:
+            hist[b >> 5] += 1
+        tot = max(sum(hist), 1)
+        return {"media_type": "image", "width": int(width),
+                "height": int(height), "duration_ms": None,
+                "feature": [v / tot for v in hist], "decode_error": None}
+
+    raise ValueError(f"unsupported container (magic={payload[:4]!r})")
+
+
+def real_decoder(ref: str, payload: bytes | None) -> dict:
+    """Integration point for full production codecs (pillow / pyav /
+    soundfile — JPEG, MP4, Opus, ...). Not available in this container;
+    ``stdlib_decoder`` really decodes WAV/BMP/PNG with the stdlib, and the
+    surrounding Spark plumbing (schema, partitioning, batching) is shared.
     """
     raise NotImplementedError(
-        "media codecs not available in this environment; use fake_decoder "
-        "or install pillow/pyav and implement here")
+        "full media codecs not available in this environment; use "
+        "'stdlib' (real WAV/BMP/PNG) or 'fake', or install pillow/pyav "
+        "and implement here")
 
 
 DECODERS: dict[str, Callable[[str, bytes | None], dict]] = {
     "fake": fake_decoder,
+    "stdlib": stdlib_decoder,
     "real": real_decoder,
 }
 
 
 def decode_media(media_refs: DataFrame, decoder: str = "fake",
                  partitions: int | None = None) -> DataFrame:
-    """media refs (doc_id, span_idx, media_ref) → decoded metadata+feature.
+    """media refs (doc_id, span_idx, media_ref[, payload]) → decoded
+    metadata+feature.
 
-    One narrow Arrow pass; decode errors become rows, not task failures.
+    If the input carries a binary ``payload`` column (inline media, or a
+    fetch stage ran upstream) it is handed to the decoder; otherwise the
+    decoder sees None (the 'fake' decoder needs only the ref). One narrow
+    Arrow pass; decode errors become rows, not task failures.
     """
     dec = DECODERS[decoder]
     if partitions:
         media_refs = media_refs.repartition(partitions)
+    has_payload = "payload" in media_refs.columns
 
     def run(batches):
         import pandas as pd
         cols = [f.name for f in MEDIA_META_SCHEMA.fields]
         for pdf in batches:
             out = []
-            for doc_id, idx, ref in zip(pdf["doc_id"], pdf["span_idx"],
-                                        pdf["media_ref"]):
+            payloads = pdf["payload"] if has_payload else [None] * len(pdf)
+            for doc_id, idx, ref, payload in zip(
+                    pdf["doc_id"], pdf["span_idx"], pdf["media_ref"],
+                    payloads):
                 try:
-                    d = dec(ref, None)
-                    out.append((doc_id, int(idx), ref, d["media_type"], None,
+                    pl = bytes(payload) if payload is not None else None
+                    d = dec(ref, pl)
+                    out.append((doc_id, int(idx), ref, d["media_type"], pl,
                                 d["width"], d["height"], d["duration_ms"],
                                 d["feature"], None))
                 except Exception as e:  # noqa: BLE001

@@ -16,6 +16,14 @@ def build_session(app: str = "fabric-ontology-spark", master: str | None = None,
     b = (SparkSession.builder.appName(app)
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # size-first coalescing: tiny dimension shuffles (class tables,
+         # type dictionaries, iterative-loop rounds) collapse to one task
+         # instead of `defaultParallelism` empty tasks; large shuffles are
+         # still split by the 64 MB advisory size. Measured ~20% off the
+         # latency-bound KG pipeline cold time, neutral (within host
+         # noise) on the 14M-triple extraction job.
+         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                 "false")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
