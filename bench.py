@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "emb_near_dup",
     "dtdl_entity_types",
     "cdm_entity_types",
+    "events_sessionize",
+    "events_json_extract",
+    "ann_ivf_topk",
+    "tpch_q5_shape",
+    "tpch_q18_shape",
 ]
 
 

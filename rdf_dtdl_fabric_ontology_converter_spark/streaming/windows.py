@@ -62,3 +62,91 @@ def run_windowed_stream(spark: SparkSession, in_path: str, out_path: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start timestamp, "
+                      "session_end timestamp, n_events bigint, "
+                      "value_sum double")
+SESSION_STATE_SCHEMA = ("session_start timestamp, last_ts timestamp, "
+                        "n bigint, vsum double")
+
+
+def stateful_sessions(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` (the SURVEY's custom-stateful-operator
+    device; batch twin = the session_window query `events_sessionize`).
+
+    State per user = the open session (start, last event, count, value
+    sum). A batch's events extend or close it: any gap > ``gap_minutes``
+    emits the closed session downstream (append mode) and opens a new one.
+    The still-open session stays in state across micro-batches — a session
+    spanning two input files is emitted ONCE with all its events counted
+    (exactly-once through the checkpoint). An event-time timeout set one
+    gap past the last event closes idle sessions when the watermark
+    passes, so state is bounded on an unbounded stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        gap = pd.Timedelta(minutes=gap_minutes)
+        cols = ["user_id", "session_start", "session_end", "n_events",
+                "value_sum"]
+
+        if state.hasTimedOut:
+            s0, last, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, s0, last, int(n), float(vsum))], columns=cols)
+            return
+
+        if state.exists:
+            s0, last, n, vsum = state.get
+            s0, last = pd.Timestamp(s0), pd.Timestamp(last)
+        else:
+            s0 = last = None
+            n, vsum = 0, 0.0
+
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, val in zip(batch["ts"], batch["value"]):
+            if last is not None and ts - last > gap:
+                out.append((user_id, s0, last, int(n), float(vsum)))
+                s0, n, vsum = None, 0, 0.0
+            if s0 is None:
+                s0 = ts
+            last = ts
+            n += 1
+            vsum += float(val)
+
+        if last is not None:
+            state.update((s0.to_pydatetime(), last.to_pydatetime(),
+                          int(n), float(vsum)))
+            state.setTimeoutTimestamp(
+                int(last.to_pydatetime().timestamp() * 1000) + gap_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def run_session_stream(spark: SparkSession, in_path: str, out_path: str,
+                       checkpoint: str, gap_minutes: int = 30):
+    """File-source stream → stateful sessionizer → parquet, availableNow."""
+    events = read_events_stream(spark, in_path)
+    sessions = stateful_sessions(events, gap_minutes=gap_minutes)
+    return (sessions.writeStream
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -72,3 +72,47 @@ def test_pandas_cosine_matches_jvm(spark):
     pdu = [(r["query_id"], r["neighbor_id"], r["rank"])
            for r in cosine_topk_pandas(v, q, k=5).collect()]
     assert sorted(jvm) == sorted(pdu)
+
+
+def test_stateful_session_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session spanning two
+    micro-batch files is emitted exactly once with all events counted
+    (state carried through the checkpoint across two availableNow runs)."""
+    import datetime as dt
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.windows import (
+        run_session_stream)
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minute, user=1, val=1.0):
+        return (eid, base + dt.timedelta(minutes=minute), user, "click",
+                val, "{}")
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    # batch 1: session A (minutes 0-10), then a 60-min gap, session B
+    # opens at minute 70 and is still open at end of batch
+    b1 = [ev(0, 0), ev(1, 5), ev(2, 10), ev(3, 70), ev(4, 75)]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    run_session_stream(spark, in_dir, out_dir, cp).awaitTermination()
+
+    got1 = spark.read.parquet(out_dir).collect()
+    # session A closed by the in-batch gap; session B still in state
+    assert [(r["user_id"], r["n_events"]) for r in got1] == [(1, 3)]
+    assert got1[0]["session_start"] == base
+    assert got1[0]["session_end"] == base + dt.timedelta(minutes=10)
+
+    # batch 2: continues session B (minute 80), then a gap closes it at
+    # minute 200 — B must come out ONCE with events from BOTH batches
+    b2 = [ev(5, 80), ev(6, 200), ev(7, 205),
+          ev(8, 500)]  # late opener advances the watermark
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    run_session_stream(spark, in_dir, out_dir, cp).awaitTermination()
+
+    got2 = {(r["user_id"], r["session_start"], r["n_events"],
+             r["value_sum"]) for r in spark.read.parquet(out_dir).collect()}
+    # session B: minutes 70,75 (batch 1 state) + 80 (batch 2) = 3 events
+    assert (1, base + dt.timedelta(minutes=70), 3, 3.0) in got2
