@@ -221,7 +221,7 @@ def convert_cdm(cdm_entities: DataFrame, cdm_rels: DataFrame,
                 flatten_inheritance: bool = True
                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entity_types, relationship_types, skipped) in the shared schema."""
-    ents = _dedup_entities(cdm_entities).localCheckpoint()
+    ents = _dedup_entities(cdm_entities).localCheckpoint(eager=False)
     ents = ents.withColumn(
         "fabric_id", fabric_id(F.concat(F.lit("cdm:"), "entity_name")))
 

@@ -114,9 +114,9 @@ def inheritance_depth(ifaces: DataFrame,
                    "parent", "left_semi")
              .select("dtmi", "parent"))
     depth = ifaces.select("dtmi", F.lit(0).alias("depth"))
-    cur = edges
+    cur = edges.localCheckpoint(eager=False)
     for d in range(1, max_depth + 1):
-        if cur.isEmpty():
+        if cur.count() == 0:  # one action: materializes + convergence check
             break
         depth = (depth.join(cur.select("dtmi").dropDuplicates()
                             .withColumn("d2", F.lit(d)), "dtmi", "left")
@@ -126,7 +126,7 @@ def inheritance_depth(ifaces: DataFrame,
                .join(edges.alias("b"), F.col("a.parent") == F.col("b.dtmi"))
                .select(F.col("a.dtmi").alias("dtmi"),
                        F.col("b.parent").alias("parent"))
-               .dropDuplicates().localCheckpoint())
+               .dropDuplicates().localCheckpoint(eager=False))
     return depth
 
 
@@ -137,17 +137,20 @@ def ancestor_closure(ifaces: DataFrame,
              .select("dtmi", F.explode("extends").alias("ancestor"))
              .join(ifaces.select(F.col("dtmi").alias("ancestor")),
                    "ancestor", "left_semi"))
-    closure = edges.localCheckpoint()
+    closure = edges.localCheckpoint(eager=False)
+    prev = closure.count()
     for _ in range(max_depth):
         grown = (closure.alias("a")
                  .join(edges.alias("b"),
                        F.col("a.ancestor") == F.col("b.dtmi"))
                  .select(F.col("a.dtmi").alias("dtmi"),
                          F.col("b.ancestor").alias("ancestor")))
-        new = closure.unionByName(grown).dropDuplicates().localCheckpoint()
-        if new.count() == closure.count():
+        new = (closure.unionByName(grown).dropDuplicates()
+               .localCheckpoint(eager=False))
+        n = new.count()  # one action per round: materialize + converge
+        if n == prev:
             return new
-        closure = new
+        closure, prev = new, n
     return closure
 
 
@@ -213,7 +216,7 @@ def convert_interfaces(interfaces: DataFrame, modes: DtdlModes | None = None
                        ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (entity_types, relationship_types, skipped) in the shared schema."""
     modes = modes or DtdlModes()
-    ifaces = _dedup_interfaces(interfaces).localCheckpoint()
+    ifaces = _dedup_interfaces(interfaces).localCheckpoint(eager=False)
     ifaces = ifaces.withColumn("fabric_id", dtmi_fabric_id(F.col("dtmi")))
 
     skipped = (interfaces.where(F.col("parse_error").isNotNull())

@@ -40,7 +40,7 @@ def expression_subgraph(triples: DataFrame) -> DataFrame:
             .where(F.col("pred").isin(_EXPR_PREDS))
             .select("subj", "pred", "obj", "obj_kind")
             .dropDuplicates(["subj", "pred", "obj"])
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 def resolve_class_targets(roots: DataFrame, expr: DataFrame,

@@ -66,10 +66,10 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
     # localCheckpoint materializes the deduped graph once — every later
     # stage (B-D) re-reads it instead of re-running extraction per action.
     triples = dedup_triples(triples_prov,
-                            spread_hot_subjects=True).localCheckpoint()
+                            spread_hot_subjects=True).localCheckpoint(eager=False)
 
     classes = classes_with_parents(triples, extract_classes(triples))
-    classes = classes.localCheckpoint()
+    classes = classes.localCheckpoint(eager=False)
 
     expr = expression_subgraph(triples)
     data_props, prop_domains = extract_data_properties(

@@ -36,7 +36,7 @@ def run_unified(spark: SparkSession, documents: DataFrame,
                 registry=None) -> UnifiedResult:
     """``registry`` is an optional functions.typemaps.TypeMappingRegistry —
     user type overrides applied per format ('rdf', 'dtdl', 'cdm')."""
-    documents = documents.localCheckpoint()
+    documents = documents.localCheckpoint(eager=False)
 
     # RDF-family spans → triples → graph
     triples_prov, parse_skips = triples_from_documents(documents)
