@@ -241,3 +241,49 @@ def test_microdata():
     assert addr.startswith("_:")
     assert (addr, "https://schema.org/addressLocality", "Springfield") in got
     assert (addr, RDF_TYPE, "https://schema.org/PostalAddress") in got
+
+
+# --- property-based round-trips (beyond the reference's test strategy:
+# it has no randomized tests; hypothesis shakes the tokenizer escape paths)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ttl_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_turtle_literal_roundtrip_property(s):
+    ttl = f'<http://s> <http://p> "{_ttl_escape(s)}" .'
+    rows = parse_turtle(ttl)
+    assert len(rows) == 1
+    assert rows[0][2] == s and rows[0][3] == "literal"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["http://a", "http://b", "_:x"]),
+              st.just("http://p"),
+              st.text(max_size=30),
+              st.sampled_from(["globalId", "localId",
+                               "http://www.w3.org/2001/XMLSchema#string"]),
+              st.sampled_from(["", "en"]),
+              st.sampled_from(["", "http://g"])),
+    min_size=1, max_size=10))
+def test_hext_roundtrip_property(rows):
+    import json as _json
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.hext import parse_hext
+    text = "\n".join(_json.dumps(list(r)) for r in rows)
+    got = parse_hext(text)
+    assert len(got) == len(rows)
+    for (s, p, v, dt, lang, g), (gs, gp, gv, kind, gdt, glang, gctx) in zip(
+            rows, got):
+        assert (gs, gp, gv) == (s, p, v)
+        assert kind == {"globalId": "iri", "localId": "bnode"}.get(
+            dt, "literal")
+        assert glang == (lang or None)
+        assert gctx == (g or None)
