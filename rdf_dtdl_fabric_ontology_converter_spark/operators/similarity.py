@@ -7,9 +7,14 @@
   the scale path is bucket → search within bucket (candidates share a
   signature), turning the O(N·Q) cross join into a bucket-local join.
 
-For 100 TB-scale corpora the bucketed variant is the default: signatures
-partition the vector set, queries probe only their own bucket (plus
-optional multi-probe neighbors by flipping low-margin bits).
+- IVF (inverted file): driver-side deterministic k-means coarse
+  quantizer; vectors bucket by nearest centroid, queries scan n_probe
+  nearest clusters — cluster granularity adapts to the data where the
+  sign-random LSH buckets cannot.
+
+For 100 TB-scale corpora the bucketed variants are the default: signatures
+or centroid cells partition the vector set, queries probe only their own
+bucket(s) (multi-probe: low-margin bit flips / n_probe nearest cells).
 """
 
 from __future__ import annotations

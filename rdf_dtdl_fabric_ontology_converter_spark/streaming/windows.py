@@ -4,7 +4,9 @@ late-data handling.
 The reference has no event-time semantics (its "streaming" is chunked
 batch); these are the Structured Streaming operators a training-data
 ingest pipeline needs: tumbling/sliding window counts over an event
-stream with a watermark bounding state and dropping too-late rows.
+stream with a watermark bounding state and dropping too-late rows, plus a
+custom stateful operator (per-user gap sessionization via
+``applyInPandasWithState`` with an event-time timeout).
 """
 
 from __future__ import annotations
