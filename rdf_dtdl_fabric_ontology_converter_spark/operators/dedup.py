@@ -111,11 +111,19 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
     distinct): two id-keyed joins attach them to the candidate pairs and
     the intersection is a JVM ``array_intersect`` — no (doc, shingle)
     explode, no shingle-keyed exchange, no re-aggregation. Candidate pairs
-    are LSH output (small relative to the corpus), so the array payload
-    shuffles only for docs that actually appear in a pair.
+    are LSH output (small relative to the corpus), so shingles are
+    computed ONLY for docs that appear in a pair (semi-join first) and
+    materialized once (lazy checkpoint) instead of being recomputed by
+    each join branch.
     """
-    docs_sh = documents.select(F.col(key_col).alias("d"),
-                               shingles(F.col(text_col)).alias("shs"))
+    ids = (pairs.select(F.col("doc_a").alias("d"))
+           .unionByName(pairs.select(F.col("doc_b").alias("d")))
+           .dropDuplicates())
+    docs_sh = (documents
+               .join(ids, documents[key_col] == ids.d, "left_semi")
+               .select(F.col(key_col).alias("d"),
+                       shingles(F.col(text_col)).alias("shs"))
+               .localCheckpoint(eager=False))
     return (pairs
             .join(docs_sh.select(F.col("d").alias("doc_a"),
                                  F.col("shs").alias("sha")), "doc_a")
