@@ -288,6 +288,7 @@ def test_job_cli_end_to_end(spark, tmp_path):
     rc = jobmod.main(["--input", in_path, "--output", out,
                       "--definition-json", deff,
                       "--checkpoint-root", str(tmp_path / "cp"),
+                      "--dtmi-mapping",
                       "--shuffle-partitions", "4"])
     assert rc == 0
     ents = spark.read.parquet(f"{out}/entity_types")
@@ -295,6 +296,17 @@ def test_job_cli_end_to_end(spark, tmp_path):
         {"Person", "Organization", "Thermostat"}
     d = _json.load(open(deff))
     assert d["parts"][0]["path"] == ".platform"
+    # structural re-validation of our own serialized parts must be clean
+    issues = spark.read.parquet(f"{out}/issues").collect()
+    assert [r for r in issues if r["severity"] == "error"] == []
+    # compliance rollup + dtmi→id mapping artifacts
+    comp = spark.read.parquet(f"{out}/compliance")
+    assert set(comp.columns) == {"severity", "category", "n",
+                                 "example_message"}
+    dm = {r["dtmi"]: r["fabric_id"]
+          for r in spark.read.parquet(f"{out}/dtmi_mapping").collect()}
+    assert "dtmi:com:example:Thermostat;1" in dm
+    assert all(len(v) == 13 and v.isdigit() for v in dm.values())
 
 
 def test_stdlib_media_decode(spark):
