@@ -486,6 +486,56 @@ def _oracle_minhash() -> str:
     """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup ACTION: MinHash+LSH candidate pairs → connected-component
+    cluster ids + keeper flags (min-id keeper). Oracle = recursive-CTE
+    transitive closure over the same candidate graph."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_clusters, lsh_candidates)
+    pairs = lsh_candidates(_t(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+def _oracle_dedup_clusters() -> str:
+    rows_per_band = _N_HASH // _N_BANDS
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+      FROM sh, generate_series(0, {_N_HASH - 1}) AS s(seed)
+      GROUP BY doc_id, seed
+    ), banded AS (
+      SELECT doc_id, CAST(floor(seed/{rows_per_band}) AS INT) AS band,
+             string_agg(mh, '|' ORDER BY mh) AS sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed/{rows_per_band}) AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    ), und AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ), reach(node, other) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.other
+      WHERE u.b <> r.node
+    )
+    SELECT node AS doc_id,
+           least(node, min(other)) AS cluster_id,
+           least(node, min(other)) = node AS is_keeper
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard for a deterministic pair sample (doc, doc+1)."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import ngram_jaccard
@@ -1352,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_depth_o1": q_topo_depth_o1,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
@@ -1397,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "topo_depth_o1": _ORACLE_O1,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_simhash": _ORACLE_SIMHASH,
         "text_stats": _ORACLE_TEXT_STATS,

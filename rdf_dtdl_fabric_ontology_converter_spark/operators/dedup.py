@@ -8,12 +8,13 @@ bit-for-bit.
 
 Scale notes:
 - exact: one hash aggregate on md5(text) — map-side partial combine.
-- minhash: per-permutation array_min over the per-row shingle array — a
-  pure NARROW projection (no explode, no shuffle); the only exchange in
-  the LSH pipeline is the band self-join on (band, sig). The join key is
-  the bucket, so only colliding docs shuffle together; skewed buckets are
-  rare by construction (a hot bucket means near-identical docs, which is
-  the signal itself).
+- minhash: explode + per-permutation min with map-side partial
+  aggregation — the exchange carries n_hash minima per doc; the band
+  self-join keys on (band, sig) so only colliding docs shuffle together;
+  skewed buckets are rare by construction (a hot bucket means
+  near-identical docs, which is the signal itself). A zero-shuffle narrow
+  variant is blocked by a pyspark 4.1 HOF miscompile — see
+  minhash_signatures.
 - jaccard: per-doc shingle arrays joined onto candidate pairs +
   array_intersect — no (doc, shingle) explode or re-aggregation.
 - simhash: one aggregation — `bits` static ±1 SUM columns over (doc,
@@ -196,3 +197,40 @@ def simhash(documents: DataFrame, text_col: str = "text",
         sim = sim + F.when(F.col(f"s{j}") > 0,
                            F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return agg.select(key_col, sim.alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id, is_keeper): the dedup ACTION.
+
+    Connected components over the candidate-pair graph via hash-min label
+    propagation (same loop shape as canon.sameas_components — one lazy
+    checkpoint + one count per round); cluster_id = min doc id in the
+    component, which is also the keeper (matching exact_duplicates'
+    min-keeper convention). Downstream: anti-join the corpus against
+    non-keeper doc_ids to drop duplicates.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("a"),
+                          F.col("doc_b").alias("b")).dropDuplicates())
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (und.select(F.col("a").alias("node")).dropDuplicates()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=False))
+    for _ in range(max_rounds):
+        neigh = (und.join(labels, und.b == labels.node)
+                 .groupBy(F.col("a").alias("node"))
+                 .agg(F.min("label").alias("nbr_label")))
+        merged = (labels.join(neigh, "node", "left")
+                  .select("node", F.col("label").alias("old_label"),
+                          F.least(F.col("label"),
+                                  F.coalesce("nbr_label", F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"),
+                         (F.col("node") == F.col("label"))
+                         .alias("is_keeper"))

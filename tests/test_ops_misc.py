@@ -398,3 +398,15 @@ def test_ivf_topk_trained(spark):
     # probing every cluster = brute force exactly
     assert h4 == bf
     assert len(h1 & bf) <= len(h4 & bf)
+
+
+def test_dedup_clusters(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_clusters)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (3, 9)], "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in dedup_clusters(pairs).collect()}
+    # chain 1-2-3-9 collapses to cluster 1; 7-8 to cluster 7
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   9: (1, False), 7: (7, True), 8: (7, False)}
