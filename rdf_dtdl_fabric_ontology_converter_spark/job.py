@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--definition-json", default=None)
     p.add_argument("--dtmi-mapping", action="store_true",
                    help="also write the dtmi→fabric-id mapping table")
+    p.add_argument("--ontology-name", default=None,
+                   help="definition display name (default: first "
+                        "owl:Ontology label in the corpus)")
     p.add_argument("--shuffle-partitions", type=int, default=200)
     args = p.parse_args(argv)
 
@@ -91,7 +94,9 @@ def main(argv=None) -> int:
         write_table(dtmi_mapping(ents), f"{args.output}/dtmi_mapping")
 
     if args.definition_json:
-        name = ontology_name(triples)
+        # explicit name wins, like the reference CLI's --ontology-name
+        # (reference: src/app/cli/commands/unified/convert.py:263)
+        name = args.ontology_name or ontology_name(triples)
         definition = create_definition(ents, rels, name)
         with open(args.definition_json, "w") as f:
             json.dump(definition, f, indent=2)

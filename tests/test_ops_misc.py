@@ -288,7 +288,7 @@ def test_job_cli_end_to_end(spark, tmp_path):
     rc = jobmod.main(["--input", in_path, "--output", out,
                       "--definition-json", deff,
                       "--checkpoint-root", str(tmp_path / "cp"),
-                      "--dtmi-mapping",
+                      "--dtmi-mapping", "--ontology-name", "MyOnto",
                       "--shuffle-partitions", "4"])
     assert rc == 0
     ents = spark.read.parquet(f"{out}/entity_types")
@@ -296,6 +296,8 @@ def test_job_cli_end_to_end(spark, tmp_path):
         {"Person", "Organization", "Thermostat"}
     d = _json.load(open(deff))
     assert d["parts"][0]["path"] == ".platform"
+    meta = _json.loads(base64.b64decode(d["parts"][0]["payload"]))
+    assert meta["metadata"]["displayName"] == "MyOnto"  # --ontology-name
     # structural re-validation of our own serialized parts must be clean
     issues = spark.read.parquet(f"{out}/issues").collect()
     assert [r for r in issues if r["severity"] == "error"] == []
