@@ -153,3 +153,18 @@ def definition_parts_df(entity_types: DataFrame,
         F.base64(rel_payload.cast("binary")).alias("payload"),
         F.lit("InlineBase64").alias("payloadType"))
     return ents.unionByName(rels)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   buckets: int = 16, sort: bool = True) -> None:
+    """Bucketed external table writer: co-locates rows by hash(key) so a
+    later equi-join between two tables bucketed the SAME way on the SAME
+    key needs NO shuffle (both sides report the bucket spec as their
+    output partitioning). This is the pre-shuffle device for repeated
+    joins at 100 TB — pay the partitioning once at write time.
+    """
+    w = df.write.mode("overwrite").option("path", path) \
+        .bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)

@@ -412,3 +412,36 @@ def test_dedup_clusters(spark):
     # chain 1-2-3-9 collapses to cluster 1; 7-8 to cluster 7
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    9: (1, False), 7: (7, True), 8: (7, False)}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed the same way join WITHOUT an exchange —
+    the pre-partitioning device the scale design relies on."""
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.sinks import (
+        write_bucketed)
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", str(tmp_path / "a"), "k", buckets=8)
+    write_bucketed(b, "bkt_b", str(tmp_path / "b"), "k", buckets=8)
+    # force the sort-merge path (tiny test tables would broadcast,
+    # which hides the bucket spec); at real scale SMJ is the default
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+             .where(F.col("va") + F.col("vb") > 0))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # sort-merge join directly over the bucketed scans: no Exchange
+        assert "Exchange" not in plan, plan
+        assert j.count() == 999  # k=0 filtered (va+vb==0)
+        assert "Bucketed: true" in plan
+        # a NON-bucketed equivalent of the same join does shuffle
+        plan2 = (a.join(b, "k")._jdf.queryExecution().executedPlan()
+                 .toString())
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
