@@ -6,10 +6,16 @@ The reference delegates these two formats to rdflib's HTML plugin parsers
 commonly-used subset of each public spec over the stdlib ``html.parser``
 (no external libs on executors):
 
-RDFa-lite 1.1: ``vocab`` / ``prefix`` / ``about`` / ``resource`` /
-``typeof`` / ``property`` / ``content`` / ``datatype`` / ``href`` /
-``src`` / ``lang``. Out of subset (documented): @rel/@rev, @inlist,
-xmlns:-style prefixes.
+RDFa 1.1 (lite + links): ``vocab`` / ``prefix`` / ``about`` /
+``resource`` / ``typeof`` / ``property`` / ``content`` / ``datatype`` /
+``href`` / ``src`` / ``lang`` / ``rel`` / ``rev`` (including incomplete
+triples completed by descendant subjects). Subject resolution follows the
+RDFa 1.1 processing sequence: @about sets the subject for the element's
+own @property; @property+@resource makes the resource the object AND the
+subject for descendants (object chaining). Bare @rel/@rev terms with no
+in-scope vocab/prefix are HTML link relations (stylesheet, nofollow, …)
+and are ignored, per the HTML5 host-language rules. Out of subset
+(documented): @inlist, xmlns:-style prefixes.
 
 Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
 ``itemtype`` / ``itemid`` / ``itemprop``; value extraction per element
@@ -53,9 +59,12 @@ class _RdfaParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.triples: list[tuple] = []
         self.bnode_n = 0
-        # scope stack entries: dict(subject, vocab, prefixes, lang)
+        # scope stack entries: dict(subject, vocab, prefixes, lang,
+        # incomplete) — incomplete holds pending @rel/@rev triples as
+        # (direction, pred, subject), completed by each descendant element
+        # that establishes a new subject (RDFa 1.1 processing step 10).
         self.scopes = [{"subject": None, "vocab": None, "prefixes": {},
-                        "lang": None}]
+                        "lang": None, "incomplete": []}]
         # pending text-content captures: list of
         # [depth, subject, pred, datatype, lang, buf]
         self.captures: list[list] = []
@@ -79,13 +88,36 @@ class _RdfaParser(HTMLParser):
             return scope["vocab"] + term
         return term
 
+    def _link_preds(self, val: str | None, scope: dict) -> list[str]:
+        """Resolve @rel/@rev terms; bare terms with no in-scope vocab or
+        prefix are HTML link relations (stylesheet, nofollow, …) → ignored."""
+        if not val:
+            return []
+        preds = []
+        for term in val.split():
+            if term.startswith("_:"):
+                continue
+            pfx, sep, local = term.partition(":")
+            if sep and pfx in scope["prefixes"]:
+                preds.append(scope["prefixes"][pfx] + local)
+            elif _is_abs(term):
+                preds.append(term)
+            elif scope["vocab"]:
+                preds.append(scope["vocab"] + term)
+        return preds
+
+    @staticmethod
+    def _kind(term: str) -> str:
+        return "bnode" if term.startswith("_:") else "iri"
+
     def handle_starttag(self, tag, attrs):
         self.depth += 1
         a = dict(attrs)
         parent = self.scopes[-1]
+        incoming = parent["incomplete"]
         scope = {"subject": parent["subject"], "vocab": parent["vocab"],
                  "prefixes": parent["prefixes"], "lang": parent["lang"],
-                 "_depth": self.depth, "_tag": tag}
+                 "incomplete": incoming, "_depth": self.depth, "_tag": tag}
         if "vocab" in a and a["vocab"]:
             scope["vocab"] = a["vocab"]
         if "prefix" in a and a["prefix"]:
@@ -102,56 +134,114 @@ class _RdfaParser(HTMLParser):
         resource = a.get("resource")
         typeof = a.get("typeof")
         prop = a.get("property")
+        rel_preds = self._link_preds(a.get("rel"), scope)
+        rev_preds = self._link_preds(a.get("rev"), scope)
 
-        new_subject = None
+        # the object resource carried by this element (resource > href > src)
+        obj_iri = None
+        if resource is not None:
+            obj_iri = self._resolve(resource, scope)
+        elif "href" in a:
+            obj_iri = a["href"]
+        elif "src" in a:
+            obj_iri = a["src"]
+
+        new_subject = None      # subject established BY this element
+        child_subject = None    # subject for descendants via object chaining
         if about is not None:
             new_subject = self._resolve(about, scope)
-        elif typeof is not None and prop is None:
-            # typeof without about/property: new (b)node subject
-            new_subject = (self._resolve(resource, scope) if resource
-                           else self._bnode())
+        # subject this element's own @rel/@rev/@property attach to
+        self_subject = (new_subject if new_subject is not None
+                        else parent["subject"])
+
+        if rel_preds or rev_preds:
+            if self_subject is None:
+                self_subject = self._bnode()
+            if obj_iri is not None:
+                for p in rel_preds:
+                    self.triples.append((self_subject, p, obj_iri,
+                                         self._kind(obj_iri),
+                                         None, None, None))
+                for p in rev_preds:
+                    self.triples.append((obj_iri, p, self_subject,
+                                         self._kind(self_subject),
+                                         None, None, None))
+                child_subject = obj_iri
+                scope["incomplete"] = []
+            else:
+                # no object here: incomplete triples, completed by each
+                # descendant element that establishes a new subject
+                scope["incomplete"] = (
+                    [("fwd", p, self_subject) for p in rel_preds] +
+                    [("rev", p, self_subject) for p in rev_preds])
 
         if prop:
-            psubj = parent["subject"] or scope["subject"] or self._bnode()
+            if self_subject is None:
+                self_subject = self._bnode()
+            psubj = self_subject
             pred = self._resolve(prop, scope)
             dt = self._resolve(a.get("datatype"), scope) \
                 if a.get("datatype") else None
-            obj_iri = None
-            if resource is not None:
-                obj_iri = self._resolve(resource, scope)
-            elif "href" in a:
-                obj_iri = a["href"]
-            elif "src" in a:
-                obj_iri = a["src"]
             if "content" in a:
                 self.triples.append((psubj, pred, a["content"] or "",
                                      "literal", dt, scope["lang"], None))
-            elif typeof is not None and obj_iri is None:
+                if obj_iri is not None and not (rel_preds or rev_preds):
+                    child_subject = obj_iri
+            elif obj_iri is not None and not (rel_preds or rev_preds):
+                self.triples.append((psubj, pred, obj_iri,
+                                     self._kind(obj_iri), None, None, None))
+                # @property+@resource: the resource becomes the subject for
+                # descendant elements (object chaining), typeof or not
+                child_subject = obj_iri
+            elif typeof is not None and about is None:
                 # property + typeof chaining: object is a fresh bnode that
                 # becomes the subject for descendants
                 obj = self._bnode()
                 self.triples.append((psubj, pred, obj, "bnode",
                                      None, None, None))
-                new_subject = obj
-            elif obj_iri is not None:
-                kind = "bnode" if obj_iri.startswith("_:") else "iri"
-                self.triples.append((psubj, pred, obj_iri, kind,
-                                     None, None, None))
-                if typeof is not None:
-                    new_subject = obj_iri
+                child_subject = obj
             elif tag in _VOID:
                 self.triples.append((psubj, pred, "", "literal",
                                      dt, scope["lang"], None))
             else:
                 self.captures.append(
                     [self.depth, psubj, pred, dt, scope["lang"], []])
-        elif resource is not None and new_subject is None:
-            new_subject = self._resolve(resource, scope)
+        elif not (rel_preds or rev_preds):
+            if new_subject is None and typeof is not None:
+                # typeof without about/property: new (b)node subject
+                new_subject = (self._resolve(resource, scope) if resource
+                               else self._bnode())
+            elif new_subject is None and resource is not None:
+                new_subject = self._resolve(resource, scope)
 
-        if new_subject is not None:
+        # complete the nearest ancestor's pending @rel/@rev triples
+        if new_subject is not None and incoming:
+            for direction, p, s in incoming:
+                if direction == "fwd":
+                    self.triples.append((s, p, new_subject,
+                                         self._kind(new_subject),
+                                         None, None, None))
+                else:
+                    self.triples.append((new_subject, p, s,
+                                         self._kind(s), None, None, None))
+            if scope["incomplete"] is incoming:
+                scope["incomplete"] = []
+
+        if child_subject is not None:
+            scope["subject"] = child_subject
+        elif new_subject is not None:
             scope["subject"] = new_subject
+        elif self_subject is not None and parent["subject"] is None:
+            scope["subject"] = self_subject
+
         if typeof is not None:
-            tsubj = new_subject or scope["subject"] or self._bnode()
+            if about is not None:
+                tsubj = new_subject
+            elif prop and child_subject is not None:
+                tsubj = child_subject  # typed resource = the object
+            else:
+                tsubj = (new_subject or child_subject or scope["subject"]
+                         or self._bnode())
             scope["subject"] = scope["subject"] or tsubj
             for t in typeof.split():
                 t_iri = self._resolve(t, scope)

@@ -184,7 +184,11 @@ def extract_cdm(documents: DataFrame, materialize: bool = True,
 
     combined = documents.mapInArrow(run, CDM_COMBINED_SCHEMA)
     if materialize:
-        combined = combined.persist()
+        # localCheckpoint(eager=False), not persist(): a lazy checkpoint is
+        # released with its lineage when the frame is GC'd, so repeated
+        # extract_cdm calls in a long-lived session don't accumulate cached
+        # RDDs in executor storage (matches the sibling operators).
+        combined = combined.localCheckpoint(eager=False)
 
     ents = (combined
             .select("doc_id", "span_idx", "parse_error",

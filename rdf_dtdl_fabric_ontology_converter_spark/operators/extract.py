@@ -51,7 +51,17 @@ def sniff_format(text: str) -> str:
     s = text.lstrip()
     if not s:
         return "empty"
-    if s.startswith("<?xml") or s.startswith("<rdf:RDF") or s.startswith("<RDF"):
+    if s.startswith("<?xml"):
+        # XHTML documents open with an XML declaration but may carry RDFa
+        # or microdata (the reference's rdflib routes xhtml+rdfa to the
+        # RDFa parser); only a non-html root is RDF/XML or TriX.
+        low_head = s[:4096].lower()
+        if "<html" in low_head:
+            return "microdata" if "itemscope" in s.lower() else "rdfa"
+        if "<trix" in low_head:
+            return "trix"
+        return "rdfxml"
+    if s.startswith("<rdf:RDF") or s.startswith("<RDF"):
         return "rdfxml"
     if s.startswith("<TriX") or s.startswith("<trix"):
         return "trix"
@@ -60,7 +70,9 @@ def sniff_format(text: str) -> str:
         low = s[:2048].lower()
         if re.match(r"<!doctype\b|<(html|head|body|div|section|article|span"
                     r"|main|p|ul|ol|li|table|meta|article)\b", low):
-            return "microdata" if "itemscope" in low else "rdfa"
+            # itemscope may first appear deep in the body — search the whole
+            # document, not just the sniff prefix.
+            return "microdata" if "itemscope" in s.lower() else "rdfa"
     if s[0] in "{[":
         import json
         if s[0] == "[":
@@ -115,9 +127,18 @@ def _parse_span(text: str):
         if fmt == "hext":
             return fmt, parse_hext(text), None
         if fmt in ("rdfa", "microdata"):
-            from ..functions.htmlrdf import parse_microdata, parse_rdfa
+            from ..functions.htmlrdf import (HtmlRdfParseError,
+                                             parse_microdata, parse_rdfa)
             parse = parse_microdata if fmt == "microdata" else parse_rdfa
-            return fmt, parse(text), None
+            try:
+                return fmt, parse(text), None
+            except HtmlRdfParseError:
+                # Sniffing HTML flavors is heuristic — fall back to the
+                # sibling parser before declaring a parse error (e.g. RDFa
+                # markup inside a page that also mentions 'itemscope').
+                other_fmt = "rdfa" if fmt == "microdata" else "microdata"
+                other = parse_rdfa if fmt == "microdata" else parse_microdata
+                return other_fmt, other(text), None
         if fmt == "rdfxml":
             return fmt, parse_rdfxml(text), None
         if fmt == "trix":

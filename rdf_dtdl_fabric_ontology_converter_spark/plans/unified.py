@@ -42,12 +42,15 @@ def run_unified(spark: SparkSession, documents: DataFrame,
     triples_prov, parse_skips = triples_from_documents(documents)
     rdf = build_graph(spark, triples_prov, parse_skips, registry=registry)
 
-    # DTDL spans
+    # DTDL spans — build a NEW DtdlModes rather than mutating the caller's
+    # instance (a caller reusing one DtdlModes across run_unified calls with
+    # different registries must not accumulate stale overrides).
     if registry is not None:
+        import dataclasses
         dtdl_modes = dtdl_modes or DtdlModes()
         merged = dict(registry.overrides("dtdl"))
         merged.update(dtdl_modes.type_overrides or {})
-        dtdl_modes.type_overrides = merged
+        dtdl_modes = dataclasses.replace(dtdl_modes, type_overrides=merged)
     d_ents, d_rels, d_skips = convert_interfaces(
         extract_interfaces(documents), dtdl_modes)
 

@@ -414,6 +414,24 @@ def test_dedup_clusters(spark):
                    9: (1, False), 7: (7, True), 8: (7, False)}
 
 
+def test_dedup_clusters_long_chain(spark):
+    """Pointer doubling: a component whose diameter exceeds the round count
+    still converges (O(log d) rounds), and non-convergence raises instead of
+    silently splitting a cluster (round-3 ADVICE)."""
+    import pytest
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_clusters)
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(59)],
+        "doc_a string, doc_b string")
+    rows = dedup_clusters(pairs, max_rounds=10).collect()
+    assert {r["cluster_id"] for r in rows} == {"d000"}
+    assert [r["doc_id"] for r in rows if r["is_keeper"]] == ["d000"]
+    assert len(rows) == 60
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_rounds=1)
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Two tables bucketed the same way join WITHOUT an exchange —
     the pre-partitioning device the scale design relies on."""

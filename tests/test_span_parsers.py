@@ -209,6 +209,94 @@ def test_rdfa_lite():
     assert (bob, RDF_TYPE, "http://schema.org/Person") in got
 
 
+def test_rdfa_subject_resolution():
+    """RDFa 1.1 subject rules (round-3 ADVICE): @about+@property attaches to
+    the about IRI; @property+@resource chains the resource as descendant
+    subject (typeof not required)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import parse_rdfa
+    h = """<html><body vocab="http://schema.org/">
+    <span about="http://e.org/alice" property="name">Alice</span>
+    <div about="http://e.org/alice">
+      <span property="knows" resource="http://e.org/bob">
+        <span property="name">Bob</span>
+      </span>
+    </div></body></html>"""
+    got = spo(parse_rdfa(h))
+    assert ("http://e.org/alice", "http://schema.org/name", "Alice") in got
+    assert ("http://e.org/alice", "http://schema.org/knows",
+            "http://e.org/bob") in got
+    assert ("http://e.org/bob", "http://schema.org/name", "Bob") in got
+
+
+def test_rdfa_rel_rev():
+    """@rel/@rev: immediate objects, incomplete-triple completion by each
+    descendant subject, @rev inversion, HTML link relations ignored."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import parse_rdfa
+    h = """<html><head><link rel="stylesheet" href="x.css"></head>
+    <body vocab="http://schema.org/" prefix="ex: http://ex.org/">
+    <div about="http://e.org/alice" rel="ex:follows"
+         resource="http://e.org/carol"></div>
+    <div about="http://e.org/alice" rel="knows">
+      <div about="http://e.org/bob"><span property="name">Bob</span></div>
+      <div about="http://e.org/eve"><span property="name">Eve</span></div>
+    </div>
+    <div about="http://e.org/doc" rev="author"
+         resource="http://e.org/alice"></div>
+    </body></html>"""
+    rows = parse_rdfa(h)
+    got = spo(rows)
+    assert ("http://e.org/alice", "http://ex.org/follows",
+            "http://e.org/carol") in got
+    # incomplete triples completed by BOTH sibling subjects
+    assert ("http://e.org/alice", "http://schema.org/knows",
+            "http://e.org/bob") in got
+    assert ("http://e.org/alice", "http://schema.org/knows",
+            "http://e.org/eve") in got
+    assert ("http://e.org/bob", "http://schema.org/name", "Bob") in got
+    # @rev inverts subject/object
+    assert ("http://e.org/alice", "http://schema.org/author",
+            "http://e.org/doc") in got
+    # rel="stylesheet" (no vocab in <head>) is a link relation, not a triple
+    assert all(p != "stylesheet" and not p.endswith("/stylesheet")
+               for (_s, p, _o) in got)
+
+
+def test_sniff_html_edge_cases():
+    """Round-3 ADVICE: itemscope beyond the sniff prefix; XHTML+RDFa."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        parse_microdata)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        _parse_span, sniff_format)
+    filler = "\n".join(f"  <p>paragraph {i} of plain filler text</p>"
+                       for i in range(200))
+    late = ("<!DOCTYPE html>\n<html><body>\n" + filler +
+            '\n<div itemscope itemtype="https://schema.org/Thing" '
+            'itemid="http://e.org/t"><span itemprop="name">T</span></div>'
+            "\n</body></html>")
+    assert len(late[:2048].lower().split("itemscope")) == 1  # beyond prefix
+    assert sniff_format(late) == "microdata"
+    assert ("http://e.org/t", "https://schema.org/name", "T") in spo(
+        parse_microdata(late))
+    xhtml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+             '<html xmlns="http://www.w3.org/1999/xhtml">'
+             '<body vocab="http://schema.org/">'
+             '<span about="http://e.org/a" property="name">A</span>'
+             "</body></html>")
+    assert sniff_format(xhtml) == "rdfa"
+    fmt, rows, err = _parse_span(xhtml)
+    assert err is None and fmt == "rdfa"
+    assert ("http://e.org/a", "http://schema.org/name", "A") in spo(rows)
+    # mis-sniffed flavor falls back to the sibling HTML parser
+    trick = ('<!DOCTYPE html><html><body>'
+             '<p>the itemscope attribute is discussed here</p>'
+             '<span about="http://e.org/b" property="http://s.org/name">B'
+             "</span></body></html>")
+    assert sniff_format(trick) == "microdata"
+    fmt, rows, err = _parse_span(trick)
+    assert err is None and fmt == "rdfa"
+    assert ("http://e.org/b", "http://s.org/name", "B") in spo(rows)
+
+
 def test_microdata():
     from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
         parse_microdata)

@@ -350,13 +350,19 @@ def test_type_registry_overrides(spark):
                 {"name": "total", "dataType": "money"}]}]}),
     }
     docs = docs_from_payloads(spark, payloads)
-    res = run_unified(spark, docs, registry=reg)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import DtdlModes
+    caller_modes = DtdlModes()
+    res = run_unified(spark, docs, dtdl_modes=caller_modes, registry=reg)
     types = {(r["name"], p["valueType"])
              for r in res.entity_types.collect()
              for p in r["properties"]}
     assert ("C", "Decimal") in types       # rdf override (default: Double)
     assert ("D", "Decimal") in types       # dtdl override (default: Double)
     assert ("Bill", "String") in types     # cdm override (default: Decimal)
+    # run_unified must NOT mutate the caller's DtdlModes (round-3 ADVICE):
+    # reusing one modes object across calls with different registries would
+    # otherwise accumulate stale overrides
+    assert caller_modes.type_overrides in (None, {})
 
 
 def test_dtmi_mapping_and_compliance_report(spark):
