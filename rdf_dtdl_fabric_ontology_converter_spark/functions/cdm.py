@@ -100,6 +100,12 @@ def _rel_rows(rels: list, out_rels: list):
             continue
         frm = r.get("fromEntity", "")
         to = r.get("toEntity", "")
+        if not (frm and to):
+            # reference drops relationships without both endpoints
+            # (cdm_parser.py:619-620 returns None) — e.g. model.json
+            # SingleKeyRelationship rows carry nested fromAttribute/
+            # toAttribute objects, not fromEntity/toEntity strings
+            continue
         name = r.get("name")
         if not name:
             for t in r.get("exhibitsTraits") or []:
@@ -160,6 +166,27 @@ def parse_cdm(text: str) -> tuple[list[dict], list[dict]]:
                 attrs.extend(_parse_attr(a, i))
             entities.append({"name": e["name"], "extends": None,
                              "attributes": attrs, "dialect": dialect})
+            # model.json relationships come from attributeReference entries
+            # on entity attributes (reference cdm_parser.py:327-340).
+            for a in e.get("attributes", []):
+                if not isinstance(a, dict):
+                    continue
+                ref = a.get("attributeReference")
+                if isinstance(ref, dict):
+                    to_ent = ref.get("entityName", "")
+                    rels.append({
+                        "name": f"{e['name']}_to_{to_ent}",
+                        "from_entity": e["name"],
+                        "from_attribute": a.get("name", ""),
+                        "to_entity": to_ent,
+                        "to_attribute": ref.get("attributeName", "")})
+        # Documented superset of the reference: flat-style top-level
+        # relationship rows (fromEntity/toEntity strings) are also read in
+        # model.json. The reference's model.json path ignores the top-level
+        # array entirely (cdm_parser.py:305-347), but its nested
+        # SingleKeyRelationship rows are dropped here anyway by the
+        # both-endpoints guard, so output matches the reference on real
+        # model.json corpora.
         _rel_rows(doc.get("relationships"), rels)
     else:  # manifest
         for e in doc.get("entities", []):

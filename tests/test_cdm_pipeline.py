@@ -45,14 +45,20 @@ MODEL_JSON = json.dumps({
                         {"name": "email", "dataType": "string"}]},
         {"$type": "LocalEntity", "name": "Order",
          "attributes": [{"name": "orderId", "dataType": "guid"},
+                        {"name": "customerId", "dataType": "guid",
+                         "attributeReference": {
+                             "entityName": "Customer",
+                             "attributeName": "customerId"}},
                         {"name": "total", "dataType": "decimal"}]},
     ],
+    # model.json relationships come ONLY from attributeReference entries;
+    # the reference ignores this top-level array in the model.json path
+    # (cdm_parser.py:305-347) — SingleKeyRelationship endpoints are nested
+    # objects its _parse_relationship never reads
     "relationships": [
         {"$type": "SingleKeyRelationship",
-         "fromAttribute": {"entityName": "Order", "attributeName": "customerId"},
-         "toAttribute": {"entityName": "Customer", "attributeName": "customerId"},
-         "fromEntity": "Order", "fromEntityAttribute": "customerId",
-         "toEntity": "Customer", "toEntityAttribute": "customerId"}],
+         "fromAttribute": {"entityName": "Order", "attributeName": "total"},
+         "toAttribute": {"entityName": "Customer", "attributeName": "email"}}],
 })
 
 MANIFEST = json.dumps({

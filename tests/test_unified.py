@@ -246,12 +246,18 @@ def test_cdm_validator_deep_rules(spark):
                  "hasAttributes": [{"name": "ok", "dataType": "string",
                                     "purpose": "identifiedBy"}]}]}),
         "relmodel": json.dumps({
-            "name": "m", "entities": [],
+            "name": "m", "entities": [
+                # attributeReference without entityName → rel with empty
+                # toEntity (reaches the validator, like the reference's
+                # model.json path; flat rows with empty endpoints are
+                # dropped at parse per cdm_parser.py:619-620)
+                {"$type": "LocalEntity", "name": "RelHost",
+                 "attributes": [{"name": "dangling", "dataType": "guid",
+                                 "attributeReference":
+                                     {"attributeName": "x"}}]}],
             "relationships": [
                 {"fromEntity": "Child", "fromEntityAttribute": "nope",
-                 "toEntity": "Ghost", "toEntityAttribute": "gid"},
-                {"fromEntity": "", "toEntity": "Child",
-                 "toEntityAttribute": "ok"}]}),
+                 "toEntity": "Ghost", "toEntityAttribute": "gid"}]}),
     }
     docs = docs_from_payloads(spark, payloads)
     ents, rels = extract_cdm(docs)
@@ -267,7 +273,7 @@ def test_cdm_validator_deep_rules(spark):
     assert ("cdm:name_has_spaces", "warning") in cats     # 'bad len'
     assert ("cdm:name_too_long", "error") in cats         # 120-char attr
     assert ("cdm:extends_dependency", "info") in cats     # Child→Self
-    assert ("cdm:missing_endpoint", "error") in cats      # empty fromEntity
+    assert ("cdm:missing_endpoint", "error") in cats      # empty toEntity
     assert ("cdm:unknown_endpoint", "info") in cats       # Ghost
     assert ("cdm:unknown_endpoint_attribute", "warning") in cats  # 'nope'
     msgs = {r["message"] for r in got}
