@@ -536,6 +536,82 @@ def _oracle_dedup_clusters() -> str:
     """
 
 
+_MAX_BUCKET = 10_000  # LSH degenerate-bucket guard (dedup_pipeline)
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """Composed dedup ACTION (round-2 verdict item): exact md5 clusters →
+    keeper-only corpus → MinHash/LSH with a bucket-size cap → connected
+    components → EVERY input doc labeled (doc_id, cluster_id, is_keeper).
+    Identical text never reaches banding, so a boilerplate mega-cluster
+    can't make an LSH bucket quadratic; capped buckets surface in the
+    stats frame (not returned here), never silently."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_pipeline)
+    assignments, _stats = dedup_pipeline(_t(spark, sf_dir, "documents"),
+                                         max_bucket=_MAX_BUCKET)
+    return assignments.orderBy("doc_id")
+
+
+def _oracle_dedup_pipeline() -> str:
+    rows_per_band = _N_HASH // _N_BANDS
+    return f"""
+    WITH RECURSIVE eh AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), grp AS (
+      SELECT h, min(doc_id) AS keeper FROM eh GROUP BY h
+    ), d2k AS (
+      SELECT eh.doc_id AS doc_id, grp.keeper AS keeper
+      FROM eh JOIN grp USING (h)
+    ), kd AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN grp ON d.doc_id = grp.keeper
+    ), toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM kd
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM toks
+    ), mh AS (
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+      FROM sh, generate_series(0, {_N_HASH - 1}) AS s(seed)
+      GROUP BY doc_id, seed
+    ), banded AS (
+      SELECT doc_id, CAST(floor(seed/{rows_per_band}) AS INT) AS band,
+             string_agg(mh, '|' ORDER BY mh) AS sig
+      FROM mh GROUP BY doc_id, CAST(floor(seed/{rows_per_band}) AS INT)
+    ), bsz AS (
+      SELECT band, sig, count(*) AS n FROM banded GROUP BY band, sig
+    ), bandok AS (
+      SELECT banded.doc_id, banded.band, banded.sig
+      FROM banded JOIN bsz USING (band, sig) WHERE bsz.n <= {_MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bandok x JOIN bandok y ON x.band = y.band AND x.sig = y.sig
+      WHERE x.doc_id < y.doc_id
+    ), und AS (
+      SELECT a, b FROM cand UNION SELECT b, a FROM cand
+    ), reach(node, other) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.other
+      WHERE u.b <> r.node
+    ), comp AS (
+      SELECT node, least(node, min(other)) AS cluster
+      FROM reach GROUP BY node
+    )
+    SELECT d2k.doc_id AS doc_id,
+           coalesce(comp.cluster, d2k.keeper) AS cluster_id,
+           (d2k.doc_id = coalesce(comp.cluster, d2k.keeper)) AS is_keeper
+    FROM d2k LEFT JOIN comp ON comp.node = d2k.keeper
+    ORDER BY doc_id
+    """
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard for a deterministic pair sample (doc, doc+1)."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import ngram_jaccard
@@ -1403,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
@@ -1449,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_pipeline": _oracle_dedup_pipeline(),
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_simhash": _ORACLE_SIMHASH,
         "text_stats": _ORACLE_TEXT_STATS,

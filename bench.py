@@ -29,6 +29,7 @@ from rdf_dtdl_fabric_ontology_converter_spark.session import build_session  # no
 BENCH_QUERIES = [
     "kg_entity_types",
     "dedup_minhash_lsh",
+    "dedup_pipeline",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_stats",

@@ -414,6 +414,62 @@ def test_dedup_clusters(spark):
                    9: (1, False), 7: (7, True), 8: (7, False)}
 
 
+def test_dedup_pipeline_identical_megacluster(spark):
+    """1k byte-identical docs (web boilerplate shape): exact dedup collapses
+    them to ONE keeper before banding, so the LSH pair graph stays O(k),
+    not O(k²) — the round-2 verdict's degenerate-bucket scenario."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_pipeline, lsh_candidates)
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, same) for i in range(1000)]
+    # a genuine near-dup pair (same tokens, different bytes → two keepers)
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon  zeta")]
+    rows += [(3000, "a completely unrelated document about spark plans")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    assignments, stats = dedup_pipeline(docs, max_bucket=50)
+    st = stats.collect()[0]
+    assert st["n_docs"] == 1003 and st["n_keepers"] == 4
+    assert st["n_capped_buckets"] == 0
+    # keeper-only corpus reaches LSH: pair count is O(keepers), not O(docs²)
+    keepers = docs.join(
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")),
+        "doc_id", "left_semi")
+    assert lsh_candidates(keepers).count() <= 1
+    asg = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in assignments.collect()}
+    assert all(asg[i] == (0, i == 0) for i in range(1000))
+    assert asg[2000] == (2000, True) and asg[2001] == (2000, False)
+    assert asg[3000] == (3000, True)
+
+
+def test_dedup_pipeline_bucket_cap(spark):
+    """Near-identical-but-unequal family larger than max_bucket: excluded
+    from the pair join and surfaced in the stats frame — never silent."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        dedup_pipeline)
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    # same token stream (identical shingles) but distinct bytes per doc
+    rows = [(i, words.replace(" ", " " * (2 + i % 59), 1) + " " * (i // 59))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert docs.select("text").distinct().count() == 60
+
+    capped_asg, capped_stats = dedup_pipeline(docs, max_bucket=50)
+    st = capped_stats.collect()[0]
+    assert st["n_keepers"] == 60
+    assert st["n_capped_buckets"] == 4      # every band bucket holds 60
+    assert st["n_capped_rows"] == 240
+    # with the family capped out, nothing links: every doc is its own keeper
+    assert capped_asg.where(~F.col("is_keeper")).count() == 0
+
+    open_asg, open_stats = dedup_pipeline(docs, max_bucket=100)
+    assert open_stats.collect()[0]["n_capped_buckets"] == 0
+    got = {r["doc_id"]: r["cluster_id"] for r in open_asg.collect()}
+    assert set(got.values()) == {0}         # one cluster, keeper = min id
+
+
 def test_dedup_clusters_long_chain(spark):
     """Pointer doubling: a component whose diameter exceeds the round count
     still converges (O(log d) rounds), and non-convergence raises instead of
