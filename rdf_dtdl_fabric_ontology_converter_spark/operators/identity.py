@@ -72,16 +72,56 @@ def collect_entity_properties(class_props: DataFrame) -> DataFrame:
             ))
 
 
+def _props_and_identity(class_props: DataFrame) -> DataFrame:
+    """Fused W2/W3 + A9: ONE hash aggregate on class_uri producing both the
+    sorted property arrays and the identity/display choices (the separate
+    collect_entity_properties + entity_identity pair costs two shuffles and
+    two joins for the same key — this is the single-shuffle form used by
+    the materializer; the pair stays public for callers that need one side).
+    """
+    non_ts = ~F.col("is_timeseries")
+    key_ok = F.col("value_type").isin("String", "BigInt")
+    prop_struct = F.struct(F.col("prop_id").alias("id"), "name",
+                           F.col("value_type").alias("valueType"))
+    agg = class_props.groupBy("class_uri").agg(
+        F.sort_array(F.collect_list(F.when(non_ts, prop_struct)))
+        .alias("properties"),
+        F.sort_array(F.collect_list(F.when(~non_ts, prop_struct)))
+        .alias("timeseries_properties"),
+        F.max(F.when(non_ts & F.lower("name").contains("id") & key_ok,
+                     F.struct("name", "prop_id"))).alias("id_prop"),
+        F.max(F.when(non_ts & F.lower("name").contains("name") &
+                     (F.col("value_type") == "String"),
+                     F.struct("name", "prop_id"))).alias("name_prop"),
+        F.min(F.when(non_ts & key_ok,
+                     F.struct("name", "prop_id"))).alias("first_valid"),
+    )
+    chosen = F.coalesce(F.col("id_prop.prop_id"), F.col("first_valid.prop_id"))
+    display = F.when(F.col("id_prop").isNotNull(),
+                     F.coalesce(F.col("name_prop.prop_id"),
+                                F.col("id_prop.prop_id"))) \
+        .otherwise(F.col("first_valid.prop_id"))
+    return agg.select(
+        "class_uri", "properties", "timeseries_properties",
+        F.when(chosen.isNotNull(), F.array(chosen))
+         .otherwise(F.array().cast("array<string>")).alias("entity_id_parts"),
+        display.alias("display_name_property_id"),
+    )
+
+
 def materialize_entity_types(classes: DataFrame,
                              class_props: DataFrame) -> DataFrame:
-    """→ the entity_types vertex table (FIXTURES.md §3 schema)."""
-    props = collect_entity_properties(class_props)
-    ident = entity_identity(class_props)
+    """→ the entity_types vertex table (FIXTURES.md §3 schema).
+
+    The per-class aggregate is broadcast into the class table: class_props
+    is bounded by the Fabric limits (≤500 entity types × ≤200 properties),
+    so the build side is small BY CONSTRAINT at any corpus scale.
+    """
+    pi = _props_and_identity(class_props)
     empty_props = F.array().cast(
         "array<struct<id:string,name:string,valueType:string>>")
     return (classes
-            .join(props, "class_uri", "left")
-            .join(ident, "class_uri", "left")
+            .join(F.broadcast(pi), "class_uri", "left")
             .select(
                 F.col("entity_id").alias("id"),
                 "name",

@@ -68,15 +68,19 @@ def data_property_set(triples: DataFrame, xsd_map: DataFrame) -> DataFrame:
 
 
 def _resolve_datatype_union(triples: DataFrame, bnode_ranges: DataFrame,
-                            expr: DataFrame, xsd_map: DataFrame) -> DataFrame:
+                            expr: DataFrame, xsd_map: DataFrame,
+                            targets: DataFrame | None = None) -> DataFrame:
     """Blank-node range → most restrictive Fabric type over the union (A5).
 
     Mirrors TypeMapper.resolve_datatype_union (type_mapper.py:169-212):
     targets outside the XSD namespace are ignored; no known target → String.
+    ``targets`` (root_key, class_uri), if given, is the pre-resolved 'dpr'
+    slice of resolver.resolve_graph_roots — skips the per-call loop.
     """
-    roots = bnode_ranges.select(F.col("prop_uri").alias("root_key"),
-                                F.col("range_obj").alias("node"))
-    targets = resolve_class_targets(roots, expr)
+    if targets is None:
+        roots = bnode_ranges.select(F.col("prop_uri").alias("root_key"),
+                                    F.col("range_obj").alias("node"))
+        targets = resolve_class_targets(roots, expr)
     ranked = (targets
               .join(F.broadcast(xsd_map),
                     targets.class_uri == xsd_map.xsd_iri, "inner")
@@ -88,14 +92,31 @@ def _resolve_datatype_union(triples: DataFrame, bnode_ranges: DataFrame,
             .select("prop_uri", F.col("fabric_type").alias("union_type")))
 
 
+def dp_bnode_ranges(triples: DataFrame, xsd_map: DataFrame) -> DataFrame:
+    """(prop_uri, range_obj): pinned-first blank-node range per data
+    property — the datatype-union resolution roots (role 'dpr' in
+    resolver.resolve_graph_roots)."""
+    props = data_property_set(triples, xsd_map)
+    return (props.join(first_ranges(triples), "prop_uri")
+            .where(F.col("range_kind") == "bnode")
+            .select("prop_uri", "range_obj"))
+
+
 def extract_data_properties(triples: DataFrame, classes: DataFrame,
-                            expr: DataFrame, xsd_map: DataFrame
+                            expr: DataFrame, xsd_map: DataFrame,
+                            resolved: DataFrame | None = None
                             ) -> tuple[DataFrame, DataFrame]:
     """→ (data_properties, prop_domains).
 
     data_properties: (prop_uri, prop_id, name, value_type, is_timeseries)
     prop_domains:    (prop_uri, class_uri) — one row per (property, resolved
                      domain class that exists), the J1 join result.
+
+    ``resolved``: optional (role, root_key, class_uri) output of
+    resolver.resolve_graph_roots — when given, domain and datatype-union
+    resolution reuse the fused single-loop pass (post-filtered to this
+    extractor's property set, which is result-identical) instead of running
+    two private resolver loops.
     """
     props = data_property_set(triples, xsd_map)
 
@@ -109,20 +130,31 @@ def extract_data_properties(triples: DataFrame, classes: DataFrame,
                       .alias("direct_type")))
     bnode_ranges = ranges.where(F.col("range_kind") == "bnode") \
         .select("prop_uri", "range_obj")
-    union_types = _resolve_datatype_union(triples, bnode_ranges, expr, xsd_map)
+    dpr_targets = None
+    if resolved is not None:
+        dpr_targets = (resolved.where(F.col("role") == "dpr")
+                       .select("root_key", "class_uri"))
+    union_types = _resolve_datatype_union(triples, bnode_ranges, expr,
+                                          xsd_map, targets=dpr_targets)
 
-    # timeseries flag from pinned-first rdfs:comment
+    # timeseries flag from pinned-first rdfs:comment; comments can sit on
+    # arbitrary subjects (instances too), so restrict to the bounded
+    # property set BEFORE aggregating/broadcasting
     comments = (triples.where(F.col("pred") == RDFS_COMMENT)
+                .join(props.select(F.col("prop_uri").alias("subj")),
+                      "subj", "left_semi")
                 .groupBy(F.col("subj").alias("prop_uri"))
                 .agg(F.min("obj").alias("comment")))
     ts = comments.select(
         "prop_uri",
         F.lower(F.col("comment")).contains("(timeseries)").alias("is_timeseries"))
 
+    # the three attribute frames are keyed by property URI — bounded by the
+    # ontology schema (≤500 types × ≤200 props), so broadcast BY CONSTRAINT
     out = (props
-           .join(direct, "prop_uri", "left")
-           .join(union_types, "prop_uri", "left")
-           .join(ts, "prop_uri", "left")
+           .join(F.broadcast(direct), "prop_uri", "left")
+           .join(F.broadcast(union_types), "prop_uri", "left")
+           .join(F.broadcast(ts), "prop_uri", "left")
            .select(
                "prop_uri",
                fabric_id(F.col("prop_uri")).alias("prop_id"),
@@ -133,15 +165,21 @@ def extract_data_properties(triples: DataFrame, classes: DataFrame,
            ))
 
     # J1: resolve domains through class expressions, keep only known classes
-    domain_roots = (triples
-                    .where(F.col("pred") == RDFS_DOMAIN)
-                    .join(props, triples.subj == props.prop_uri, "left_semi")
-                    .select(F.col("subj").alias("root_key"),
-                            F.col("obj").alias("node")))
-    resolved = resolve_class_targets(domain_roots, expr)
-    prop_domains = (resolved
-                    .select(F.col("root_key").alias("prop_uri"),
-                            F.col("class_uri"))
+    if resolved is not None:
+        dom_targets = (resolved.where(F.col("role") == "dom")
+                       .select(F.col("root_key").alias("prop_uri"),
+                               "class_uri")
+                       .join(props, "prop_uri", "left_semi"))
+    else:
+        domain_roots = (triples
+                        .where(F.col("pred") == RDFS_DOMAIN)
+                        .join(props, triples.subj == props.prop_uri,
+                              "left_semi")
+                        .select(F.col("subj").alias("root_key"),
+                                F.col("obj").alias("node")))
+        dom_targets = resolve_class_targets(domain_roots, expr).select(
+            F.col("root_key").alias("prop_uri"), "class_uri")
+    prop_domains = (dom_targets
                     .join(classes.select("class_uri"), "class_uri", "left_semi")
                     .dropDuplicates())
     return out, prop_domains

@@ -56,18 +56,29 @@ def object_property_set(triples: DataFrame, xsd_map: DataFrame,
                      .select("prop_uri"))
     # U2: exclude rdf:Properties already claimed as data properties
     known_dp = prop_domains.select("prop_uri").dropDuplicates()
-    entity_ranged = entity_ranged.join(known_dp, "prop_uri", "left_anti")
+    entity_ranged = entity_ranged.join(F.broadcast(known_dp),
+                                       "prop_uri", "left_anti")
     return owl_op.unionByName(entity_ranged).dropDuplicates()
 
 
 def _explicit_targets(triples: DataFrame, props: DataFrame, pred: str,
-                      expr: DataFrame, classes: DataFrame) -> DataFrame:
-    roots = (triples.where(F.col("pred") == pred)
-             .join(props, triples.subj == props.prop_uri, "left_semi")
-             .select(F.col("subj").alias("root_key"),
-                     F.col("obj").alias("node")))
-    resolved = resolve_class_targets(roots, expr)
-    return (resolved.select(F.col("root_key").alias("prop_uri"), "class_uri")
+                      expr: DataFrame, classes: DataFrame,
+                      targets: DataFrame | None = None) -> DataFrame:
+    """``targets``: optional pre-resolved (root_key, class_uri) slice from
+    resolver.resolve_graph_roots (roles 'dom'/'rng'); post-filtering by the
+    property set keeps results identical to a private resolver loop."""
+    if targets is not None:
+        resolved = targets.select(F.col("root_key").alias("prop_uri"),
+                                  "class_uri") \
+            .join(props, "prop_uri", "left_semi")
+    else:
+        roots = (triples.where(F.col("pred") == pred)
+                 .join(props, triples.subj == props.prop_uri, "left_semi")
+                 .select(F.col("subj").alias("root_key"),
+                         F.col("obj").alias("node")))
+        resolved = resolve_class_targets(roots, expr).select(
+            F.col("root_key").alias("prop_uri"), "class_uri")
+    return (resolved
             .join(classes.select("class_uri"), "class_uri", "left_semi")
             .dropDuplicates())
 
@@ -98,7 +109,8 @@ def usage_inference(triples: DataFrame, props: DataFrame,
 
 def extract_relationships(triples: DataFrame, classes: DataFrame,
                           expr: DataFrame, xsd_map: DataFrame,
-                          prop_domains: DataFrame
+                          prop_domains: DataFrame,
+                          resolved: DataFrame | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """→ (relationship_types, skipped).
 
@@ -106,22 +118,35 @@ def extract_relationships(triples: DataFrame, classes: DataFrame,
                          source_class_uri, target_class_uri,
                          source_entity_type_id, target_entity_type_id)
     skipped: (item_type, name, reason, uri) — reference-exact reasons.
+
+    ``resolved``: optional fused resolver output (resolve_graph_roots);
+    supplies the 'dom'/'rng' slices so no private loops run here.
     """
     props = object_property_set(triples, xsd_map, prop_domains)
 
-    domains = _explicit_targets(triples, props, RDFS_DOMAIN, expr, classes) \
+    dom_t = rng_t = None
+    if resolved is not None:
+        dom_t = resolved.where(F.col("role") == "dom") \
+            .select("root_key", "class_uri")
+        rng_t = resolved.where(F.col("role") == "rng") \
+            .select("root_key", "class_uri")
+    domains = _explicit_targets(triples, props, RDFS_DOMAIN, expr, classes,
+                                targets=dom_t) \
         .withColumnRenamed("class_uri", "domain_uri")
-    ranges = _explicit_targets(triples, props, RDFS_RANGE, expr, classes) \
+    ranges = _explicit_targets(triples, props, RDFS_RANGE, expr, classes,
+                               targets=rng_t) \
         .withColumnRenamed("class_uri", "range_uri")
 
     inf_dom, inf_rng = usage_inference(triples, props, classes)
 
+    # all frames below are keyed by property URI — bounded by the ontology
+    # schema (Fabric ≤500 relationship types), so broadcast BY CONSTRAINT
     has_dom = domains.select("prop_uri").dropDuplicates()
     has_rng = ranges.select("prop_uri").dropDuplicates()
-    fallback_dom = (inf_dom.join(has_dom, "prop_uri", "left_anti")
+    fallback_dom = (inf_dom.join(F.broadcast(has_dom), "prop_uri", "left_anti")
                     .select("prop_uri",
                             F.col("inferred_domain").alias("domain_uri")))
-    fallback_rng = (inf_rng.join(has_rng, "prop_uri", "left_anti")
+    fallback_rng = (inf_rng.join(F.broadcast(has_rng), "prop_uri", "left_anti")
                     .select("prop_uri",
                             F.col("inferred_range").alias("range_uri")))
     all_dom = domains.unionByName(fallback_dom)
@@ -130,11 +155,11 @@ def extract_relationships(triples: DataFrame, classes: DataFrame,
     # skip accounting (J6 anti-joins) with reference-exact reason strings
     d_set = all_dom.select("prop_uri").dropDuplicates()
     r_set = all_rng.select("prop_uri").dropDuplicates()
-    no_d = props.join(d_set, "prop_uri", "left_anti")
-    no_r = props.join(r_set, "prop_uri", "left_anti")
-    no_both = no_d.join(no_r, "prop_uri", "left_semi")
-    only_no_d = no_d.join(no_both, "prop_uri", "left_anti")
-    only_no_r = no_r.join(no_both, "prop_uri", "left_anti")
+    no_d = props.join(F.broadcast(d_set), "prop_uri", "left_anti")
+    no_r = props.join(F.broadcast(r_set), "prop_uri", "left_anti")
+    no_both = no_d.join(F.broadcast(no_r), "prop_uri", "left_semi")
+    only_no_d = no_d.join(F.broadcast(no_both), "prop_uri", "left_anti")
+    only_no_r = no_r.join(F.broadcast(no_both), "prop_uri", "left_anti")
 
     def _skip(df: DataFrame, reason: str) -> DataFrame:
         return df.select(
@@ -148,7 +173,8 @@ def extract_relationships(triples: DataFrame, classes: DataFrame,
                .unionByName(_skip(only_no_r, "missing range class")))
 
     # J5: pair expansion + dedup, ids joined from the class table
-    pairs = (all_dom.join(all_rng, "prop_uri")
+    # (both sides schema-bounded → broadcast the range side)
+    pairs = (all_dom.join(F.broadcast(all_rng), "prop_uri")
              .dropDuplicates(["prop_uri", "domain_uri", "range_uri"]))
     src = classes.select(F.col("class_uri").alias("domain_uri"),
                          F.col("entity_id").alias("source_entity_type_id"))

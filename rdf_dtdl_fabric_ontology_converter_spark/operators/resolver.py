@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import (OWL_COMPLEMENT_OF, OWL_INTERSECTION_OF, OWL_ONE_OF,
-                OWL_UNION_OF, RDF_FIRST, RDF_NIL, RDF_REST)
+                OWL_UNION_OF, RDFS_DOMAIN, RDFS_RANGE, RDF_FIRST, RDF_NIL,
+                RDF_REST)
 
 _EXPR_PREDS = [OWL_UNION_OF, OWL_INTERSECTION_OF, OWL_COMPLEMENT_OF,
                OWL_ONE_OF, RDF_FIRST, RDF_REST]
@@ -45,25 +46,35 @@ def expression_subgraph(triples: DataFrame) -> DataFrame:
 
 def resolve_class_targets(roots: DataFrame, expr: DataFrame,
                           max_depth: int = MAX_DEPTH) -> DataFrame:
-    """roots(root_key, node) → (root_key, class_uri), order-insensitive.
+    """roots(*keys, node) → (*keys, class_uri), order-insensitive.
 
     ``node`` values that are IRIs resolve to themselves; bnodes are expanded
     through the expression subgraph. Multiple roots resolve concurrently in
     one loop (all properties' domains/ranges at once — not per-property).
+    Any column other than ``node`` is an opaque key carried through
+    unchanged — callers can fuse several logical resolutions (data-property
+    domains, object-property ranges, datatype unions) into ONE loop by
+    tagging rows with a ``role`` column: one frontier, one driver action per
+    round, instead of one loop per call site.
 
     Fast path: direct URIRef targets (the overwhelmingly common case) never
     enter the iterative loop — only bnode expression roots do.
     """
-    all_roots = roots.select("root_key", "node").dropDuplicates()
-    direct = all_roots.where(~F.col("node").startswith("_:")) \
-        .select("root_key", F.col("node").alias("class_uri"))
-    bnode_roots = all_roots.where(F.col("node").startswith("_:"))
+    keys = [c for c in roots.columns if c != "node"]
+    # split BEFORE deduplicating: the frontier-count driver action below only
+    # pays the (usually empty) bnode dedup shuffle; the direct-root dedup
+    # lands lazily in whichever downstream job consumes the results
+    direct = (roots.where(~F.col("node").startswith("_:"))
+              .select(*keys, F.col("node").alias("class_uri"))
+              .dropDuplicates())
+    bnode_roots = roots.where(F.col("node").startswith("_:")) \
+        .select(*keys, "node").dropDuplicates()
 
     # single tagged frontier ('n' = class-expression node, 'l' = RDF list
     # node): ONE expr join and ONE driver action (the count materializing
     # the lazy checkpoint) per round, vs the old 2 joins + 5 jobs per round.
     frontier = (bnode_roots
-                .select("root_key", F.lit("n").alias("tag"), "node")
+                .select(*keys, F.lit("n").alias("tag"), "node")
                 .localCheckpoint(eager=False))
     n_frontier = frontier.count()
     if n_frontier == 0:
@@ -79,7 +90,7 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
         results_parts.append(
             frontier.where((F.col("tag") == "n") &
                            ~F.col("node").startswith("_:"))
-            .select("root_key", F.col("node").alias("class_uri")))
+            .select(*keys, F.col("node").alias("class_uri")))
 
         expandable = frontier.where(
             (F.col("tag") == "l") | F.col("node").startswith("_:"))
@@ -96,12 +107,12 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
                    (F.col("obj") != RDF_NIL))
         frontier = (joined
                     .where(is_head | is_comp | is_first | is_rest)
-                    .select("root_key",
+                    .select(*keys,
                             F.when(is_comp | is_first, F.lit("n"))
                             .otherwise(F.lit("l")).alias("tag"),
                             F.col("obj").alias("node"))
                     .dropDuplicates()
-                    .join(visited, ["root_key", "tag", "node"], "left_anti")
+                    .join(visited, keys + ["tag", "node"], "left_anti")
                     .localCheckpoint(eager=False))
         n_frontier = frontier.count()
         if n_frontier == 0:
@@ -112,3 +123,43 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
     for part in results_parts[1:]:
         out = out.unionByName(part)
     return out.dropDuplicates()
+
+
+def resolve_graph_roots(triples: DataFrame, expr: DataFrame,
+                        dp_bnode_ranges: DataFrame | None = None,
+                        max_depth: int = MAX_DEPTH) -> DataFrame:
+    """One fused resolution pass for the whole Stage-B pipeline.
+
+    Resolves, in a SINGLE iterative loop (so one frontier-count driver
+    action per round instead of four separate loops):
+
+    - role 'dom': every rdfs:domain object in the corpus
+    - role 'rng': every rdfs:range object
+    - role 'dpr': the pinned-first blank-node range per data property
+      (datatype-union roots), when ``dp_bnode_ranges(prop_uri, range_obj)``
+      is given
+
+    Roots are an over-approximation (all domain/range triples, not just the
+    per-extractor property subsets) — consumers post-filter with left_semi
+    joins against their property sets, which yields results identical to
+    per-extractor resolution while paying the expression-walk once.
+
+    → (role, root_key, class_uri), lazily checkpointed so the several
+    downstream consumers read one materialization instead of re-deriving
+    the union plan.
+    """
+    def _pred_roots(pred: str, role: str) -> DataFrame:
+        return (triples.where(F.col("pred") == pred)
+                .select(F.lit(role).alias("role"),
+                        F.col("subj").alias("root_key"),
+                        F.col("obj").alias("node")))
+
+    roots = _pred_roots(RDFS_DOMAIN, "dom") \
+        .unionByName(_pred_roots(RDFS_RANGE, "rng"))
+    if dp_bnode_ranges is not None:
+        roots = roots.unionByName(
+            dp_bnode_ranges.select(F.lit("dpr").alias("role"),
+                                   F.col("prop_uri").alias("root_key"),
+                                   F.col("range_obj").alias("node")))
+    resolved = resolve_class_targets(roots, expr, max_depth=max_depth)
+    return resolved.localCheckpoint(eager=False)

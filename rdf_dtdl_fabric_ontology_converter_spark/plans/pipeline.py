@@ -14,6 +14,7 @@ exact resume with per-partition lineage (north rule).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,9 +26,9 @@ from ..operators.canon import dedup_triples
 from ..operators.classes import classes_with_parents, extract_classes
 from ..operators.extract import extract_triples, split_errors
 from ..operators.identity import materialize_entity_types
-from ..operators.properties import extract_data_properties
+from ..operators.properties import dp_bnode_ranges, extract_data_properties
 from ..operators.relationships import extract_relationships
-from ..operators.resolver import expression_subgraph
+from ..operators.resolver import expression_subgraph, resolve_graph_roots
 
 
 @dataclass
@@ -68,18 +69,45 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
     triples = dedup_triples(triples_prov,
                             spread_hot_subjects=True).localCheckpoint(eager=False)
 
-    classes = classes_with_parents(triples, extract_classes(triples))
-    classes = classes.localCheckpoint(eager=False)
+    # Materialize the deduped graph once, up front, so both iterative
+    # chains below start from the cached checkpoint instead of racing to
+    # materialize it.
+    triples.count()
 
+    # The two iterative chains — subclass transitive closure and the fused
+    # class-expression resolution loop — are independent (both read only
+    # `triples`), and their cost is dominated by per-round driver actions,
+    # not data volume. Run them on concurrent driver threads (Spark's
+    # scheduler accepts jobs from multiple threads) so their round-trip
+    # latencies overlap instead of adding up.
     expr = expression_subgraph(triples)
-    data_props, prop_domains = extract_data_properties(
-        triples, classes, expr, xsd_map)
-    rels, rel_skips = extract_relationships(
-        triples, classes, expr, xsd_map, prop_domains)
 
-    # J1 attach: one row per (class, property)
+    def _classes_chain() -> DataFrame:
+        c = classes_with_parents(triples, extract_classes(triples))
+        return c.localCheckpoint(eager=False)
+
+    def _resolve_chain() -> DataFrame:
+        # ONE fused loop for all of Stage B (data-property domains +
+        # datatype unions + object-property domains/ranges): one
+        # frontier-count action per round instead of four private loops;
+        # consumers read the single lazily-checkpointed result.
+        return resolve_graph_roots(
+            triples, expr, dp_bnode_ranges=dp_bnode_ranges(triples, xsd_map))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        classes_f = pool.submit(_classes_chain)
+        resolved_f = pool.submit(_resolve_chain)
+        classes = classes_f.result()
+        resolved = resolved_f.result()
+    data_props, prop_domains = extract_data_properties(
+        triples, classes, expr, xsd_map, resolved=resolved)
+    prop_domains = prop_domains.localCheckpoint(eager=False)
+    rels, rel_skips = extract_relationships(
+        triples, classes, expr, xsd_map, prop_domains, resolved=resolved)
+
+    # J1 attach: one row per (class, property); both sides schema-bounded
     class_props = (prop_domains
-                   .join(data_props, "prop_uri")
+                   .join(F.broadcast(data_props), "prop_uri")
                    .select("class_uri", "prop_id", "name", "value_type",
                            "is_timeseries"))
     entity_types = materialize_entity_types(classes, class_props)
