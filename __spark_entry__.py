@@ -1093,10 +1093,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _synth_jpeg(w: int, h: int, orientation: int) -> bytes:
+    """Minimal well-formed JPEG: APP1/EXIF (orientation) + SOF0 + SOS + EOI."""
+    import struct
+    tiff = (b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 1) +
+            struct.pack("<HHI", 0x0112, 3, 1) +
+            struct.pack("<HH", orientation, 0) + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = struct.pack(">B", 3) + bytes([1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (b"\xff\xd8" +
+            b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body +
+            b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof +
+            b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos +
+            bytes(range(64)) + b"\xff\xd9")
+
+
+def _synth_mp4(dur_ms: int, w: int, h: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd timescale=1000 + trak/tkhd) + mdat."""
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, dur_ms) +
+               bytes(80))
+    tkhd = box(b"tkhd", bytes(84) + struct.pack(">II", w << 16, h << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", bytes(range(32)) * 4)
+
+
 def q_media_decode(spark, sf_dir):
-    """REAL WAV decode through the multimodal batch path: one synthesized
-    PCM payload per nation (rate 8000, 800+8k frames → duration 100+k ms);
-    the oracle recomputes the expected metadata arithmetically."""
+    """REAL stdlib decode through the multimodal batch path — one WAV, one
+    JPEG (with EXIF orientation) and one MP4 payload per nation, all
+    synthesized with arithmetically-derived metadata so the DuckDB oracle
+    recomputes the expected rows exactly (reference media handling:
+    samples ship inline; decode here is pure stdlib struct parsing)."""
     import io
     import struct
     import wave
@@ -1107,23 +1140,49 @@ def q_media_decode(spark, sf_dir):
             .select("n_nationkey").collect()]
     rows = []
     for k in keys:
+        k = int(k)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
             w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
-            w.writeframes(struct.pack("<h", 12000) * (800 + 8 * int(k)))
+            w.writeframes(struct.pack("<h", 12000) * (800 + 8 * k))
         rows.append((f"nation_{k}", 0, f"wav://{k}",
                      bytearray(buf.getvalue())))
+        rows.append((f"nation_{k}", 1, f"jpg://{k}",
+                     bytearray(_synth_jpeg(100 + k, 50 + k, (k % 8) + 1))))
+        rows.append((f"nation_{k}", 2, f"mp4://{k}",
+                     bytearray(_synth_mp4(2000 + k, 320 + k, 240 + k))))
     refs = spark.createDataFrame(
         rows, "doc_id string, span_idx int, media_ref string, payload binary")
+    # nullable ints coalesce to -1 on BOTH sides: a NULL-carrying INT column
+    # round-trips through pandas as float on the DuckDB side, which the
+    # strict value-hash comparator would flag as 100 vs "100.0"
     return (decode_media(refs, decoder="stdlib")
-            .select("doc_id", "media_type", "duration_ms")
-            .orderBy("doc_id"))
+            .select("doc_id", "span_idx", "media_type",
+                    F.coalesce("width", F.lit(-1)).alias("width"),
+                    F.coalesce("height", F.lit(-1)).alias("height"),
+                    F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+                    F.coalesce("orientation", F.lit(-1)).alias("orientation"))
+            .orderBy("doc_id", "span_idx"))
 
 
 _ORACLE_MEDIA_DECODE = """
-SELECT 'nation_'||n_nationkey AS doc_id, 'audio' AS media_type,
-       CAST(100 + n_nationkey AS BIGINT) AS duration_ms
-FROM nation ORDER BY doc_id
+SELECT 'nation_'||n_nationkey AS doc_id, 0 AS span_idx,
+       'audio' AS media_type, CAST(-1 AS INT) AS width,
+       CAST(-1 AS INT) AS height,
+       CAST(100 + n_nationkey AS BIGINT) AS duration_ms,
+       CAST(-1 AS INT) AS orientation
+FROM nation
+UNION ALL
+SELECT 'nation_'||n_nationkey, 1, 'image',
+       CAST(100 + n_nationkey AS INT), CAST(50 + n_nationkey AS INT),
+       CAST(-1 AS BIGINT), CAST((n_nationkey % 8) + 1 AS INT)
+FROM nation
+UNION ALL
+SELECT 'nation_'||n_nationkey, 2, 'video',
+       CAST(320 + n_nationkey AS INT), CAST(240 + n_nationkey AS INT),
+       CAST(2000 + n_nationkey AS BIGINT), CAST(-1 AS INT)
+FROM nation
+ORDER BY doc_id, span_idx
 """
 
 

@@ -6,10 +6,11 @@ frame-sample as Arrow-batched mapInPandas stages:
 
 - schemas and batch shapes are real and tested;
 - ``DECODERS`` selects the codec tier: ``stdlib`` REALLY decodes WAV
-  (wave module), BMP (struct) and PNG headers+IDAT (zlib) with zero
-  external deps; ``fake`` is the deterministic stand-in for formats the
-  stdlib can't parse; ``real`` is the NotImplementedError integration
-  point for full codecs (pillow/torchaudio/pyav) in production.
+  (wave module), BMP (struct), PNG headers+IDAT (zlib), JPEG frame
+  headers + EXIF orientation (marker walk) and MP4 duration/track dims
+  (ISO-BMFF box walk) with zero external deps; ``fake`` is the
+  deterministic stand-in; ``real`` is the NotImplementedError integration
+  point for full pixel/sample codecs (pillow/torchaudio/pyav).
 
 Scale shape: media payload fetch+decode is the bandwidth hog, so it runs
 as a narrow mapInPandas over a repartitioned ref table (no shuffle of the
@@ -33,6 +34,7 @@ MEDIA_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("duration_ms", T.LongType()),
+    T.StructField("orientation", T.IntegerType()),  # EXIF 1-8, if present
     T.StructField("feature", T.ArrayType(T.FloatType())),
     T.StructField("decode_error", T.StringType()),
 ])
@@ -47,6 +49,7 @@ def fake_decoder(ref: str, payload: bytes | None) -> dict:
         "media_type": ("image", "audio", "video")[h[0] % 3],
         "width": 64 + h[1], "height": 64 + h[2],
         "duration_ms": int.from_bytes(h[3:5], "big"),
+        "orientation": None,
         "feature": [b / 255.0 for b in h[:8]],
         "decode_error": None,
     }
@@ -64,6 +67,10 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
       of the zlib-decompressed IDAT stream (a content signature in
       filtered-scanline space, not pixel space — full pixel decode needs a
       real codec; see ``real_decoder``).
+    - JPEG: frame dims from the first SOF marker + EXIF orientation from
+      APP1 (metadata-level; entropy stream histogrammed as the feature).
+    - MP4/ISO-BMFF: duration from moov/mvhd, track dims from trak/tkhd
+      (metadata-level box walk; mdat bytes histogrammed as the feature).
 
     Anything else raises → a decode_error row, never a task failure.
     """
@@ -94,6 +101,7 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
         feature = [float((b / per) ** 0.5) for b in bins]
         return {"media_type": "audio", "width": None, "height": None,
                 "duration_ms": int(nframes * 1000 / max(rate, 1)),
+                "orientation": None,
                 "feature": feature, "decode_error": None}
 
     if payload[:2] == b"BM" and len(payload) >= 54:
@@ -118,7 +126,7 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
                 hist[gray >> 5] += 1
         tot = max(sum(hist), 1)
         return {"media_type": "image", "width": int(width),
-                "height": int(h), "duration_ms": None,
+                "height": int(h), "duration_ms": None, "orientation": None,
                 "feature": [v / tot for v in hist], "decode_error": None}
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -139,9 +147,155 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
         tot = max(sum(hist), 1)
         return {"media_type": "image", "width": int(width),
                 "height": int(height), "duration_ms": None,
+                "orientation": None,
                 "feature": [v / tot for v in hist], "decode_error": None}
 
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI — metadata-level decode
+        return _decode_jpeg_meta(payload)
+
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":  # MP4/ISO-BMFF
+        return _decode_mp4_meta(payload)
+
     raise ValueError(f"unsupported container (magic={payload[:4]!r})")
+
+
+# SOF markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _exif_orientation(app1: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from an APP1 segment body, or None.
+
+    Pure-struct TIFF walk: byte-order mark (II/MM), IFD0 offset, linear
+    scan of IFD0 entries. Malformed EXIF returns None (orientation is
+    advisory metadata; the frame dims from SOF are still good).
+    """
+    import struct
+    if app1[:6] != b"Exif\x00\x00":
+        return None
+    t = app1[6:]  # TIFF stream
+    try:
+        bo = {b"II": "<", b"MM": ">"}[t[:2]]
+        ifd0, = struct.unpack_from(bo + "I", t, 4)
+        n, = struct.unpack_from(bo + "H", t, ifd0)
+        for i in range(n):
+            e = ifd0 + 2 + i * 12
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", t, e)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                val, = struct.unpack_from(bo + "H", t, e + 8)
+                return int(val) if 1 <= val <= 8 else None
+    except (struct.error, KeyError, IndexError):
+        return None
+    return None
+
+
+def _decode_jpeg_meta(payload: bytes) -> dict:
+    """JPEG marker walk (pure struct): frame dims from the first SOF
+    segment, EXIF orientation from APP1 if present; feature = 8-bin
+    histogram over the entropy-coded stream after SOS (a content
+    signature in compressed space — full pixel decode needs a real codec,
+    see real_decoder).
+    """
+    import struct
+    width = height = orientation = None
+    pos, sos = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:      # EOI
+            break
+        if marker == 0xDA:      # SOS — entropy stream follows the segment
+            seglen, = struct.unpack_from(">H", payload, pos + 2)
+            sos = pos + 2 + seglen
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        seglen, = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2:
+            break
+        if marker in _JPEG_SOF and width is None:
+            height, width = struct.unpack_from(">HH", payload, pos + 5)
+        elif marker == 0xE1:    # APP1 (EXIF)
+            orientation = orientation or _exif_orientation(
+                payload[pos + 4:pos + 2 + seglen])
+        pos += 2 + seglen
+    if width is None:
+        raise ValueError("JPEG: no SOF frame header found")
+    hist = [0] * 8
+    for b in payload[sos if sos is not None else pos:]:
+        hist[b >> 5] += 1
+    tot = max(sum(hist), 1)
+    return {"media_type": "image", "width": int(width), "height": int(height),
+            "duration_ms": None, "orientation": orientation,
+            "feature": [v / tot for v in hist], "decode_error": None}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the sibling boxes in
+    buf[start:end] (ISO-BMFF: 4-byte big-endian size + 4-byte type;
+    size 1 = 64-bit largesize follows; size 0 = to end of enclosing box)."""
+    import struct
+    pos = start
+    while pos + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, pos)
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            size, = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            break
+        yield typ, body, pos + size
+        pos += size
+
+
+def _decode_mp4_meta(payload: bytes) -> dict:
+    """MP4/ISO-BMFF box walk (pure struct): duration from moov/mvhd
+    (duration/timescale), presentation dims from the largest moov/trak/tkhd
+    (16.16 fixed-point); feature = 8-bin histogram over mdat bytes."""
+    import struct
+    duration_ms = width = height = None
+    mdat_span = None
+    for typ, body, boxend in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"mdat":
+            mdat_span = (body, boxend)
+        elif typ == b"moov":
+            for t2, b2, e2 in _mp4_boxes(payload, body, boxend):
+                if t2 == b"mvhd":
+                    ver = payload[b2]
+                    if ver == 1:
+                        ts, = struct.unpack_from(">I", payload, b2 + 20)
+                        dur, = struct.unpack_from(">Q", payload, b2 + 24)
+                    else:
+                        ts, dur = struct.unpack_from(">II", payload, b2 + 12)
+                    duration_ms = int(dur * 1000 // max(ts, 1))
+                elif t2 == b"trak":
+                    for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
+                        if t3 != b"tkhd":
+                            continue
+                        ver = payload[b3]
+                        # tkhd: ver/flags(4) + times/ids then matrix; width/
+                        # height are the LAST 8 bytes of the box, 16.16 fixed
+                        wfx, hfx = struct.unpack_from(">II", payload, e3 - 8)
+                        w, h = wfx >> 16, hfx >> 16
+                        if w and h and (width is None or w * h > width * height):
+                            width, height = w, h
+    if duration_ms is None:
+        raise ValueError("MP4: no moov/mvhd box found")
+    hist = [0] * 8
+    lo, hi = mdat_span if mdat_span else (0, 0)
+    for b in payload[lo:hi]:
+        hist[b >> 5] += 1
+    tot = max(sum(hist), 1)
+    return {"media_type": "video", "width": width, "height": height,
+            "duration_ms": duration_ms, "orientation": None,
+            "feature": [v / tot for v in hist], "decode_error": None}
 
 
 def real_decoder(ref: str, payload: bytes | None) -> dict:
@@ -152,8 +306,8 @@ def real_decoder(ref: str, payload: bytes | None) -> dict:
     """
     raise NotImplementedError(
         "full media codecs not available in this environment; use "
-        "'stdlib' (real WAV/BMP/PNG) or 'fake', or install pillow/pyav "
-        "and implement here")
+        "'stdlib' (real WAV/BMP/PNG decode + JPEG/MP4 metadata) or "
+        "'fake', or install pillow/pyav and implement here")
 
 
 DECODERS: dict[str, Callable[[str, bytes | None], dict]] = {
@@ -192,10 +346,10 @@ def decode_media(media_refs: DataFrame, decoder: str = "fake",
                     d = dec(ref, pl)
                     out.append((doc_id, int(idx), ref, d["media_type"], pl,
                                 d["width"], d["height"], d["duration_ms"],
-                                d["feature"], None))
+                                d.get("orientation"), d["feature"], None))
                 except Exception as e:  # noqa: BLE001
                     out.append((doc_id, int(idx), ref, "unknown", None,
-                                None, None, None, None,
+                                None, None, None, None, None,
                                 f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(out, columns=cols)
 

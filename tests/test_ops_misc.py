@@ -519,3 +519,42 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_jpeg_mp4_metadata_decode(spark):
+    """JPEG SOF dims + EXIF orientation and MP4 mvhd/tkhd metadata via the
+    pure-struct stdlib decoders — synthesized containers with known bytes
+    (reference media handling ships inline samples; decode is local)."""
+    import __spark_entry__ as entry
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        decode_media, stdlib_decoder)
+
+    jpg = entry._synth_jpeg(320, 200, orientation=6)
+    d = stdlib_decoder("a.jpg", jpg)
+    assert (d["media_type"], d["width"], d["height"], d["orientation"]) == \
+        ("image", 320, 200, 6)
+    assert abs(sum(d["feature"]) - 1.0) < 1e-6
+
+    # progressive marker (SOF2) and no EXIF → dims still parsed
+    jpg2 = bytearray(entry._synth_jpeg(17, 9, orientation=1))
+    sof0 = bytes(jpg2).index(b"\xff\xc0")
+    jpg2[sof0 + 1] = 0xC2
+    d2 = stdlib_decoder("b.jpg", bytes(jpg2))
+    assert (d2["width"], d2["height"]) == (17, 9)
+
+    mp4 = entry._synth_mp4(2500, 640, 480)
+    m = stdlib_decoder("c.mp4", mp4)
+    assert (m["media_type"], m["width"], m["height"], m["duration_ms"]) == \
+        ("video", 640, 480, 2500)
+
+    # batch path: schema carries the orientation column end-to-end
+    refs = spark.createDataFrame(
+        [("d1", 0, "a.jpg", bytearray(jpg)),
+         ("d1", 1, "c.mp4", bytearray(mp4)),
+         ("d1", 2, "x.mov", bytearray(b"\x00\x00\x00\x08free"))],
+        "doc_id string, span_idx int, media_ref string, payload binary")
+    rows = {r["media_ref"]: r for r in
+            decode_media(refs, decoder="stdlib").collect()}
+    assert rows["a.jpg"]["orientation"] == 6
+    assert rows["c.mp4"]["duration_ms"] == 2500
+    assert rows["x.mov"]["decode_error"] is not None
