@@ -30,39 +30,114 @@ FABRIC_TYPES = frozenset({"String", "Boolean", "DateTime", "BigInt",
 
 @dataclass
 class TypeMappingRegistry:
-    """User-supplied (format, source_type) → fabric_type overrides.
+    """User-supplied (format, source_type) → fabric_type overrides and
+    per-mapping value converters.
 
     Spark mapping of the reference TypeMappingRegistry
     (reference: src/shared/utilities/type_registry.py:68-130): per-format
-    custom mappings layered over the built-in dictionaries. The reference's
-    per-value converter callables are driver-side Python; here the registry
-    is pure data ("dictionary-as-data") merged into the broadcast map
-    DataFrames / UDF lookup dicts, so overrides distribute for free.
+    custom mappings layered over the built-in dictionaries, as pure data
+    ("dictionary-as-data") merged into the broadcast map DataFrames / UDF
+    lookup dicts, so overrides distribute for free.
+
+    The reference additionally admits a per-mapping ``converter`` callable
+    applied per VALUE (type_registry.py:237-258 convert_value). The Spark
+    equivalent is a **Column builder**: ``Callable[[Column], Column]``
+    registered per (format, source_type) and compiled by
+    :func:`convert_values` into one chained ``when`` expression — the whole
+    conversion stays inside whole-stage codegen, no per-row Python.
     """
     default_type: str = "String"
     _maps: dict[str, dict[str, str]] = field(default_factory=dict)
+    _converters: dict[str, dict[str, object]] = field(default_factory=dict)
+    _aliases: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.default_type not in FABRIC_TYPES:
             raise ValueError(f"Invalid default type: {self.default_type}")
 
     def register_mapping(self, format_name: str, source_type: str,
-                         fabric_type: str) -> None:
+                         fabric_type: str, converter=None) -> None:
+        """``converter``: optional Column builder (Column → Column) applied
+        to values of this source type by convert_values()."""
         if fabric_type not in FABRIC_TYPES:
             raise ValueError(
                 f"Invalid Fabric type '{fabric_type}'. Must be one of: "
                 f"{', '.join(sorted(FABRIC_TYPES))}")
         self._maps.setdefault(format_name.lower(), {})[source_type] = \
             fabric_type
+        if converter is not None:
+            self.register_converter(format_name, source_type, converter)
+
+    def register_converter(self, format_name: str, source_type: str,
+                           builder) -> None:
+        """Register a value-converter Column builder for (format, type)
+        without changing the type mapping itself."""
+        if not callable(builder):
+            raise TypeError("converter must be a callable Column builder")
+        self._converters.setdefault(format_name.lower(), {})[source_type] = \
+            builder
+
+    def register_alias(self, format_name: str, alias: str,
+                       canonical: str) -> None:
+        """Alias source-type spellings to a canonical one
+        (reference type_registry.py:166-185)."""
+        self._aliases.setdefault(format_name.lower(), {})[alias] = canonical
+
+    def canonical(self, format_name: str, source_type: str) -> str:
+        return self._aliases.get(format_name.lower(), {}) \
+            .get(source_type, source_type)
+
+    def converters(self, format_name: str) -> dict[str, object]:
+        return dict(self._converters.get(format_name.lower(), {}))
 
     def overrides(self, format_name: str) -> dict[str, str]:
-        return dict(self._maps.get(format_name.lower(), {}))
+        fmt = format_name.lower()
+        out = dict(self._maps.get(fmt, {}))
+        # alias spellings inherit their canonical's mapping
+        for alias, canon in self._aliases.get(fmt, {}).items():
+            if canon in out:
+                out.setdefault(alias, out[canon])
+        return out
 
     def merged(self, format_name: str, base: dict[str, str]
                ) -> dict[str, str]:
         out = dict(base)
-        out.update(self._maps.get(format_name.lower(), {}))
+        out.update(self.overrides(format_name))
         return out
+
+
+def convert_values(df: DataFrame, registry: TypeMappingRegistry,
+                   format_name: str, value_col: str,
+                   source_type_col: str,
+                   out_col: str | None = None) -> DataFrame:
+    """Apply the registry's value converters to an instance-value column.
+
+    Spark mapping of reference ``TypeMappingRegistry.convert_value``
+    (type_registry.py:237-258): instead of calling a Python callable per
+    value, every registered (source_type → builder) pair becomes one branch
+    of a chained ``when`` expression over ``source_type_col`` — a single
+    JVM-side projection (whole-stage codegen), applied identically on every
+    executor. Unregistered source types pass values through unchanged, like
+    the reference.
+    """
+    from pyspark.sql import functions as F  # local: data-module import cycle
+    convs = registry.converters(format_name)
+    if not convs:
+        return df if out_col is None else df.withColumn(
+            out_col, F.col(value_col))
+    # alias spellings route to their canonical converter
+    for alias, canon in registry._aliases.get(format_name.lower(),
+                                              {}).items():
+        if canon in convs:
+            convs.setdefault(alias, convs[canon])
+    expr = None
+    for st, builder in sorted(convs.items()):
+        branch = builder(F.col(value_col))
+        cond = F.col(source_type_col) == st
+        expr = F.when(cond, branch) if expr is None \
+            else expr.when(cond, branch)
+    expr = expr.otherwise(F.col(value_col))
+    return df.withColumn(out_col or value_col, expr)
 
 XSD_TO_FABRIC: dict[str, str] = {
     # string family

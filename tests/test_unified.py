@@ -396,3 +396,55 @@ def test_dtmi_mapping_and_compliance_report(spark):
            for r in compliance_report(issues).collect()}
     assert rep[("error", "cdm:parse")] == (2, "bang")
     assert rep[("warning", "dtdl:dtmi_format")][0] == 1
+
+
+def test_registry_value_converters(spark):
+    """Reference type_registry.py:237-258 convert_value as a Column-builder
+    hook: a registered converter changes a MATERIALIZED instance column,
+    compiled into one chained JVM `when` expression (no per-row Python).
+    scaledDecimal CALCULATED realized via the registry instead of a mode
+    flag (reference dtdl_converter.py:1055-1057)."""
+    from pyspark.sql import functions as F
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.typemaps import (
+        TypeMappingRegistry, convert_values)
+
+    reg = TypeMappingRegistry()
+    # scaledDecimal {"value": v, "scale": s} → v / 10^s, rendered as string
+    reg.register_mapping(
+        "dtdl", "scaledDecimal", "Double",
+        converter=lambda c: (
+            F.get_json_object(c, "$.value").cast("double") /
+            F.pow(F.lit(10.0), F.get_json_object(c, "$.scale").cast("int"))
+        ).cast("string"))
+    # unit conversion on a plain numeric type (celsius → kelvin)
+    reg.register_converter(
+        "dtdl", "temperatureC",
+        lambda c: (c.cast("double") + F.lit(273.15)).cast("string"))
+    reg.register_alias("dtdl", "scaled_decimal", "scaledDecimal")
+
+    rows = [("scaledDecimal", '{"value": 12345, "scale": 2}'),
+            ("scaled_decimal", '{"value": 5, "scale": 0}'),   # alias routes
+            ("temperatureC", "20"),
+            ("string", "untouched")]
+    df = spark.createDataFrame(rows, "source_type string, value string")
+    out = {r["source_type"]: r["converted"] for r in
+           convert_values(df, reg, "dtdl", "value", "source_type",
+                          out_col="converted").collect()}
+    assert float(out["scaledDecimal"]) == 123.45
+    assert float(out["scaled_decimal"]) == 5.0
+    assert float(out["temperatureC"]) == 293.15
+    assert out["string"] == "untouched"
+
+    # converter-free registry passes everything through
+    out2 = convert_values(df, TypeMappingRegistry(), "dtdl",
+                          "value", "source_type").collect()
+    assert {r["value"] for r in out2} == {r[1] for r in rows}
+
+    # alias spellings also inherit the type mapping itself
+    assert reg.overrides("dtdl")["scaled_decimal"] == "Double"
+
+    # the compiled plan is a single projection over the input (no shuffle,
+    # no python worker)
+    plan = convert_values(df, reg, "dtdl", "value", "source_type") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
