@@ -1,6 +1,7 @@
 """spark-submit entry point (SURVEY §3.1 lifecycle equivalent).
 
     spark-submit --py-files engine.zip -m rdf_dtdl_fabric_ontology_converter_spark.job \
+        [--config <config.json>]     JSON config file; flags override it
         --input  <documents table path (parquet|iceberg)> \
         --output <output root> \
         [--checkpoint-root <path>]   stage snapshots + lineage + exact resume
@@ -8,6 +9,14 @@
         [--dtdl-command skip|property]
         [--scaled-decimal json_string|structured|calculated]
         [--definition-json <path>]   driver-side Fabric definition file
+
+The config file mirrors the reference's config.sample.json sections
+(``dtdl.component_mode`` / ``command_mode`` / ``scaled_decimal_mode``,
+``ontology.name``, ``cdm.flatten_inheritance``) plus engine-local ``io``
+(input / input_format / output / checkpoint_root / definition_json /
+dtmi_mapping) and ``spark`` (shuffle_partitions) sections; the ``fabric``
+REST-client section is out of engine scope (SURVEY S9). Explicit CLI flags
+take precedence over the file, matching the reference CLI.
 
 Writes entity_types/, relationship_types/, skipped_items/, issues/ under
 the output root and prints a one-line JSON metrics summary.
@@ -20,28 +29,82 @@ import json
 import sys
 import time
 
+_DEFAULTS = {
+    "input": None, "input_format": "parquet", "output": None,
+    "checkpoint_root": None, "dtdl_component": "skip",
+    "dtdl_command": "skip", "scaled_decimal": "json_string",
+    "definition_json": None, "dtmi_mapping": False, "ontology_name": None,
+    "cdm_flatten_inheritance": True, "shuffle_partitions": 200,
+}
+
+# (config section, config key) → arg name; sections/keys follow the
+# reference's config.sample.json where a counterpart exists
+_CONFIG_KEYS = {
+    ("io", "input"): "input",
+    ("io", "input_format"): "input_format",
+    ("io", "output"): "output",
+    ("io", "checkpoint_root"): "checkpoint_root",
+    ("io", "definition_json"): "definition_json",
+    ("io", "dtmi_mapping"): "dtmi_mapping",
+    ("dtdl", "component_mode"): "dtdl_component",
+    ("dtdl", "command_mode"): "dtdl_command",
+    ("dtdl", "scaled_decimal_mode"): "scaled_decimal",
+    ("ontology", "name"): "ontology_name",
+    ("cdm", "flatten_inheritance"): "cdm_flatten_inheritance",
+    ("spark", "shuffle_partitions"): "shuffle_partitions",
+}
+
+
+def load_config(path: str) -> dict:
+    """config.json → flat {arg_name: value}; unknown keys are ignored
+    (the reference's fabric/logging sections have no engine counterpart)."""
+    with open(path) as f:
+        cfg = json.load(f)
+    out = {}
+    for (section, key), arg in _CONFIG_KEYS.items():
+        val = cfg.get(section, {}).get(key)
+        if val is not None:
+            out[arg] = val
+    return out
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True)
-    p.add_argument("--input-format", default="parquet",
+    p.add_argument("--config", default=None,
+                   help="JSON config file (flags override its values)")
+    # argparse defaults are all None so that 'flag was explicitly passed'
+    # is detectable; precedence = CLI flag > config file > _DEFAULTS
+    p.add_argument("--input", default=None)
+    p.add_argument("--input-format", default=None,
                    choices=["parquet", "iceberg"])
-    p.add_argument("--output", required=True)
+    p.add_argument("--output", default=None)
     p.add_argument("--checkpoint-root", default=None)
-    p.add_argument("--dtdl-component", default="skip",
+    p.add_argument("--dtdl-component", default=None,
                    choices=["skip", "flatten", "separate"])
-    p.add_argument("--dtdl-command", default="skip",
+    p.add_argument("--dtdl-command", default=None,
                    choices=["skip", "property", "entity"])
-    p.add_argument("--scaled-decimal", default="json_string",
+    p.add_argument("--scaled-decimal", default=None,
                    choices=["json_string", "structured", "calculated"])
     p.add_argument("--definition-json", default=None)
-    p.add_argument("--dtmi-mapping", action="store_true",
+    p.add_argument("--dtmi-mapping", action="store_const", const=True,
+                   default=None,
                    help="also write the dtmi→fabric-id mapping table")
     p.add_argument("--ontology-name", default=None,
                    help="definition display name (default: first "
                         "owl:Ontology label in the corpus)")
-    p.add_argument("--shuffle-partitions", type=int, default=200)
-    args = p.parse_args(argv)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    cli = p.parse_args(argv)
+
+    merged = dict(_DEFAULTS)
+    if cli.config:
+        merged.update(load_config(cli.config))
+    for k in _DEFAULTS:
+        v = getattr(cli, k, None)
+        if v is not None:
+            merged[k] = v
+    if not merged["input"] or not merged["output"]:
+        p.error("--input and --output are required (flag or config io.*)")
+    args = argparse.Namespace(**merged)
 
     from .operators.dtdl import DtdlModes
     from .operators.metrics import ontology_name, skipped_rollup, success_rate
@@ -63,7 +126,8 @@ def main(argv=None) -> int:
                       command=args.dtdl_command,
                       scaled_decimal=args.scaled_decimal)
 
-    uni = run_unified(spark, docs, modes)
+    uni = run_unified(spark, docs, modes,
+                      cdm_flatten_inheritance=args.cdm_flatten_inheritance)
     triples = uni.rdf.triples
     if args.checkpoint_root:
         from .plans.checkpoint import CheckpointManager

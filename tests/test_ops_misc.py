@@ -558,3 +558,48 @@ def test_jpeg_mp4_metadata_decode(spark):
     assert rows["a.jpg"]["orientation"] == 6
     assert rows["c.mp4"]["duration_ms"] == 2500
     assert rows["x.mov"]["decode_error"] is not None
+
+
+def test_job_cli_config_file(spark, tmp_path):
+    """Config-file-driven job (reference config.sample.json sections);
+    explicit CLI flags override file values."""
+    import json as _json
+    from rdf_dtdl_fabric_ontology_converter_spark import job as jobmod
+    docs = docs_from_payloads(spark, {
+        "r": corpus.TTL["simple"],
+        "d": corpus.DTDL["thermostat"],
+    })
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    out = str(tmp_path / "out")
+    deff = str(tmp_path / "definition.json")
+    cfg = {
+        "io": {"input": in_path, "output": str(tmp_path / "cfg_out"),
+               "definition_json": deff, "dtmi_mapping": True},
+        "dtdl": {"component_mode": "skip", "command_mode": "skip",
+                 "scaled_decimal_mode": "json_string"},
+        "ontology": {"name": "FromConfig"},
+        "cdm": {"flatten_inheritance": True},
+        "spark": {"shuffle_partitions": 4},
+        "fabric": {"workspace_id": "ignored-by-engine"},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    # --output on the CLI must override io.output from the file
+    rc = jobmod.main(["--config", str(cfg_path), "--output", out])
+    assert rc == 0
+    ents = spark.read.parquet(f"{out}/entity_types")  # CLI override won
+    assert {r["name"] for r in ents.collect()} == \
+        {"Person", "Organization", "Thermostat"}
+    d = _json.load(open(deff))
+    meta = _json.loads(base64.b64decode(d["parts"][0]["payload"]))
+    assert meta["metadata"]["displayName"] == "FromConfig"  # from the file
+    assert (tmp_path / "cfg_out").exists() is False
+    # dtmi_mapping came from the config file (no flag passed)
+    assert spark.read.parquet(f"{out}/dtmi_mapping").count() >= 1
+    # missing required io (empty config, no flags) → argparse error
+    import pytest as _pytest
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    with _pytest.raises(SystemExit):
+        jobmod.main(["--config", str(empty)])
