@@ -14,8 +14,11 @@ RDFa 1.1 processing sequence: @about sets the subject for the element's
 own @property; @property+@resource makes the resource the object AND the
 subject for descendants (object chaining). Bare @rel/@rev terms with no
 in-scope vocab/prefix are HTML link relations (stylesheet, nofollow, …)
-and are ignored, per the HTML5 host-language rules. Out of subset
-(documented): @inlist, xmlns:-style prefixes.
+and are ignored, per the HTML5 host-language rules. @inlist collects
+property/rel values into rdf:first/rdf:rest chains (one list per
+(subject, predicate), document order; disjoint list scopes for the same
+pair merge — documented deviation). xmlns:foo prefix declarations are
+honored for RDFa 1.0 back-compat.
 
 Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
 ``itemtype`` / ``itemid`` / ``itemprop``; value extraction per element
@@ -36,6 +39,9 @@ import re
 from html.parser import HTMLParser
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -66,9 +72,18 @@ class _RdfaParser(HTMLParser):
         self.scopes = [{"subject": None, "vocab": None, "prefixes": {},
                         "lang": None, "incomplete": []}]
         # pending text-content captures: list of
-        # [depth, subject, pred, datatype, lang, buf]
+        # [depth, subject, pred, datatype, lang, buf, inlist]
         self.captures: list[list] = []
+        # @inlist accumulators: (subject, pred) -> [(obj, kind, dt, lang)]
+        # (document-scoped: separate list scopes for the SAME subject+pred
+        # merge into one list — a documented deviation; per-element list
+        # mappings only differ when a subject repeats @inlist in disjoint
+        # subtrees, which the corpus fixtures never do)
+        self.lists: dict[tuple, list] = {}
         self.depth = 0
+
+    def _inlist_add(self, subj, pred, obj, kind, dt=None, lang=None):
+        self.lists.setdefault((subj, pred), []).append((obj, kind, dt, lang))
 
     def _bnode(self) -> str:
         self.bnode_n += 1
@@ -126,6 +141,14 @@ class _RdfaParser(HTMLParser):
             for i in range(0, len(toks) - 1, 2):
                 pfx[toks[i].rstrip(":")] = toks[i + 1]
             scope["prefixes"] = pfx
+        # RDFa 1.0-style xmlns:foo="..." prefix declarations (still accepted
+        # by RDFa 1.1 processors for back-compat)
+        xmlns = {k[6:]: v for k, v in a.items()
+                 if k.startswith("xmlns:") and v}
+        if xmlns:
+            pfx = dict(scope["prefixes"])
+            pfx.update(xmlns)
+            scope["prefixes"] = pfx
         lang = a.get("lang") or a.get("xml:lang")
         if lang:
             scope["lang"] = lang
@@ -159,9 +182,13 @@ class _RdfaParser(HTMLParser):
                 self_subject = self._bnode()
             if obj_iri is not None:
                 for p in rel_preds:
-                    self.triples.append((self_subject, p, obj_iri,
-                                         self._kind(obj_iri),
-                                         None, None, None))
+                    if "inlist" in a:
+                        self._inlist_add(self_subject, p, obj_iri,
+                                         self._kind(obj_iri))
+                    else:
+                        self.triples.append((self_subject, p, obj_iri,
+                                             self._kind(obj_iri),
+                                             None, None, None))
                 for p in rev_preds:
                     self.triples.append((obj_iri, p, self_subject,
                                          self._kind(self_subject),
@@ -182,14 +209,24 @@ class _RdfaParser(HTMLParser):
             pred = self._resolve(prop, scope)
             dt = self._resolve(a.get("datatype"), scope) \
                 if a.get("datatype") else None
+            inlist = "inlist" in a
             if "content" in a:
-                self.triples.append((psubj, pred, a["content"] or "",
-                                     "literal", dt, scope["lang"], None))
+                if inlist:
+                    self._inlist_add(psubj, pred, a["content"] or "",
+                                     "literal", dt, scope["lang"])
+                else:
+                    self.triples.append((psubj, pred, a["content"] or "",
+                                         "literal", dt, scope["lang"], None))
                 if obj_iri is not None and not (rel_preds or rev_preds):
                     child_subject = obj_iri
             elif obj_iri is not None and not (rel_preds or rev_preds):
-                self.triples.append((psubj, pred, obj_iri,
-                                     self._kind(obj_iri), None, None, None))
+                if inlist:
+                    self._inlist_add(psubj, pred, obj_iri,
+                                     self._kind(obj_iri))
+                else:
+                    self.triples.append((psubj, pred, obj_iri,
+                                         self._kind(obj_iri),
+                                         None, None, None))
                 # @property+@resource: the resource becomes the subject for
                 # descendant elements (object chaining), typeof or not
                 child_subject = obj_iri
@@ -201,11 +238,16 @@ class _RdfaParser(HTMLParser):
                                      None, None, None))
                 child_subject = obj
             elif tag in _VOID:
-                self.triples.append((psubj, pred, "", "literal",
-                                     dt, scope["lang"], None))
+                if inlist:
+                    self._inlist_add(psubj, pred, "", "literal",
+                                     dt, scope["lang"])
+                else:
+                    self.triples.append((psubj, pred, "", "literal",
+                                         dt, scope["lang"], None))
             else:
                 self.captures.append(
-                    [self.depth, psubj, pred, dt, scope["lang"], []])
+                    [self.depth, psubj, pred, dt, scope["lang"], [],
+                     inlist])
         elif not (rel_preds or rev_preds):
             if new_subject is None and typeof is not None:
                 # typeof without about/property: new (b)node subject
@@ -256,9 +298,13 @@ class _RdfaParser(HTMLParser):
         if len(self.scopes) > 1:
             self.scopes.pop()
         while self.captures and self.captures[-1][0] >= self.depth:
-            d, subj, pred, dt, lang, buf = self.captures.pop()
-            self.triples.append((subj, pred, "".join(buf).strip(),
-                                 "literal", dt, lang, None))
+            d, subj, pred, dt, lang, buf, inlist = self.captures.pop()
+            if inlist:
+                self._inlist_add(subj, pred, "".join(buf).strip(),
+                                 "literal", dt, lang)
+            else:
+                self.triples.append((subj, pred, "".join(buf).strip(),
+                                     "literal", dt, lang, None))
         self.depth -= 1
 
     def handle_endtag(self, tag):
@@ -270,12 +316,33 @@ class _RdfaParser(HTMLParser):
         for cap in self.captures:
             cap[5].append(data)
 
+    def emit_lists(self):
+        """Materialize @inlist accumulators as rdf:first/rdf:rest chains
+        (one rdf:List per (subject, predicate), values in document order)."""
+        for (subj, pred), vals in self.lists.items():
+            if not vals:
+                self.triples.append((subj, pred, RDF_NIL, "iri",
+                                     None, None, None))
+                continue
+            nodes = [self._bnode() for _ in vals]
+            self.triples.append((subj, pred, nodes[0], "bnode",
+                                 None, None, None))
+            for i, (obj, kind, dt, lang) in enumerate(vals):
+                self.triples.append((nodes[i], RDF_FIRST, obj, kind,
+                                     dt, lang, None))
+                nxt = nodes[i + 1] if i + 1 < len(nodes) else RDF_NIL
+                self.triples.append((nodes[i], RDF_REST, nxt,
+                                     "bnode" if nxt != RDF_NIL else "iri",
+                                     None, None, None))
+        self.lists = {}
+
 
 def parse_rdfa(text: str) -> list[tuple]:
     p = _RdfaParser()
     try:
         p.feed(text)
         p.close()
+        p.emit_lists()
     except Exception as e:  # html.parser is forgiving; be explicit anyway
         raise HtmlRdfParseError(f"RDFa parse failed: {e}") from e
     if not p.triples:

@@ -92,8 +92,12 @@ def sameas_components(triples: DataFrame, max_rounds: int = 20,
              .where(F.col("obj_kind") == "iri")
              .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
              .dropDuplicates())
+    # materialize the edge set once — `und` is joined every round, and
+    # leaving it lazy re-runs its upstream (triples filter or worse) per
+    # round (same fix as dedup_clusters)
     und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .localCheckpoint(eager=False)
     labels = (und.select(F.col("a").alias("node"))
               .unionByName(und.select(F.col("b").alias("node")))
               .dropDuplicates()

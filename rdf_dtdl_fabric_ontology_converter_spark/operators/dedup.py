@@ -295,8 +295,13 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """
     edges = (pairs.select(F.col("doc_a").alias("a"),
                           F.col("doc_b").alias("b")).dropDuplicates())
+    # materialize the edge set ONCE: `und` is joined every round, and its
+    # upstream is typically the whole LSH candidate pipeline — without this
+    # checkpoint each round's job re-runs shingling/banding from scratch
+    # (O(rounds × full-LSH) instead of O(full-LSH + rounds × CC))
     und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .localCheckpoint(eager=False)
     labels = (und.select(F.col("a").alias("node")).dropDuplicates()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=False))

@@ -375,3 +375,48 @@ def test_hext_roundtrip_property(rows):
             dt, "literal")
         assert glang == (lang or None)
         assert gctx == (g or None)
+
+
+def test_rdfa_inlist_and_xmlns():
+    """@inlist builds rdf:first/rest chains per (subject, predicate) in
+    document order (RDFa 1.1 §7.5 step 11 list semantics, common-case);
+    xmlns:foo declarations act as prefix mappings (RDFa 1.0 back-compat)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        RDF_FIRST, RDF_NIL, RDF_REST, parse_rdfa)
+    html = """<html><body vocab="http://purl.org/dc/terms/"
+      prefix="ex: http://example.org/">
+    <p about="ex:doc">
+      <span property="creator" inlist content="Alice"></span>
+      <span property="creator" inlist>Bob</span>
+      <a rel="references" inlist href="http://example.org/r1">r1</a>
+      <a rel="references" inlist href="http://example.org/r2">r2</a>
+    </p>
+    <p xmlns:foaf="http://xmlns.com/foaf/0.1/" about="ex:alice"
+       property="foaf:name">Alice P</p>
+    </body></html>"""
+    triples = parse_rdfa(html)
+    by_sp = {}
+    for s, p, o, k, *_ in triples:
+        by_sp.setdefault((s, p), []).append((o, k))
+
+    # xmlns: prefix resolved
+    assert by_sp[("http://example.org/alice",
+                  "http://xmlns.com/foaf/0.1/name")] == \
+        [("Alice P", "literal")]
+
+    def walk(head):
+        out = []
+        node = head
+        while node != RDF_NIL:
+            (first, _), = by_sp[(node, RDF_FIRST)]
+            out.append(first)
+            (node, _), = by_sp[(node, RDF_REST)]
+        return out
+
+    (creators_head, k), = by_sp[("http://example.org/doc",
+                                 "http://purl.org/dc/terms/creator")]
+    assert k == "bnode" and walk(creators_head) == ["Alice", "Bob"]
+    (refs_head, _), = by_sp[("http://example.org/doc",
+                             "http://purl.org/dc/terms/references")]
+    assert walk(refs_head) == ["http://example.org/r1",
+                               "http://example.org/r2"]
