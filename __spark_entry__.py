@@ -714,6 +714,86 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / international phones) as one chained
+    JVM regexp_replace projection + per-category regexp_count — a standard
+    training-data scrub stage; DuckDB reproduces with RE2 'g' replaces."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import pii_counts
+    n = _t(spark, sf_dir, "nation")
+    docs = n.select(
+        F.concat(F.lit("pii_"), F.col("n_nationkey")).alias("doc_id"),
+        F.concat(
+            F.lit("contact "), F.lower("n_name"),
+            F.lit("@example.com or admin@"), F.lower("n_name"),
+            F.lit(".org from 10.0."), F.col("n_regionkey"),
+            F.lit("."), F.col("n_nationkey"),
+            F.lit(" tel +1 555 010"), F.col("n_regionkey"),
+            F.lit(" 9"), F.col("n_nationkey") + 100,
+        ).alias("text"))
+    return (pii_counts(docs)
+            .select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+            .orderBy("doc_id"))
+
+
+def _oracle_pii_scrub() -> str:
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import PII_PATTERNS
+    text = ("'contact '||lower(n_name)||'@example.com or admin@'||"
+            "lower(n_name)||'.org from 10.0.'||n_regionkey||'.'||"
+            "n_nationkey||' tel +1 555 010'||n_regionkey||' 9'||"
+            "(n_nationkey + 100)")
+    em, em_r = PII_PATTERNS["email"]
+    ip, ip_r = PII_PATTERNS["ipv4"]
+    ph, ph_r = PII_PATTERNS["phone"]
+    return f"""
+SELECT 'pii_'||n_nationkey AS doc_id,
+       CAST(len(regexp_extract_all({text}, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all({text}, '{ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all({text}, '{ph}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace({text},
+           '{em}', '{em_r}', 'g'), '{ip}', '{ip_r}', 'g'),
+           '{ph}', '{ph_r}', 'g') AS scrubbed
+FROM nation ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition counters per document (integer stats so the
+    value hash is float-free); the ratio view is
+    functions.text.repetition_signals over the same aggregate."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import (
+        repetition_stats)
+    return (repetition_stats(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+_ORACLE_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+), big AS (
+  SELECT doc_id, arr,
+         CASE WHEN len(arr) > 1 THEN
+           list_transform(generate_series(1, len(arr) - 1),
+                          i -> arr[i] || ' ' || arr[i + 1])
+         ELSE [] END AS bg
+  FROM base
+), tok_counts AS (
+  SELECT doc_id, max(cnt) AS top_tok_n FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM base, unnest(arr) AS u(tok) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.arr) AS BIGINT) AS n_tok,
+       CAST(len(list_distinct(b.arr)) AS BIGINT) AS n_tok_distinct,
+       CAST(t.top_tok_n AS BIGINT) AS top_tok_n,
+       CAST(len(b.bg) AS BIGINT) AS n_bigram,
+       CAST(len(list_distinct(b.bg)) AS BIGINT) AS n_bigram_distinct
+FROM big b JOIN tok_counts t USING (doc_id) ORDER BY doc_id
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     from rdf_dtdl_fabric_ontology_converter_spark.functions.text import fingerprint
@@ -1542,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "text_repetition": q_text_repetition,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1589,6 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_simhash": _ORACLE_SIMHASH,
         "text_stats": _ORACLE_TEXT_STATS,
+        "pii_scrub": _oracle_pii_scrub(),
+        "text_repetition": _ORACLE_TEXT_REPETITION,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "text_langid": _ORACLE_LANGID,
         "text_quality": _ORACLE_QUALITY,

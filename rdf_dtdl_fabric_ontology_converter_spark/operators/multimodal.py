@@ -131,6 +131,8 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         import zlib
+        if len(payload) < 24:
+            raise ValueError("PNG: truncated before IHDR")
         width, height = struct.unpack_from(">II", payload, 16)
         idat, pos = b"", 8
         while pos + 8 <= len(payload):
@@ -217,6 +219,8 @@ def _decode_jpeg_meta(payload: bytes) -> dict:
         if seglen < 2:
             break
         if marker in _JPEG_SOF and width is None:
+            if pos + 9 > len(payload):
+                break  # truncated SOF — fall through to the no-SOF error
             height, width = struct.unpack_from(">HH", payload, pos + 5)
         elif marker == 0xE1:    # APP1 (EXIF)
             orientation = orientation or _exif_orientation(
@@ -268,16 +272,18 @@ def _decode_mp4_meta(payload: bytes) -> dict:
         elif typ == b"moov":
             for t2, b2, e2 in _mp4_boxes(payload, body, boxend):
                 if t2 == b"mvhd":
-                    ver = payload[b2]
-                    if ver == 1:
+                    ver = payload[b2] if e2 > b2 else 0
+                    if ver == 1 and e2 - b2 >= 32:
                         ts, = struct.unpack_from(">I", payload, b2 + 20)
                         dur, = struct.unpack_from(">Q", payload, b2 + 24)
-                    else:
+                    elif ver == 0 and e2 - b2 >= 20:
                         ts, dur = struct.unpack_from(">II", payload, b2 + 12)
+                    else:
+                        raise ValueError("MP4: truncated mvhd box")
                     duration_ms = int(dur * 1000 // max(ts, 1))
                 elif t2 == b"trak":
                     for t3, b3, e3 in _mp4_boxes(payload, b2, e2):
-                        if t3 != b"tkhd":
+                        if t3 != b"tkhd" or e3 - b3 < 12:
                             continue
                         ver = payload[b3]
                         # tkhd: ver/flags(4) + times/ids then matrix; width/

@@ -603,3 +603,61 @@ def test_job_cli_config_file(spark, tmp_path):
     empty.write_text("{}")
     with _pytest.raises(SystemExit):
         jobmod.main(["--config", str(empty)])
+
+
+def test_pii_and_repetition_signals(spark):
+    """PII scrub redacts all three categories in one JVM projection;
+    repetition_signals ratios agree with hand-computed values."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.text import (
+        pii_counts, repetition_signals)
+    d = spark.createDataFrame(
+        [(1, "mail bob@x.io and eve@y.org ip 10.1.2.3 tel +44 20 7946 0958"),
+         (2, "spark spark spark row")],
+        "doc_id bigint, text string")
+    r = {x["doc_id"]: x for x in pii_counts(d).collect()}
+    assert (r[1]["n_email"], r[1]["n_ipv4"], r[1]["n_phone"]) == (2, 1, 1)
+    assert r[1]["scrubbed"] == \
+        "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+    assert r[2]["scrubbed"] == "spark spark spark row"
+    # plan: scrub is a pure projection — no shuffle, no python
+    plan = pii_counts(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    s = {x["doc_id"]: x for x in repetition_signals(d).collect()}
+    # doc 2: tokens [spark, spark, spark, row] -> 2/4 unique, top 3/4,
+    # bigrams [spark spark, spark spark, spark row] -> 1/3 duplicated... 
+    # distinct bigrams = 2 of 3 -> dup frac = 1 - 2/3
+    assert s[2]["frac_unique_tokens"] == 0.5
+    assert s[2]["top_token_frac"] == 0.75
+    assert abs(s[2]["dup_bigram_frac"] - (1 - 2 / 3)) < 1e-4
+
+
+def test_media_walkers_never_crash():
+    """Property test: the pure-struct JPEG/MP4/BMP/PNG walkers must reject
+    arbitrary byte garbage with ValueError (-> decode_error rows), never
+    raise IndexError/struct.error/OSError out of the batch loop."""
+    from hypothesis import given, settings, strategies as st
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        stdlib_decoder)
+
+    prefixes = [b"", b"\xff\xd8", b"\x00\x00\x00\x10ftyp", b"BM",
+                b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(pfx=st.sampled_from(prefixes), body=st.binary(max_size=512))
+    def run(pfx, body):
+        try:
+            d = stdlib_decoder("x", pfx + body)
+            assert d["media_type"] in ("image", "audio", "video")
+        except ValueError:
+            pass  # decode_error row — the contract
+        except Exception as e:  # noqa: BLE001
+            # wave module raises wave.Error (a subclass of Exception) for
+            # malformed RIFF bodies — decode_media catches broadly, but
+            # struct/index errors escaping a *parser we wrote* are bugs
+            import struct as _struct
+            assert not isinstance(
+                e, (IndexError, KeyError, _struct.error)), \
+                f"walker leaked {type(e).__name__}: {e}"
+
+    run()
