@@ -140,6 +140,54 @@ def _oracle_kg_entities() -> str:
     """
 
 
+def _synth_full_n(sf_dir: str) -> int:
+    """Docs for the full-pipeline synthetic run: oracle-checked size at
+    sf0.01 (500 classes), volume size elsewhere (10k classes)."""
+    s = sf_dir.rstrip("/")
+    if s.endswith("0.001"):
+        return 10
+    if s.endswith("0.01"):
+        return 50
+    return 1000
+
+
+def q_kg_full_synth(spark, sf_dir):
+    """FULL pipeline (stages A-D) over the deterministic synthetic ontology
+    corpus — entity-type construction at volume (10 classes x 5 data props
+    x 2 object props per doc), not the 25-doc nation corpus. The oracle
+    recomputes every name, sha256 fabric id, property count and
+    identity-part choice arithmetically."""
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        synth_documents)
+    n = _synth_full_n(sf_dir)
+    res = run_pipeline(spark, synth_documents(spark, n, partitions=32))
+    return (res.entity_types.select(
+        "name", "id",
+        F.size("properties").alias("n_props"),
+        F.try_element_at("entity_id_parts", F.lit(1)).alias("id_part"),
+        "display_name_property_id")
+        .orderBy("name"))
+
+
+def _oracle_kg_full_synth() -> str:
+    ns = "'http://example.org/large/'"
+    eid = _duck_fabric_id(f"{ns}||cname")
+    pid = _duck_fabric_id(f"{ns}||cname||'_prop0'")
+    return f"""
+WITH cls AS (
+  SELECT d.d * 10 + i.i AS cid
+  FROM (SELECT unnest(generate_series(0, 49)) AS d) d,
+       (SELECT unnest(generate_series(0, 9)) AS i) i
+), c AS (
+  SELECT 'Class' || lpad(CAST(cid AS VARCHAR), 8, '0') AS cname FROM cls
+)
+SELECT cname AS name, {eid} AS id, 5 AS n_props,
+       {pid} AS id_part, {pid} AS display_name_property_id
+FROM c ORDER BY name
+"""
+
+
 def q_kg_relationship_types(spark, sf_dir):
     res = _kg_result(spark, sf_dir)
     return res.relationship_types.select(
@@ -1603,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_extract": q_kg_triples_extract,
         "kg_entity_types": q_kg_entity_types,
+        "kg_full_synth": q_kg_full_synth,
         "kg_relationship_types": q_kg_relationship_types,
         "kg_skipped_rollup": q_kg_skipped_rollup,
         "kg_preflight": q_kg_preflight,
@@ -1652,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_triples_extract": _oracle_kg_triples(),
         "kg_entity_types": _oracle_kg_entities(),
+        "kg_full_synth": _oracle_kg_full_synth(),
         "kg_relationship_types": _oracle_kg_relationships(),
         "kg_skipped_rollup": _ORACLE_SKIPPED,
         "kg_preflight": _ORACLE_PREFLIGHT,

@@ -28,6 +28,7 @@ from rdf_dtdl_fabric_ontology_converter_spark.session import build_session  # no
 
 BENCH_QUERIES = [
     "kg_entity_types",
+    "kg_full_synth",
     "dedup_minhash_lsh",
     "dedup_pipeline",
     "dedup_simhash",
