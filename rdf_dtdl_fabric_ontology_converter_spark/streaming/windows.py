@@ -152,3 +152,44 @@ def run_session_stream(spark: SparkSession, in_path: str, out_path: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("ingest_ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def stream_exact_dedup(docs: DataFrame, watermark: str = "1 hour",
+                       text_col: str = "text",
+                       ts_col: str = "ingest_ts") -> DataFrame:
+    """Streaming exact deduplication: first-seen doc per content hash wins.
+
+    ``dropDuplicates`` on (md5(text)) with a watermark on the ingest
+    timestamp — Structured Streaming keeps one state row per distinct hash
+    and the watermark expires hashes older than the horizon, so state is
+    bounded on an unbounded ingest stream (an exact-dedup ledger over the
+    full history would grow forever; the watermark is the documented
+    trade: re-ingested duplicates separated by more than the horizon pass
+    through). Batch twin: operators.dedup.exact_duplicates.
+    """
+    return (docs
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["text_hash"]))
+
+
+def run_dedup_stream(spark: SparkSession, in_path: str, out_path: str,
+                     checkpoint: str, watermark: str = "1 hour"):
+    """File-source ingest stream → watermarked exact dedup → parquet
+    (append; availableNow for incremental batch-over-stream runs)."""
+    docs = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(in_path)
+    out = stream_exact_dedup(docs, watermark=watermark)
+    return (out.writeStream
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -116,3 +116,38 @@ def test_stateful_session_stream(spark, tmp_path):
              r["value_sum"]) for r in spark.read.parquet(out_dir).collect()}
     # session B: minutes 70,75 (batch 1 state) + 80 (batch 2) = 3 events
     assert (1, base + dt.timedelta(minutes=70), 3, 3.0) in got2
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: first-seen doc per content hash wins, state
+    survives across availableNow restarts through the checkpoint (a dup
+    arriving in a LATER batch is still dropped), and distinct text passes."""
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.windows import (
+        run_dedup_stream)
+    in_path = str(tmp_path / "docs")
+    out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+
+    def write_docs(rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id string, ingest_ts timestamp, text string") \
+            .coalesce(1).write.mode(mode).parquet(in_path)
+
+    write_docs([("a", t0, "alpha text"),
+                ("b", t0, "beta text"),
+                ("a2", t0, "alpha text")], "overwrite")  # in-batch dup
+    run_dedup_stream(spark, in_path, out, ckpt).awaitTermination(120)
+
+    # later batch: one cross-batch dup (must be dropped via checkpointed
+    # state) + one new doc (must pass)
+    t1 = t0 + datetime.timedelta(minutes=5)
+    write_docs([("b2", t1, "beta text"),
+                ("c", t1, "gamma text")], "append")
+    run_dedup_stream(spark, in_path, out, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    kept = {r["text"]: r["doc_id"] for r in got}
+    assert kept["beta text"] == "b"  # first-seen won across batches
