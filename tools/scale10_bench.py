@@ -1,10 +1,12 @@
 """Dedup-family 10x scale-proof bench (round-3 item 7).
 
 Builds an sf1-equivalent documents corpus (10x the sf0.1 table: each copy
-gets copy-specific token salting so cross-copy near-duplicates do NOT
-appear — duplicate structure, and therefore candidate-pair counts, scale
-linearly with the corpus, which is what a fair scaling corpus needs) and
-runs the dedup family at sf0.1 and at 10x, interleaved, medians of N reps.
+gets a copy-specific LETTER ROTATION — a character bijection, so text
+length, token counts, and the intra-copy duplicate structure are EXACTLY
+preserved while cross-copy shingles never collide. Near-duplicate
+structure, and therefore candidate-pair counts and shingle volume, scale
+exactly 10x — the fair scaling corpus) and runs the dedup family at sf0.1
+and at 10x, interleaved, medians of N reps.
 
 Prints one JSON line:
   {"queries": {name: {"sf01_med": s, "sf1eq_med": s, "ratio": r,
@@ -39,25 +41,26 @@ QUERIES = ["dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
            "dedup_ngram_jaccard", "dedup_clusters", "dedup_pipeline"]
 
 
+ROT_SRC = "etaoinshrd"  # 10 frequent letters; copy i rotates them by i
+
+
 def build_corpus(out_dir: str) -> str:
-    """10 salted copies of the sf0.1 documents table -> out_dir/documents.parquet."""
+    """10 letter-rotated copies of the sf0.1 documents table ->
+    out_dir/documents.parquet (copy 0 is the original)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     dst = out / "documents.parquet"
     if not dst.exists():
         con = duckdb.connect()
+        cases = " ".join(
+            f"WHEN t.i = {i} THEN translate(d.text, '{ROT_SRC}', "
+            f"'{ROT_SRC[i:] + ROT_SRC[:i]}')"
+            for i in range(1, 10))
         con.execute(f"""
         COPY (
           SELECT d.doc_id * 10 + t.i AS doc_id,
-                 CASE WHEN t.i = 0 THEN d.text
-                      ELSE 'c' || t.i || ' ' ||
-                           replace(d.text, ' ', ' v' || t.i || ' ')
-                 END AS text,
-                 d.lang, d.source,
-                 CAST(length(CASE WHEN t.i = 0 THEN d.text
-                      ELSE 'c' || t.i || ' ' ||
-                           replace(d.text, ' ', ' v' || t.i || ' ')
-                 END) AS BIGINT) AS n_chars
+                 CASE WHEN t.i = 0 THEN d.text {cases} END AS text,
+                 d.lang, d.source, d.n_chars
           FROM read_parquet('{SF01}/documents.parquet') d,
                (SELECT unnest(range(10)) AS i) t
         ) TO '{dst}' (FORMAT PARQUET)
