@@ -885,6 +885,128 @@ FROM s GROUP BY 1, 2 ORDER BY lang, lang_guess
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: corpus curation (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs >= 25 are the corpus, docs < 25 the
+    benchmark set; a corpus doc is contaminated if it shares any distinct
+    token 4-gram with the benchmark (broadcast semi-structure join)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import decontaminate
+    d = _t(spark, sf_dir, "documents")
+    return (decontaminate(d.where(F.col("doc_id") >= 25),
+                          d.where(F.col("doc_id") < 25), n=4)
+            .orderBy("doc_id"))
+
+
+_ORACLE_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+    THEN list_transform(range(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+3], ' '))
+    ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < 25
+), hits AS (
+  SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
+  FROM sh s JOIN ev ON s.sh = ev.sh WHERE s.doc_id >= 25 GROUP BY s.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 25 ORDER BY d.doc_id
+"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """C4-style global unit dedup at 10-token chunk granularity: each
+    chunk text survives only at its corpus-wide first occurrence; per-doc
+    text is reassembled from the survivors."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import chunk_dedup
+    return chunk_dedup(_t(spark, sf_dir, "documents"), 10).orderBy("doc_id")
+
+
+_ORACLE_CHUNK_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), units AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS unit
+  FROM toks,
+       LATERAL unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+), ranked AS (
+  SELECT *, row_number()
+    OVER (PARTITION BY md5(unit) ORDER BY doc_id, idx) AS rn
+  FROM units
+), totals AS (
+  SELECT doc_id, count(*) AS n_units FROM units GROUP BY doc_id
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(unit, ' ' ORDER BY idx) AS text_clean
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_units AS BIGINT) AS n_units,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.text_clean, '') AS text_clean
+FROM totals t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: md5 hash bucket (pure function
+    of seed+doc_id) under per-lang permille rates — reproducible corpus
+    mixing with zero shuffle."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        sample_stratified)
+    return (sample_stratified(_t(spark, sf_dir, "documents"),
+                              {"en": 300, "de": 500},
+                              default_permille=100, seed="r3")
+            .orderBy("doc_id"))
+
+
+_ORACLE_SAMPLE_STRATIFIED = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('r3:' || CAST(doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 500
+               ELSE 100 END
+ORDER BY doc_id
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: per-lang running token total in doc_id
+    order; shard boundaries at 500-token multiples."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import pack_shards
+    return (pack_shards(_t(spark, sf_dir, "documents"), budget=500)
+            .orderBy("doc_id"))
+
+
+_ORACLE_PACK_SHARDS = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, lang, n_tok,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok) / 500.0)
+            AS BIGINT) AS shard_id
+FROM d ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
 
@@ -1673,6 +1795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "chunk_dedup": q_chunk_dedup,
+        "sample_stratified": q_sample_stratified,
+        "pack_shards": q_pack_shards,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1723,6 +1849,10 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "pii_scrub": _oracle_pii_scrub(),
         "text_repetition": _ORACLE_TEXT_REPETITION,
+        "decontaminate": _ORACLE_DECONTAMINATE,
+        "chunk_dedup": _ORACLE_CHUNK_DEDUP,
+        "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
+        "pack_shards": _ORACLE_PACK_SHARDS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "text_langid": _ORACLE_LANGID,
         "text_quality": _ORACLE_QUALITY,

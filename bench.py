@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "dedup_pipeline",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "chunk_dedup",
+    "decontaminate",
+    "sample_stratified",
+    "pack_shards",
     "text_stats",
     "text_fingerprint",
     "ann_cosine_topk",

@@ -1,0 +1,182 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond dedup (operators/dedup.py) a 100-TB pretraining pipeline needs the
+curation steps that decide WHAT of the deduplicated corpus is trained on:
+
+- :func:`decontaminate` — flag documents sharing any token n-gram with a
+  benchmark/eval set (the classic pretraining decontamination pass).
+- :func:`chunk_dedup` / :func:`line_dedup` — C4-style removal of repeated
+  text units across the WHOLE corpus, keeping only the globally-first
+  occurrence and reassembling the surviving document text.
+- :func:`sample_stratified` — deterministic hash-bucket sampling with
+  per-stratum rates (reproducible corpus mixing, no RNG state).
+- :func:`pack_shards` — assign documents to contiguous output shards by a
+  per-stratum cumulative token budget (training-shard sizing).
+
+All pure pyspark.sql built-ins (split / posexplode / md5 / window /
+aggregate) — no Python in the hot path; md5-based hashing so DuckDB
+oracles reproduce every decision bit-for-bit.
+
+Scale notes:
+- decontaminate: the eval side is tiny by construction (benchmarks are
+  KBs, the corpus is TBs) — its distinct shingles are broadcast, so the
+  corpus side needs NO exchange beyond its own per-doc aggregate.
+- chunk/line dedup: one exchange keyed on the unit hash (the global
+  first-occurrence window), one keyed on doc_id (reassembly). Unit-hash
+  partitions are tiny except for boilerplate units — exactly the rows the
+  operator exists to drop — and the window computes only row_number, so a
+  hot hash never materializes a quadratic pair set (contrast LSH buckets).
+- sample_stratified: fully narrow — a projection + filter, no shuffle, and
+  the decision is a pure function of (seed, doc_id), so re-runs and
+  incremental extensions of the corpus keep prior decisions stable.
+- pack_shards: per-stratum window; parallelism is bounded by the number of
+  strata, so for a stratum that dominates the corpus pass ``sub_strata >
+  1`` to salt the stratum into deterministic sub-streams first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import shingle_rows, tokens
+
+
+def decontaminate(documents: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  text_col: str = "text", key_col: str = "doc_id"
+                  ) -> DataFrame:
+    """→ (key_col, n_overlap, contaminated): per-document count of distinct
+    token ``n``-grams shared with ``eval_docs`` (the benchmark set).
+
+    The eval set's distinct shingles are broadcast; the corpus side joins
+    them against its own distinct (doc, shingle) rows, so overlap counting
+    is set-semantics on both sides. Documents with zero overlap are kept
+    (n_overlap = 0, contaminated = false) — the output covers every input
+    document so the caller can filter or audit.
+    """
+    ev = (shingle_rows(eval_docs, text_col, key_col, n)
+          .select("sh").dropDuplicates())
+    hits = (shingle_rows(documents, text_col, key_col, n)
+            .join(F.broadcast(ev), "sh")
+            .groupBy(key_col)
+            .agg(F.countDistinct("sh").alias("n_overlap")))
+    return (documents.select(key_col)
+            .join(hits, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                    .alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+def _dedup_units(units: DataFrame, key_col: str, sep: str) -> DataFrame:
+    """Shared core of chunk/line dedup: ``units`` is (key_col, idx, unit);
+    keep each distinct unit text only at its globally-first occurrence
+    (smallest (key, idx)) and reassemble per-document text.
+
+    → (key_col, n_units, n_kept, text_clean); documents whose every unit
+    was seen earlier elsewhere survive with an empty text_clean.
+    """
+    w = Window.partitionBy(F.md5("unit")).orderBy(key_col, "idx")
+    ranked = units.withColumn("rn", F.row_number().over(w))
+    # one aggregate computes totals, survivor count, and the reassembled
+    # text (collect_list skips the NULLed-out dropped units), so no second
+    # scan branch and no totals-vs-rebuilt join
+    keep = F.col("rn") == 1
+    return (ranked.groupBy(key_col)
+            .agg(F.count("*").alias("n_units"),
+                 F.sum(keep.cast("long")).alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(keep, F.struct("idx", "unit")))),
+                     lambda s: s["unit"])).alias("text_clean")))
+
+
+def chunk_dedup(documents: DataFrame, chunk: int = 10,
+                text_col: str = "text", key_col: str = "doc_id"
+                ) -> DataFrame:
+    """C4-style global text-unit dedup for corpora WITHOUT line structure:
+    each document's token stream is cut into consecutive ``chunk``-token
+    units; a unit text that already occurred anywhere earlier in the
+    corpus (ordered by (key, position)) is removed; survivors are
+    reassembled in order. → (key_col, n_units, n_kept, text_clean)."""
+    toks = documents.select(
+        key_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    units = (toks.withColumn("idx", (F.col("pos") / chunk).cast("int"))
+             .groupBy(key_col, "idx")
+             .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                 lambda s: s["tok"])).alias("unit")))
+    return _dedup_units(units, key_col, " ")
+
+
+def line_dedup(documents: DataFrame, delim: str = "\n",
+               text_col: str = "text", key_col: str = "doc_id"
+               ) -> DataFrame:
+    """C4-style global line dedup: every line (split on ``delim``) is kept
+    only at its first occurrence corpus-wide; surviving lines are rejoined
+    with ``delim``. → (key_col, n_units, n_kept, text_clean)."""
+    units = documents.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), delim)).alias("idx", "unit"))
+    return _dedup_units(units, key_col, delim)
+
+
+def sample_stratified(documents: DataFrame, rates: dict[str, int],
+                      default_permille: int = 0, stratum_col: str = "lang",
+                      key_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff its hash
+    bucket (0-999, a pure function of (seed, key)) is below its stratum's
+    permille rate. → kept rows (key_col, stratum_col, bucket).
+
+    ``rates`` maps stratum value → permille (500 = 50%); strata absent
+    from the map fall back to ``default_permille``. The map ships as a
+    literal expression (broadcast-by-construction); for thousand-entry
+    rate tables join a broadcast rates DataFrame instead.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit(":"),
+                           F.col(key_col).cast("string"))), 1, 6),
+            16, 10).cast("long"),
+        F.lit(1000))
+    rate_map = F.create_map(
+        *[x for k, v in sorted(rates.items())
+          for x in (F.lit(k), F.lit(int(v)))])
+    rate = F.coalesce(rate_map[F.col(stratum_col)],
+                      F.lit(int(default_permille)))
+    return (documents.select(key_col, stratum_col)
+            .withColumn("bucket", bucket)
+            .where(F.col("bucket") < rate))
+
+
+def pack_shards(documents: DataFrame, budget: int,
+                stratum_col: str = "lang", key_col: str = "doc_id",
+                text_col: str = "text", sub_strata: int = 1) -> DataFrame:
+    """Assign documents to contiguous training shards by cumulative token
+    budget within each stratum. → (key_col, stratum_col, n_tok, shard_id).
+
+    Documents are packed in deterministic ``key_col`` order; a shard
+    closes once its running token total reaches ``budget`` (a document
+    larger than the budget occupies its own shard). ``sub_strata > 1``
+    splits each stratum into that many deterministic hash sub-streams
+    (shard_id becomes per-(stratum, sub-stream)) so a dominant stratum
+    does not serialize into a single window partition.
+    """
+    d = documents.select(
+        key_col, stratum_col,
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"))
+    part = [stratum_col]
+    if sub_strata > 1:
+        d = d.withColumn("sub", F.pmod(
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                   16, 10).cast("long"),
+            F.lit(int(sub_strata))))
+        part.append("sub")
+    w = Window.partitionBy(*part).orderBy(key_col)
+    cum = F.sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = d.withColumn(
+        "shard_id", F.floor((cum - F.col("n_tok")) / F.lit(int(budget)))
+        .cast("long"))
+    return out.select(key_col, stratum_col, "n_tok", "shard_id",
+                      *(["sub"] if sub_strata > 1 else []))

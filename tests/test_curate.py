@@ -1,0 +1,103 @@
+"""Corpus-curation operators (operators/curate.py): decontamination,
+C4-style line/chunk dedup, stratified sampling, shard packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+    chunk_dedup, decontaminate, line_dedup, pack_shards, sample_stratified)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    corpus = _docs(spark, [
+        ("c1", "alpha beta gamma delta epsilon"),   # shares 4-gram w/ eval
+        ("c2", "one two three four five six"),       # clean
+    ])
+    ev = _docs(spark, [("e1", "alpha beta gamma delta zeta")])
+    out = {r["doc_id"]: r for r in decontaminate(corpus, ev, n=4).collect()}
+    assert out["c1"]["contaminated"] and out["c1"]["n_overlap"] == 1
+    assert not out["c2"]["contaminated"] and out["c2"]["n_overlap"] == 0
+
+
+def test_decontaminate_short_doc_whole_text_fallback(spark):
+    # docs shorter than n shingle to their whole text (shingle_rows
+    # semantics): only an exact whole-text match contaminates
+    corpus = _docs(spark, [("c1", "tiny doc"), ("c2", "other words")])
+    ev = _docs(spark, [("e1", "tiny doc")])
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(corpus, ev, n=4).collect()}
+    assert out == {"c1": True, "c2": False}
+
+
+def test_line_dedup_keeps_first_occurrence_globally(spark):
+    out = {r["doc_id"]: r for r in line_dedup(_docs(spark, [
+        ("a", "x\ny\nz"), ("b", "y\nq"), ("c", "x\nq"),
+    ])).collect()}
+    assert (out["a"]["n_units"], out["a"]["n_kept"]) == (3, 3)
+    assert out["a"]["text_clean"] == "x\ny\nz"
+    assert (out["b"]["n_kept"], out["b"]["text_clean"]) == (1, "q")
+    # every unit of c was seen earlier -> empty survivor text, 0 kept
+    assert (out["c"]["n_kept"], out["c"]["text_clean"]) == (0, "")
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    out = line_dedup(_docs(spark, [("a", "x\nx\ny")])).collect()[0]
+    assert out["n_units"] == 3 and out["n_kept"] == 2
+    assert out["text_clean"] == "x\ny"
+
+
+def test_chunk_dedup_removes_repeated_chunk(spark):
+    ten = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"u{i}" for i in range(10))
+    out = {r["doc_id"]: r for r in chunk_dedup(_docs(spark, [
+        ("a", ten + " " + other),
+        ("b", ten + " tail words here"),
+    ]), chunk=10).collect()}
+    assert (out["a"]["n_units"], out["a"]["n_kept"]) == (2, 2)
+    # b's first 10-token chunk equals a's -> dropped; its short tail stays
+    assert (out["b"]["n_units"], out["b"]["n_kept"]) == (2, 1)
+    assert out["b"]["text_clean"] == "tail words here"
+
+
+def test_sample_stratified_deterministic_and_rate_bounds(spark):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(90)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = sample_stratified(d, {"en": 1000, "de": 0}, default_permille=500,
+                             seed="s")
+    got = sorted(r["doc_id"] for r in kept.collect())
+    # rate 1000 keeps every en doc; rate 0 drops every de doc
+    langs = {r["doc_id"]: r["lang"] for r in d.collect()}
+    assert all(langs[i] != "de" for i in got)
+    assert [i for i in range(90) if langs[i] == "en"] == [
+        i for i in got if langs[i] == "en"]
+    # fr fell back to the 500 default: strictly between none and all
+    fr = [i for i in got if langs[i] == "fr"]
+    assert 0 < len(fr) < 30
+    # pure function of (seed, doc_id): identical on re-run
+    assert got == sorted(r["doc_id"] for r in kept.collect())
+
+
+def test_pack_shards_budget_and_ordering(spark):
+    rows = [(i, " ".join(["w"] * 40), "en") for i in range(10)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sorted(pack_shards(d, budget=100).collect(),
+                 key=lambda r: r["doc_id"])
+    # 40-token docs, budget 100: prefix sums 0,40,80,120,... ->
+    # shards 0,0,0,1,1,2,2,2,3,3
+    assert [r["shard_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert all(r["n_tok"] == 40 for r in out)
+
+
+def test_pack_shards_sub_strata_partitions_deterministically(spark):
+    rows = [(i, " ".join(["w"] * 10), "en") for i in range(50)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = pack_shards(d, budget=50, sub_strata=4)
+    assert "sub" in out.columns
+    r1 = sorted(map(tuple, out.collect()))
+    r2 = sorted(map(tuple, pack_shards(d, budget=50, sub_strata=4).collect()))
+    assert r1 == r2
+    assert {r["sub"] for r in out.collect()} <= set(range(4))
