@@ -1006,6 +1006,94 @@ FROM d ORDER BY doc_id
 """
 
 
+def _curate_args():
+    return dict(rates={"en": 700, "de": 700}, default_permille=500,
+                budget=500, seed="r3")
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation ACTION (quality filter → exact dedup →
+    decontamination vs the doc_id<25 benchmark set → stratified sample →
+    shard packing): final training-shard assignments."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import curate_corpus
+    d = _t(spark, sf_dir, "documents")
+    assignments, _funnel = curate_corpus(
+        d.where(F.col("doc_id") >= 25), d.where(F.col("doc_id") < 25),
+        **_curate_args())
+    return assignments.orderBy("doc_id")
+
+
+def q_curate_funnel(spark, sf_dir):
+    """Per-stage survivor counts of the composed curation funnel — drops
+    are counted at every stage, never silent."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import curate_corpus
+    d = _t(spark, sf_dir, "documents")
+    _assignments, funnel = curate_corpus(
+        d.where(F.col("doc_id") >= 25), d.where(F.col("doc_id") < 25),
+        **_curate_args())
+    return funnel
+
+
+_CURATE_COMMON = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id >= 25
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, tok
+), qs AS (
+  SELECT doc_id, sum(c) AS n_tok, max(c) AS top_tok_n
+  FROM tc GROUP BY doc_id
+), quality AS (
+  SELECT tk.* FROM toks tk JOIN qs USING (doc_id)
+  WHERE qs.n_tok >= 20 AND qs.top_tok_n * 8 <= qs.n_tok
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+), uniq AS (
+  SELECT q.* FROM quality q JOIN keep USING (doc_id)
+), evsh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(t) >= 4
+    THEN list_transform(range(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+3], ' '))
+    ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 25)
+), csh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+    THEN list_transform(range(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+3], ' '))
+    ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM uniq
+), contam AS (
+  SELECT DISTINCT c.doc_id FROM csh c JOIN evsh USING (sh)
+), clean AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE CAST('0x' || substr(md5('r3:' || CAST(doc_id AS VARCHAR)), 1, 6)
+        AS BIGINT) % 1000 <
+        CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 700 ELSE 500 END
+)
+"""
+
+_ORACLE_CURATE_CORPUS = _CURATE_COMMON + r"""
+SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
+       CAST(floor((sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - len(t)) / 500.0)
+            AS BIGINT) AS shard_id
+FROM sampled ORDER BY doc_id
+"""
+
+_ORACLE_CURATE_FUNNEL = _CURATE_COMMON + r"""
+SELECT (SELECT count(*) FROM documents WHERE doc_id >= 25) AS n_in,
+       (SELECT count(*) FROM quality) AS n_quality,
+       (SELECT count(*) FROM uniq) AS n_unique,
+       (SELECT count(*) FROM clean) AS n_clean,
+       (SELECT count(*) FROM sampled) AS n_sampled
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1197,6 +1285,43 @@ SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.45
 ORDER BY doc_a, doc_b
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Embedding-level dedup ACTION: LSH-bucketed cosine near-dup pairs →
+    connected components → every vector labeled (singletons keep their
+    own id). Oracle = the bucketed pair SQL + a recursive-CTE closure."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import semantic_dedup
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (semantic_dedup(e, threshold=0.45, dim=_EMB_DIM,
+                           n_planes=_EMB_ND_PLANES)
+            .orderBy("vec_id"))
+
+
+def _oracle_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_duck_bucket_expr(_EMB_ND_PLANES)} AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS a, c.vec_id AS b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.45
+), und AS (
+  SELECT a, b FROM cand UNION SELECT b, a FROM cand
+), reach(node, other) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.other
+  WHERE u.b <> r.node
+), lab AS (
+  SELECT node, least(node, min(other)) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(l.cluster_id, e.vec_id) = e.vec_id AS is_keeper
+FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id ORDER BY vec_id
 """
 
 
@@ -1799,6 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
         "pack_shards": q_pack_shards,
+        "curate_corpus": q_curate_corpus,
+        "curate_funnel": q_curate_funnel,
+        "semantic_dedup": q_semantic_dedup,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1853,6 +1981,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,
+        "curate_corpus": _ORACLE_CURATE_CORPUS,
+        "curate_funnel": _ORACLE_CURATE_FUNNEL,
+        "semantic_dedup": _oracle_semantic_dedup(),
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "text_langid": _ORACLE_LANGID,
         "text_quality": _ORACLE_QUALITY,

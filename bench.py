@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "chunk_dedup",
     "decontaminate",
+    "curate_corpus",
+    "semantic_dedup",
     "sample_stratified",
     "pack_shards",
     "text_stats",

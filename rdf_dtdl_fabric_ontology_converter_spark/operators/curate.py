@@ -149,6 +149,89 @@ def sample_stratified(documents: DataFrame, rates: dict[str, int],
             .where(F.col("bucket") < rate))
 
 
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
+                   dim: int | None = None, n_planes: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Embedding-level dedup ACTION: near-duplicate cosine pairs
+    (hyperplane-LSH bucketed — see
+    :func:`..dedup.embedding_near_duplicates`) → connected components →
+    every input vector labeled (id_col, cluster_id, is_keeper); vectors
+    in no near-dup pair are their own singleton cluster.
+
+    The pair graph is tiny relative to the corpus (it only contains
+    near-duplicates), so the label-propagation rounds run on edges, not
+    vectors, and the final labeling is one id-keyed left join.
+    """
+    from .dedup import dedup_clusters, embedding_near_duplicates
+    pairs = embedding_near_duplicates(vectors, threshold, dim, n_planes,
+                                      id_col, vec_col)
+    comps = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    return (vectors.select(id_col)
+            .join(comps.select(F.col("doc_id").alias(id_col), "cluster_id"),
+                  id_col, "left")
+            .select(id_col,
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("cluster_id"))
+            .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id")))
+
+
+def curate_corpus(documents: DataFrame, eval_docs: DataFrame,
+                  rates: dict[str, int], default_permille: int,
+                  budget: int, min_tok: int = 20, rep_factor: int = 8,
+                  ngram: int = 4, seed: str = "",
+                  text_col: str = "text", key_col: str = "doc_id",
+                  stratum_col: str = "lang"
+                  ) -> tuple[DataFrame, DataFrame]:
+    """The composed curation ACTION: documents in → training-shard
+    assignments out, with a per-stage funnel.
+
+    Stages: (1) quality filter — at least ``min_tok`` tokens and the most
+    frequent token at most 1/``rep_factor`` of them (Gopher-style
+    repetition cap, integer arithmetic only); (2) exact dedup — keep the
+    min-key document per md5(text); (3) decontamination — drop survivors
+    sharing any token ``ngram`` with ``eval_docs``; (4) deterministic
+    stratified sampling under ``rates``; (5) token-budget shard packing.
+
+    Returns ``(assignments, funnel)``:
+
+    - assignments: (key_col, stratum_col, n_tok, shard_id) for every
+      document that survived all five stages.
+    - funnel: 1-row counts (n_in, n_quality, n_unique, n_clean,
+      n_sampled) — each stage's survivor count, never silent drops.
+    """
+    toks = documents.select(
+        key_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    qstats = (toks.groupBy(key_col, "tok").count()
+              .groupBy(key_col)
+              .agg(F.sum("count").alias("n_tok"),
+                   F.max("count").alias("top_tok_n")))
+    quality_ids = (qstats.where(
+        (F.col("n_tok") >= min_tok) &
+        (F.col("top_tok_n") * rep_factor <= F.col("n_tok")))
+        .select(key_col))
+    quality = documents.join(quality_ids, key_col, "left_semi")
+    keepers = (quality.groupBy(F.md5(text_col).alias("h"))
+               .agg(F.min(key_col).alias(key_col)).select(key_col))
+    unique = quality.join(keepers, key_col, "left_semi")
+    clean = (unique.join(
+        decontaminate(unique, eval_docs, ngram, text_col, key_col)
+        .where(~F.col("contaminated")).select(key_col),
+        key_col, "left_semi"))
+    sampled_ids = sample_stratified(clean, rates, default_permille,
+                                    stratum_col, key_col, seed
+                                    ).select(key_col)
+    sampled = clean.join(sampled_ids, key_col, "left_semi")
+    assignments = pack_shards(sampled, budget, stratum_col, key_col,
+                              text_col)
+    funnel = (documents.agg(F.count("*").alias("n_in"))
+              .crossJoin(quality.agg(F.count("*").alias("n_quality")))
+              .crossJoin(unique.agg(F.count("*").alias("n_unique")))
+              .crossJoin(clean.agg(F.count("*").alias("n_clean")))
+              .crossJoin(sampled.agg(F.count("*").alias("n_sampled"))))
+    return assignments, funnel
+
+
 def pack_shards(documents: DataFrame, budget: int,
                 stratum_col: str = "lang", key_col: str = "doc_id",
                 text_col: str = "text", sub_strata: int = 1) -> DataFrame:

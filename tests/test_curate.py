@@ -92,6 +92,53 @@ def test_pack_shards_budget_and_ordering(spark):
     assert all(r["n_tok"] == 40 for r in out)
 
 
+def test_curate_corpus_funnel_counts_every_stage(spark):
+    long = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, long, "en"),                       # survives everything
+        (2, "short doc", "en"),                # fails min_tok
+        (3, " ".join(["rep"] * 30), "en"),     # fails repetition cap
+        (4, long, "en"),                       # exact dup of 1 -> dropped
+        (5, long + " extra tail here now", "en"),  # contaminated vs eval
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = _docs(spark, [("e", " ".join(f"w{i}" for i in range(26, 30)))])
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        curate_corpus)
+    assignments, funnel = curate_corpus(
+        d, ev, rates={"en": 1000}, default_permille=0, budget=100,
+        min_tok=20, rep_factor=8, ngram=4)
+    f = funnel.collect()[0]
+    # doc1+doc5 pass quality+dedup... but BOTH share w26..w29 with eval
+    assert (f["n_in"], f["n_quality"], f["n_unique"]) == (5, 3, 2)
+    assert f["n_clean"] == 0 and f["n_sampled"] == 0
+    assert assignments.count() == 0
+    # with a non-overlapping eval set, doc1 survives (doc4 still deduped)
+    ev2 = _docs(spark, [("e", "zz yy xx vv uu")])
+    a2, f2 = curate_corpus(d, ev2, rates={"en": 1000}, default_permille=0,
+                           budget=100, min_tok=20, rep_factor=8, ngram=4)
+    f2r = f2.collect()[0]
+    assert (f2r["n_clean"], f2r["n_sampled"]) == (2, 2)
+    got = {r["doc_id"]: r["shard_id"] for r in a2.collect()}
+    assert set(got) == {1, 5}
+
+
+def test_semantic_dedup_labels_all_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # singleton
+    ]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        semantic_dedup)
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(d, threshold=0.99, dim=4, n_planes=2).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["is_keeper"]
+    assert out[2]["cluster_id"] == 1 and not out[2]["is_keeper"]
+    assert out[3]["cluster_id"] == 3 and out[3]["is_keeper"]
+
+
 def test_pack_shards_sub_strata_partitions_deterministically(spark):
     rows = [(i, " ".join(["w"] * 10), "en") for i in range(50)]
     d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
