@@ -133,20 +133,31 @@ def sample_stratified(documents: DataFrame, rates: dict[str, int],
     literal expression (broadcast-by-construction); for thousand-entry
     rate tables join a broadcast rates DataFrame instead.
     """
-    bucket = F.pmod(
+    bucket = sample_bucket(key_col, seed)
+    return (documents.select(key_col, stratum_col)
+            .withColumn("bucket", bucket)
+            .where(F.col("bucket") <
+                   sample_rate(rates, default_permille, stratum_col)))
+
+
+def sample_bucket(key_col: str, seed: str):
+    """The 0-999 sampling bucket: a pure function of (seed, key)."""
+    return F.pmod(
         F.conv(F.substring(
             F.md5(F.concat(F.lit(seed), F.lit(":"),
                            F.col(key_col).cast("string"))), 1, 6),
             16, 10).cast("long"),
         F.lit(1000))
+
+
+def sample_rate(rates: dict[str, int], default_permille: int,
+                stratum_col: str):
+    """Per-stratum permille rate as a literal-map Column expression."""
     rate_map = F.create_map(
         *[x for k, v in sorted(rates.items())
           for x in (F.lit(k), F.lit(int(v)))])
-    rate = F.coalesce(rate_map[F.col(stratum_col)],
+    return F.coalesce(rate_map[F.col(stratum_col)],
                       F.lit(int(default_permille)))
-    return (documents.select(key_col, stratum_col)
-            .withColumn("bucket", bucket)
-            .where(F.col("bucket") < rate))
 
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,

@@ -151,3 +151,70 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert texts == ["alpha text", "beta text", "gamma text"]
     kept = {r["text"]: r["doc_id"] for r in got}
     assert kept["beta text"] == "b"  # first-seen won across batches
+
+
+def test_stream_decontaminate(spark, tmp_path):
+    """Streaming decontamination: a doc sharing a 4-gram with the static
+    benchmark set is dropped mid-stream (stateless broadcast anti-join);
+    clean docs pass through with all columns; later batches behave
+    identically with no state between them."""
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.curation import (
+        run_decontaminate_stream)
+    in_path = str(tmp_path / "docs")
+    ev_path = str(tmp_path / "eval")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+    spark.createDataFrame([("e1", "alpha beta gamma delta")],
+                          ["doc_id", "text"]).write.parquet(ev_path)
+
+    def write_docs(rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id string, ingest_ts timestamp, text string") \
+            .coalesce(1).write.mode(mode).parquet(in_path)
+
+    write_docs([("bad", t0, "x alpha beta gamma delta y"),
+                ("ok", t0, "one two three four five")], "overwrite")
+    run_decontaminate_stream(spark, in_path, ev_path, out,
+                             ckpt).awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) \
+        == ["ok"]
+
+    write_docs([("bad2", t0, "alpha beta gamma delta"),
+                ("ok2", t0, "six seven eight nine ten")], "append")
+    run_decontaminate_stream(spark, in_path, ev_path, out,
+                             ckpt).awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) \
+        == ["ok", "ok2"]
+
+
+def test_stream_sample_stratified(spark, tmp_path):
+    """Streaming stratified sampling matches the batch operator's keep set
+    exactly (the decision is a pure function of seed+doc_id) and passes
+    all input columns through."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        sample_stratified)
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.curation import (
+        stream_sample_stratified)
+    import pyspark.sql.types as T
+    rows = [(f"d{i}", ["en", "de"][i % 2], f"text {i}") for i in range(60)]
+    batch = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    in_path = str(tmp_path / "sdocs")
+    batch.write.parquet(in_path)
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("lang", T.StringType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).parquet(in_path)
+    out = str(tmp_path / "sampled")
+    q = (stream_sample_stratified(stream, {"en": 600}, 200, seed="s")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "sckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["doc_id"] for r in
+                  sample_stratified(batch, {"en": 600}, 200,
+                                    seed="s").collect())
+    assert got == want and len(got) > 0
+    cols = spark.read.parquet(out).columns
+    assert set(cols) == {"doc_id", "lang", "text"}
