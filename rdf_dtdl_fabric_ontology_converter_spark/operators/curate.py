@@ -221,18 +221,26 @@ def curate_corpus(documents: DataFrame, eval_docs: DataFrame,
         (F.col("n_tok") >= min_tok) &
         (F.col("top_tok_n") * rep_factor <= F.col("n_tok")))
         .select(key_col))
-    quality = documents.join(quality_ids, key_col, "left_semi")
+    # every stage frame feeds BOTH the next stage and the funnel counts
+    # (and `unique` feeds decontamination twice) — lazy localCheckpoints
+    # materialize each stage once instead of re-running the whole prefix
+    # per consumer branch (plan audit: 51 exchanges -> see PLANS.md)
+    quality = (documents.join(quality_ids, key_col, "left_semi")
+               .localCheckpoint(eager=False))
     keepers = (quality.groupBy(F.md5(text_col).alias("h"))
                .agg(F.min(key_col).alias(key_col)).select(key_col))
-    unique = quality.join(keepers, key_col, "left_semi")
+    unique = (quality.join(keepers, key_col, "left_semi")
+              .localCheckpoint(eager=False))
     clean = (unique.join(
         decontaminate(unique, eval_docs, ngram, text_col, key_col)
         .where(~F.col("contaminated")).select(key_col),
-        key_col, "left_semi"))
+        key_col, "left_semi")
+        .localCheckpoint(eager=False))
     sampled_ids = sample_stratified(clean, rates, default_permille,
                                     stratum_col, key_col, seed
                                     ).select(key_col)
-    sampled = clean.join(sampled_ids, key_col, "left_semi")
+    sampled = (clean.join(sampled_ids, key_col, "left_semi")
+               .localCheckpoint(eager=False))
     assignments = pack_shards(sampled, budget, stratum_col, key_col,
                               text_col)
     funnel = (documents.agg(F.count("*").alias("n_in"))
