@@ -160,6 +160,51 @@ def sample_rate(rates: dict[str, int], default_permille: int,
                       F.lit(int(default_permille)))
 
 
+def quality_filter(documents: DataFrame, min_tok: int = 20,
+                   rep_factor: int = 8, text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Keep documents with at least ``min_tok`` tokens whose most frequent
+    token is at most 1/``rep_factor`` of them (all input columns pass)."""
+    toks = documents.select(
+        key_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    qstats = (toks.groupBy(key_col, "tok").count()
+              .groupBy(key_col)
+              .agg(F.sum("count").alias("n_tok"),
+                   F.max("count").alias("top_tok_n")))
+    ids = (qstats.where(
+        (F.col("n_tok") >= min_tok) &
+        (F.col("top_tok_n") * rep_factor <= F.col("n_tok")))
+        .select(key_col))
+    return documents.join(ids, key_col, "left_semi")
+
+
+def keep_exact_keepers(documents: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup stage: keep only the min-key document per md5(text)."""
+    keepers = (documents.groupBy(F.md5(text_col).alias("h"))
+               .agg(F.min(key_col).alias(key_col)).select(key_col))
+    return documents.join(keepers, key_col, "left_semi")
+
+
+def drop_contaminated(documents: DataFrame, eval_docs: DataFrame,
+                      n: int = 4, text_col: str = "text",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Keep only documents sharing no token ``n``-gram with the eval set."""
+    return documents.join(
+        decontaminate(documents, eval_docs, n, text_col, key_col)
+        .where(~F.col("contaminated")).select(key_col),
+        key_col, "left_semi")
+
+
+def keep_sampled(documents: DataFrame, rates: dict[str, int],
+                 default_permille: int = 0, stratum_col: str = "lang",
+                 key_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Stratified-sampling stage: full rows of the kept documents."""
+    kept = sample_stratified(documents, rates, default_permille,
+                             stratum_col, key_col, seed).select(key_col)
+    return documents.join(kept, key_col, "left_semi")
+
+
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    dim: int | None = None, n_planes: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding"
@@ -211,35 +256,19 @@ def curate_corpus(documents: DataFrame, eval_docs: DataFrame,
     - funnel: 1-row counts (n_in, n_quality, n_unique, n_clean,
       n_sampled) — each stage's survivor count, never silent drops.
     """
-    toks = documents.select(
-        key_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-    qstats = (toks.groupBy(key_col, "tok").count()
-              .groupBy(key_col)
-              .agg(F.sum("count").alias("n_tok"),
-                   F.max("count").alias("top_tok_n")))
-    quality_ids = (qstats.where(
-        (F.col("n_tok") >= min_tok) &
-        (F.col("top_tok_n") * rep_factor <= F.col("n_tok")))
-        .select(key_col))
     # every stage frame feeds BOTH the next stage and the funnel counts
     # (and `unique` feeds decontamination twice) — lazy localCheckpoints
     # materialize each stage once instead of re-running the whole prefix
     # per consumer branch (plan audit: 51 exchanges -> see PLANS.md)
-    quality = (documents.join(quality_ids, key_col, "left_semi")
+    quality = (quality_filter(documents, min_tok, rep_factor,
+                              text_col, key_col)
                .localCheckpoint(eager=False))
-    keepers = (quality.groupBy(F.md5(text_col).alias("h"))
-               .agg(F.min(key_col).alias(key_col)).select(key_col))
-    unique = (quality.join(keepers, key_col, "left_semi")
+    unique = (keep_exact_keepers(quality, text_col, key_col)
               .localCheckpoint(eager=False))
-    clean = (unique.join(
-        decontaminate(unique, eval_docs, ngram, text_col, key_col)
-        .where(~F.col("contaminated")).select(key_col),
-        key_col, "left_semi")
-        .localCheckpoint(eager=False))
-    sampled_ids = sample_stratified(clean, rates, default_permille,
-                                    stratum_col, key_col, seed
-                                    ).select(key_col)
-    sampled = (clean.join(sampled_ids, key_col, "left_semi")
+    clean = (drop_contaminated(unique, eval_docs, ngram, text_col, key_col)
+             .localCheckpoint(eager=False))
+    sampled = (keep_sampled(clean, rates, default_permille, stratum_col,
+                            key_col, seed)
                .localCheckpoint(eager=False))
     assignments = pack_shards(sampled, budget, stratum_col, key_col,
                               text_col)

@@ -139,3 +139,32 @@ def run_pipeline_checkpointed(spark: SparkSession, documents: DataFrame,
     rel_types = cp.stage("C_relationships", lambda: res.relationship_types)
     skipped = cp.stage("D_skipped", lambda: res.skipped_items)
     return cp, entity_types, rel_types, skipped
+
+
+def run_curation_checkpointed(spark: SparkSession, documents: DataFrame,
+                              eval_docs: DataFrame, root: str,
+                              rates: dict[str, int],
+                              default_permille: int, budget: int,
+                              min_tok: int = 20, rep_factor: int = 8,
+                              ngram: int = 4, seed: str = ""):
+    """The curation funnel (operators/curate.py) with one snapshot per
+    stage: quality filter → exact dedup → decontamination → stratified
+    sample → shard assignments. A rerun after a kill resumes from the
+    last committed snapshot, and the `_lineage` table carries each
+    stage's per-partition survivor counts — the funnel audit trail is the
+    lineage itself."""
+    from ..operators.curate import (drop_contaminated, keep_exact_keepers,
+                                    keep_sampled, pack_shards,
+                                    quality_filter)
+
+    cp = CheckpointManager(spark, root)
+    quality = cp.stage("A_quality", lambda: quality_filter(
+        documents, min_tok, rep_factor))
+    unique = cp.stage("B_exact_dedup",
+                      lambda: keep_exact_keepers(quality))
+    clean = cp.stage("C_decontaminate",
+                     lambda: drop_contaminated(unique, eval_docs, ngram))
+    sampled = cp.stage("D_sample", lambda: keep_sampled(
+        clean, rates, default_permille, seed=seed))
+    assignments = cp.stage("E_pack", lambda: pack_shards(sampled, budget))
+    return cp, assignments

@@ -148,3 +148,43 @@ def test_pack_shards_sub_strata_partitions_deterministically(spark):
     r2 = sorted(map(tuple, pack_shards(d, budget=50, sub_strata=4).collect()))
     assert r1 == r2
     assert {r["sub"] for r in out.collect()} <= set(range(4))
+
+
+def test_curation_checkpointed_resume(spark, tmp_path):
+    """Checkpointed funnel: per-stage snapshots + lineage, exact resume
+    (a committed stage is read back, not recomputed), and the final
+    assignments match the direct curate_corpus composition."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        curate_corpus)
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.checkpoint import (
+        CheckpointManager, run_curation_checkpointed)
+    long = lambda i: " ".join(f"w{i}_{j}" for j in range(30))  # noqa: E731
+    rows = [(i, long(i), "en") for i in range(1, 9)]
+    rows += [(9, "short doc", "en"), (10, long(1), "en")]  # drop + dup
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame([("e", "zz yy xx vv uu")],
+                               ["doc_id", "text"])
+    root = str(tmp_path / "cur_cp")
+    args = dict(rates={"en": 1000}, default_permille=0, budget=60)
+    cp, assignments = run_curation_checkpointed(spark, d, ev, root, **args)
+    got = sorted((r["doc_id"], r["shard_id"])
+                 for r in assignments.collect())
+    direct, _ = curate_corpus(d, ev, **args)
+    want = sorted((r["doc_id"], r["shard_id"]) for r in direct.collect())
+    assert got == want and len(got) == 8
+    stages = {r["stage"] for r in
+              cp.lineage().select("stage").distinct().collect()}
+    assert stages == {"A_quality", "B_exact_dedup", "C_decontaminate",
+                      "D_sample", "E_pack"}
+    # resume: every stage committed -> a rerun recomputes nothing, even
+    # with a DIFFERENT input frame (snapshots win)
+    cp2, again = run_curation_checkpointed(
+        spark, d.limit(0), ev, root, **args)
+    assert sorted((r["doc_id"], r["shard_id"])
+                  for r in again.collect()) == want
+    # reset one mid-funnel stage: only it and later stages recompute
+    cp2.reset("D_sample")
+    assert not cp2.is_committed("D_sample")
+    cp3, third = run_curation_checkpointed(spark, d, ev, root, **args)
+    assert sorted((r["doc_id"], r["shard_id"])
+                  for r in third.collect()) == want

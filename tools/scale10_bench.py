@@ -74,9 +74,16 @@ def n_exchanges(df) -> int:
     return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
 
 
+CURATE_QUERIES = ["chunk_dedup", "decontaminate", "sample_stratified",
+                  "pack_shards", "curate_corpus"]
+
+
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1eq"
+    global QUERIES
+    if len(sys.argv) > 3 and sys.argv[3] == "curate":
+        QUERIES = CURATE_QUERIES
     sf1eq = build_corpus(out_dir)
 
     spark = build_session(app="scale10", master="local[32]",
