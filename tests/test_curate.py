@@ -188,3 +188,37 @@ def test_curation_checkpointed_resume(spark, tmp_path):
     cp3, third = run_curation_checkpointed(spark, d, ev, root, **args)
     assert sorted((r["doc_id"], r["shard_id"])
                   for r in third.collect()) == want
+
+
+def test_curate_job_cli_end_to_end(spark, tmp_path, capsys):
+    """spark-submit curation entry: documents+eval in → assignments
+    parquet + JSON funnel out; checkpointed run matches direct run."""
+    import json
+    from rdf_dtdl_fabric_ontology_converter_spark import curate_job
+    long = lambda i: " ".join(f"w{i}_{j}" for j in range(30))  # noqa: E731
+    rows = [(i, long(i), ["en", "de"][i % 2]) for i in range(1, 13)]
+    rows += [(13, "short", "en"), (14, long(2), "de")]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame([("e", "qq rr ss tt uu")],
+                               ["doc_id", "text"])
+    in_path, ev_path = str(tmp_path / "in"), str(tmp_path / "ev")
+    d.write.parquet(in_path)
+    ev.write.parquet(ev_path)
+    out = str(tmp_path / "out")
+    rc = curate_job.main([
+        "--input", in_path, "--eval", ev_path, "--output", out,
+        "--checkpoint-root", str(tmp_path / "cp"),
+        "--rates", '{"en": 1000, "de": 1000}', "--budget", "90"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["funnel"] == {"n_in": 14, "n_quality": 13,
+                                 "n_unique": 12, "n_clean": 12,
+                                 "n_sampled": 12}
+    got = spark.read.parquet(out + "/assignments")
+    assert got.count() == 12
+    assert set(got.columns) == {"doc_id", "lang", "n_tok", "shard_id"}
+    # per-stratum packing: 30-token docs, budget 90 -> 3 docs per shard
+    import collections
+    per = collections.Counter(
+        (r["lang"], r["shard_id"]) for r in got.collect())
+    assert all(v <= 3 for v in per.values())
