@@ -152,7 +152,14 @@ def sample_bucket(key_col: str, seed: str):
 
 def sample_rate(rates: dict[str, int], default_permille: int,
                 stratum_col: str):
-    """Per-stratum permille rate as a literal-map Column expression."""
+    """Per-stratum permille rate as a literal-map Column expression.
+
+    An empty ``rates`` means every stratum uses the default (a zero-arg
+    ``create_map()`` is typed ``map<void,void>`` and fails analysis when
+    indexed by a string column, so it never reaches the plan).
+    """
+    if not rates:
+        return F.lit(int(default_permille))
     rate_map = F.create_map(
         *[x for k, v in sorted(rates.items())
           for x in (F.lit(k), F.lit(int(v)))])

@@ -222,3 +222,12 @@ def test_curate_job_cli_end_to_end(spark, tmp_path, capsys):
     per = collections.Counter(
         (r["lang"], r["shard_id"]) for r in got.collect())
     assert all(v <= 3 for v in per.values())
+
+
+def test_sample_stratified_empty_rates_uses_default(spark):
+    d = spark.createDataFrame([(1, "x", "en"), (2, "y", "de")],
+                              ["doc_id", "text", "lang"])
+    assert sample_stratified(d, {}, default_permille=1000,
+                             seed="s").count() == 2
+    assert sample_stratified(d, {}, default_permille=0,
+                             seed="s").count() == 0
