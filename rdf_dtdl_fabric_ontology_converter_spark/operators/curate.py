@@ -99,6 +99,8 @@ def chunk_dedup(documents: DataFrame, chunk: int = 10,
     units; a unit text that already occurred anywhere earlier in the
     corpus (ordered by (key, position)) is removed; survivors are
     reassembled in order. → (key_col, n_units, n_kept, text_clean)."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     toks = documents.select(
         key_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
     units = (toks.withColumn("idx", (F.col("pos") / chunk).cast("int"))
@@ -300,6 +302,8 @@ def pack_shards(documents: DataFrame, budget: int,
     (shard_id becomes per-(stratum, sub-stream)) so a dominant stratum
     does not serialize into a single window partition.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     d = documents.select(
         key_col, stratum_col,
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"))

@@ -231,3 +231,11 @@ def test_sample_stratified_empty_rates_uses_default(spark):
                              seed="s").count() == 2
     assert sample_stratified(d, {}, default_permille=0,
                              seed="s").count() == 0
+
+
+def test_degenerate_params_rejected(spark):
+    d = _docs(spark, [("a", "x y z")])
+    with pytest.raises(ValueError, match="chunk"):
+        chunk_dedup(d, chunk=0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(d.withColumn("lang", F.lit("en")), budget=0)
