@@ -1011,6 +1011,32 @@ def _curate_args():
                 budget=500, seed="r3")
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document cap (anti-flood): keep the 10 longest docs per
+    source, ties by doc_id — one per-source window, no collect."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import cap_per_source
+    return (cap_per_source(_t(spark, sf_dir, "documents"), k=10)
+            .select("doc_id", "source", "n_tok", "rank")
+            .orderBy("doc_id"))
+
+
+_ORACLE_CAP_PER_SOURCE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tok DESC, doc_id ASC) AS rank
+  FROM d
+)
+SELECT doc_id, source, n_tok, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10 ORDER BY doc_id
+"""
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed curation ACTION (quality filter → exact dedup →
     decontamination vs the doc_id<25 benchmark set → stratified sample →
@@ -1924,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
         "pack_shards": q_pack_shards,
+        "cap_per_source": q_cap_per_source,
         "curate_corpus": q_curate_corpus,
         "curate_funnel": q_curate_funnel,
         "semantic_dedup": q_semantic_dedup,
@@ -1981,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,
+        "cap_per_source": _ORACLE_CAP_PER_SOURCE,
         "curate_corpus": _ORACLE_CURATE_CORPUS,
         "curate_funnel": _ORACLE_CURATE_FUNNEL,
         "semantic_dedup": _oracle_semantic_dedup(),

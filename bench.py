@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "sample_stratified",
     "pack_shards",
+    "cap_per_source",
     "text_stats",
     "text_fingerprint",
     "ann_cosine_topk",

@@ -214,6 +214,29 @@ def keep_sampled(documents: DataFrame, rates: dict[str, int],
     return documents.join(kept, key_col, "left_semi")
 
 
+def cap_per_source(documents: DataFrame, k: int,
+                   source_col: str = "source", key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Keep at most ``k`` documents per source/domain (the anti-flood cap
+    against boilerplate or SEO-farm domains): within each source,
+    documents are ranked by token count descending (longest first, ties
+    by key ascending for determinism) and ranks > k are dropped. → full
+    input rows plus (n_tok, rank).
+
+    One per-source window exchange; a source with millions of rows is
+    exactly the hot key this operator removes, and row_number keeps the
+    window state O(1) per partition — no collect, no quadratic blowup.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = documents.withColumn(
+        "n_tok", F.size(tokens(F.col(text_col))).cast("long"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("n_tok").desc(), F.col(key_col).asc())
+    return (d.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    dim: int | None = None, n_planes: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding"

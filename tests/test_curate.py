@@ -239,3 +239,20 @@ def test_degenerate_params_rejected(spark):
         chunk_dedup(d, chunk=0)
     with pytest.raises(ValueError, match="budget"):
         pack_shards(d.withColumn("lang", F.lit("en")), budget=0)
+
+
+def test_cap_per_source_keeps_longest_k(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        cap_per_source)
+    rows = [(1, "a b c d", "s1"), (2, "a b", "s1"), (3, "a", "s1"),
+            (4, "x", "s2")]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = sorted(r["doc_id"] for r in cap_per_source(d, k=2).collect())
+    assert out == [1, 2, 4]  # s1 keeps its 2 longest; s2 under the cap
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_source(d, k=0)
+    # tie-break: equal lengths -> smaller doc_id wins
+    t = spark.createDataFrame([(7, "p q", "s"), (5, "x y", "s")],
+                              ["doc_id", "text", "source"])
+    kept = [r["doc_id"] for r in cap_per_source(t, k=1).collect()]
+    assert kept == [5]
