@@ -950,10 +950,11 @@ WITH toks AS (
          string_agg(unit, ' ' ORDER BY idx) AS text_clean
   FROM ranked WHERE rn = 1 GROUP BY doc_id
 )
-SELECT t.doc_id, CAST(t.n_units AS BIGINT) AS n_units,
+SELECT d.doc_id, CAST(coalesce(t.n_units, 0) AS BIGINT) AS n_units,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(r.text_clean, '') AS text_clean
-FROM totals t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id
+FROM documents d LEFT JOIN totals t USING (doc_id)
+     LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id
 """
 
 
@@ -994,15 +995,20 @@ def q_pack_shards(spark, sf_dir):
 _ORACLE_PACK_SHARDS = r"""
 WITH d AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+         CAST(coalesce(len(string_split_regex(lower(trim(text)), '\s+')), 0)
               AS BIGINT) AS n_tok
   FROM documents
+), raw AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tok) / 500.0)
+              AS BIGINT) AS raw_shard
+  FROM d
 )
 SELECT doc_id, lang, n_tok,
-       CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) - n_tok) / 500.0)
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY raw_shard) - 1
             AS BIGINT) AS shard_id
-FROM d ORDER BY doc_id
+FROM raw ORDER BY doc_id
 """
 
 
@@ -1023,7 +1029,7 @@ def q_cap_per_source(spark, sf_dir):
 _ORACLE_CAP_PER_SOURCE = r"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+         CAST(coalesce(len(string_split_regex(lower(trim(text)), '\s+')), 0)
               AS BIGINT) AS n_tok
   FROM documents
 ), r AS (
@@ -1104,11 +1110,17 @@ WITH toks AS (
 """
 
 _ORACLE_CURATE_CORPUS = _CURATE_COMMON + r"""
-SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
-       CAST(floor((sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) - len(t)) / 500.0)
+, raw AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(floor((sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - len(t)) / 500.0)
+              AS BIGINT) AS raw_shard
+  FROM sampled
+)
+SELECT doc_id, lang, n_tok,
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY raw_shard) - 1
             AS BIGINT) AS shard_id
-FROM sampled ORDER BY doc_id
+FROM raw ORDER BY doc_id
 """
 
 _ORACLE_CURATE_FUNNEL = _CURATE_COMMON + r"""

@@ -64,11 +64,13 @@ def main(argv=None) -> int:
                 spark, docs, ev, args.checkpoint_root, **params)
             assignments.write.mode("overwrite").parquet(
                 args.output.rstrip("/") + "/assignments")
-            # funnel from the committed snapshots' own counts
+            # funnel from the committed snapshots' own counts — including
+            # n_in, pinned at first-run time (a resume against a changed
+            # --input must not mix counts from two corpora)
             counts = {s: _cp.snapshot_info(s)["rows"]
                       for s in ("A_quality", "B_exact_dedup",
                                 "C_decontaminate", "D_sample", "E_pack")}
-            funnel = {"n_in": docs.count(),
+            funnel = {"n_in": _cp.snapshot_info("00_input")["rows"],
                       "n_quality": counts["A_quality"],
                       "n_unique": counts["B_exact_dedup"],
                       "n_clean": counts["C_decontaminate"],

@@ -21,11 +21,14 @@ Scale notes:
 - decontaminate: the eval side is tiny by construction (benchmarks are
   KBs, the corpus is TBs) — its distinct shingles are broadcast, so the
   corpus side needs NO exchange beyond its own per-doc aggregate.
-- chunk/line dedup: one exchange keyed on the unit hash (the global
-  first-occurrence window), one keyed on doc_id (reassembly). Unit-hash
-  partitions are tiny except for boilerplate units — exactly the rows the
-  operator exists to drop — and the window computes only row_number, so a
-  hot hash never materializes a quadratic pair set (contrast LSH buckets).
+- chunk/line dedup: first occurrence per unit hash is a
+  ``groupBy(unit_hash).agg(min(struct(key, idx)))`` — map-side partial
+  aggregation collapses a boilerplate unit repeated 10⁹× corpus-wide to
+  ONE row per map partition before the exchange, so no reducer ever sees
+  the hot hash's full row set (the previous ``row_number`` window sorted
+  all copies of a hot unit in a single task). The join-back on the unit
+  hash is AQE-skew-splittable (the firsts side is one row per distinct
+  unit), and the reassembly aggregate is keyed on doc_id.
 - sample_stratified: fully narrow — a projection + filter, no shuffle, and
   the decision is a pure function of (seed, doc_id), so re-runs and
   incremental extensions of the corpus keep prior decisions stable.
@@ -68,27 +71,46 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame, n: int = 5,
             .withColumn("contaminated", F.col("n_overlap") > 0))
 
 
-def _dedup_units(units: DataFrame, key_col: str, sep: str) -> DataFrame:
+def _dedup_units(documents: DataFrame, units: DataFrame, key_col: str,
+                 sep: str) -> DataFrame:
     """Shared core of chunk/line dedup: ``units`` is (key_col, idx, unit);
     keep each distinct unit text only at its globally-first occurrence
     (smallest (key, idx)) and reassemble per-document text.
 
-    → (key_col, n_units, n_kept, text_clean); documents whose every unit
-    was seen earlier elsewhere survive with an empty text_clean.
+    → (key_col, n_units, n_kept, text_clean) covering EVERY input
+    document: docs whose every unit was seen earlier elsewhere survive
+    with an empty text_clean, and docs with NULL/empty text (which
+    explode to zero units) survive with n_units = 0.
+
+    Skew-safety: the first occurrence is ``min(struct(key, idx))`` per
+    unit hash — partial-aggregated map-side, so a unit repeated 10⁹×
+    corpus-wide reaches the exchange as one row per map partition
+    (a row_number window here would sort every copy in one task).
     """
-    w = Window.partitionBy(F.md5("unit")).orderBy(key_col, "idx")
-    ranked = units.withColumn("rn", F.row_number().over(w))
+    firsts = (units.groupBy(F.md5("unit").alias("uh"))
+              .agg(F.min(F.struct(F.col(key_col).alias("k"),
+                                  F.col("idx").alias("i"))).alias("first")))
+    tagged = units.withColumn("uh", F.md5("unit")).join(firsts, "uh")
     # one aggregate computes totals, survivor count, and the reassembled
     # text (collect_list skips the NULLed-out dropped units), so no second
     # scan branch and no totals-vs-rebuilt join
-    keep = F.col("rn") == 1
-    return (ranked.groupBy(key_col)
-            .agg(F.count("*").alias("n_units"),
-                 F.sum(keep.cast("long")).alias("n_kept"),
-                 F.concat_ws(sep, F.transform(
-                     F.array_sort(F.collect_list(
-                         F.when(keep, F.struct("idx", "unit")))),
-                     lambda s: s["unit"])).alias("text_clean")))
+    keep = ((F.col("first.k") == F.col(key_col)) &
+            (F.col("first.i") == F.col("idx")))
+    agg = (tagged.groupBy(key_col)
+           .agg(F.count("*").alias("n_units"),
+                F.sum(keep.cast("long")).alias("n_kept"),
+                F.concat_ws(sep, F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(keep, F.struct("idx", "unit")))),
+                    lambda s: s["unit"])).alias("text_clean")))
+    return (documents.select(key_col)
+            .join(agg, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_units", F.lit(0)).cast("long")
+                    .alias("n_units"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
 
 
 def chunk_dedup(documents: DataFrame, chunk: int = 10,
@@ -108,7 +130,7 @@ def chunk_dedup(documents: DataFrame, chunk: int = 10,
              .agg(F.concat_ws(" ", F.transform(
                  F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                  lambda s: s["tok"])).alias("unit")))
-    return _dedup_units(units, key_col, " ")
+    return _dedup_units(documents, units, key_col, " ")
 
 
 def line_dedup(documents: DataFrame, delim: str = "\n",
@@ -120,7 +142,7 @@ def line_dedup(documents: DataFrame, delim: str = "\n",
     units = documents.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), delim)).alias("idx", "unit"))
-    return _dedup_units(units, key_col, delim)
+    return _dedup_units(documents, units, key_col, delim)
 
 
 def sample_stratified(documents: DataFrame, rates: dict[str, int],
@@ -230,7 +252,8 @@ def cap_per_source(documents: DataFrame, k: int,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     d = documents.withColumn(
-        "n_tok", F.size(tokens(F.col(text_col))).cast("long"))
+        "n_tok", F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long"))
     w = Window.partitionBy(source_col).orderBy(
         F.col("n_tok").desc(), F.col(key_col).asc())
     return (d.withColumn("rank", F.row_number().over(w))
@@ -315,21 +338,31 @@ def curate_corpus(documents: DataFrame, eval_docs: DataFrame,
 def pack_shards(documents: DataFrame, budget: int,
                 stratum_col: str = "lang", key_col: str = "doc_id",
                 text_col: str = "text", sub_strata: int = 1) -> DataFrame:
-    """Assign documents to contiguous training shards by cumulative token
-    budget within each stratum. → (key_col, stratum_col, n_tok, shard_id).
+    """Assign documents to training shards by cumulative token budget
+    within each stratum. → (key_col, stratum_col, n_tok, shard_id).
 
-    Documents are packed in deterministic ``key_col`` order; a shard
-    closes once its running token total reaches ``budget`` (a document
-    larger than the budget occupies its own shard). ``sub_strata > 1``
-    splits each stratum into that many deterministic hash sub-streams
-    (shard_id becomes per-(stratum, sub-stream)) so a dominant stratum
-    does not serialize into a single window partition.
+    Boundary-packing semantics (deterministic, prefix-sum expressible):
+    documents are laid out in ``key_col`` order and a document's shard is
+    ``floor(tokens_before_it / budget)``, re-ranked to contiguous
+    0,1,2,… ids per stratum — i.e. shard boundaries sit at fixed
+    ``budget``-token offsets in the stream. A document already inside an
+    open shard joins it even if the document alone exceeds ``budget``
+    (it then straddles one or more boundaries, and the re-rank keeps the
+    following ids contiguous); this is NOT strict greedy bin packing
+    (which needs a sequential running-total reset and cannot be a
+    prefix sum), but every shard's token total is >= budget except the
+    stratum's last, and reproducibility is independent of parallelism.
+
+    ``sub_strata > 1`` splits each stratum into that many deterministic
+    hash sub-streams (shard_id becomes per-(stratum, sub-stream)) so a
+    dominant stratum does not serialize into a single window partition.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     d = documents.select(
         key_col, stratum_col,
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"))
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long").alias("n_tok"))
     part = [stratum_col]
     if sub_strata > 1:
         d = d.withColumn("sub", F.pmod(
@@ -340,8 +373,14 @@ def pack_shards(documents: DataFrame, budget: int,
     w = Window.partitionBy(*part).orderBy(key_col)
     cum = F.sum("n_tok").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = d.withColumn(
-        "shard_id", F.floor((cum - F.col("n_tok")) / F.lit(int(budget)))
-        .cast("long"))
+    raw = d.withColumn(
+        "raw_shard", F.floor((cum - F.col("n_tok")) / F.lit(int(budget))))
+    # a doc larger than the budget straddles boundaries, making raw ids
+    # skip; dense_rank over the SAME partitioning (one window exchange,
+    # two window specs) restores contiguous 0..N ids per stratum
+    out = raw.withColumn(
+        "shard_id",
+        (F.dense_rank().over(Window.partitionBy(*part).orderBy("raw_shard"))
+         - 1).cast("long"))
     return out.select(key_col, stratum_col, "n_tok", "shard_id",
                       *(["sub"] if sub_strata > 1 else []))

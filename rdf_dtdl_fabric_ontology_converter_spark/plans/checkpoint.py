@@ -91,6 +91,23 @@ class CheckpointManager:
             "wall_ms": wall_ms, "committed_at": time.time()}))
         return out
 
+    def count_stage(self, name: str, df: DataFrame,
+                    force: bool = False) -> int:
+        """Commit (or resume) a COUNT-ONLY snapshot: the row count is
+        recorded in the manifest with no data copy. Pins an input's
+        cardinality at first-run time so a resume against a changed input
+        still reports the funnel of the run the snapshots belong to."""
+        if not force and self.is_committed(name):
+            return self.snapshot_info(name)["rows"]
+        t0 = time.time()
+        rows = df.count()
+        (self.root / name).mkdir(parents=True, exist_ok=True)
+        self._manifest(name).write_text(json.dumps({
+            "stage": name, "snapshot_id": uuid.uuid4().hex, "rows": rows,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "committed_at": time.time(), "count_only": True}))
+        return rows
+
     def committed_snapshot_ids(self) -> list[str]:
         ids = []
         for m in self.root.glob("*/manifest.json"):
@@ -158,6 +175,10 @@ def run_curation_checkpointed(spark: SparkSession, documents: DataFrame,
                                     quality_filter)
 
     cp = CheckpointManager(spark, root)
+    # pin the input cardinality alongside the stage snapshots: on resume
+    # the funnel's n_in must describe the corpus the snapshots came from,
+    # not whatever --input points at now
+    cp.count_stage("00_input", documents)
     quality = cp.stage("A_quality", lambda: quality_filter(
         documents, min_tok, rep_factor))
     unique = cp.stage("B_exact_dedup",

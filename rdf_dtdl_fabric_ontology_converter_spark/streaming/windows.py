@@ -166,18 +166,22 @@ def stream_exact_dedup(docs: DataFrame, watermark: str = "1 hour",
                        ts_col: str = "ingest_ts") -> DataFrame:
     """Streaming exact deduplication: first-seen doc per content hash wins.
 
-    ``dropDuplicates`` on (md5(text)) with a watermark on the ingest
-    timestamp — Structured Streaming keeps one state row per distinct hash
-    and the watermark expires hashes older than the horizon, so state is
-    bounded on an unbounded ingest stream (an exact-dedup ledger over the
-    full history would grow forever; the watermark is the documented
-    trade: re-ingested duplicates separated by more than the horizon pass
-    through). Batch twin: operators.dedup.exact_duplicates.
+    ``dropDuplicatesWithinWatermark`` on (md5(text)) with a watermark on
+    the ingest timestamp — Structured Streaming keeps one state row per
+    distinct hash and evicts it once the watermark passes the row's event
+    time, so state is bounded on an unbounded ingest stream (an
+    exact-dedup ledger over the full history would grow forever; the
+    bounded-state trade: re-ingested duplicates separated by more than
+    the horizon pass through). Plain ``dropDuplicates`` would NOT bound
+    state here: watermark eviction for it applies only when the
+    event-time column is part of the dedup key subset, and text_hash is
+    not an event-time column — its state would grow forever. Batch twin:
+    operators.dedup.exact_duplicates.
     """
     return (docs
             .withColumn("text_hash", F.md5(F.col(text_col)))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["text_hash"]))
+            .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
 def run_dedup_stream(spark: SparkSession, in_path: str, out_path: str,

@@ -44,6 +44,22 @@ def test_line_dedup_keeps_first_occurrence_globally(spark):
     assert (out["c"]["n_kept"], out["c"]["text_clean"]) == (0, "")
 
 
+def test_dedup_units_null_text_doc_survives(spark):
+    """A NULL-text doc explodes to zero units but must still appear in
+    the output (n_units = 0, empty text_clean) — every input document is
+    covered, matching decontaminate's contract."""
+    rows = [("a", "x\ny"), ("b", None)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    for op in (line_dedup, chunk_dedup):
+        out = {r["doc_id"]: r for r in op(d).collect()}
+        assert set(out) == {"a", "b"}
+        assert (out["b"]["n_units"], out["b"]["n_kept"],
+                out["b"]["text_clean"]) == (0, 0, "")
+        # doc a has no duplicate units, so everything it has survives
+        # (2 lines for line_dedup, 1 ten-token chunk for chunk_dedup)
+        assert out["a"]["n_kept"] == out["a"]["n_units"] > 0
+
+
 def test_line_dedup_within_doc_repeat(spark):
     out = line_dedup(_docs(spark, [("a", "x\nx\ny")])).collect()[0]
     assert out["n_units"] == 3 and out["n_kept"] == 2
@@ -90,6 +106,22 @@ def test_pack_shards_budget_and_ordering(spark):
     # shards 0,0,0,1,1,2,2,2,3,3
     assert [r["shard_id"] for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
     assert all(r["n_tok"] == 40 for r in out)
+
+
+def test_pack_shards_oversized_doc_keeps_ids_contiguous(spark):
+    """A doc bigger than the budget straddles boundaries; the dense-rank
+    pass keeps shard ids contiguous 0..N with no skipped numbers."""
+    rows = [(0, " ".join(["w"] * 40), "en"),
+            (1, " ".join(["w"] * 250), "en"),   # oversized: 2.5x budget
+            (2, " ".join(["w"] * 40), "en"),
+            (3, " ".join(["w"] * 40), "en")]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sorted(pack_shards(d, budget=100).collect(),
+                 key=lambda r: r["doc_id"])
+    # prefix-before: 0,40,290,330 -> raw floor/100: 0,0,2,3 -> dense 0,0,1,2
+    assert [r["shard_id"] for r in out] == [0, 0, 1, 2]
+    ids = sorted({r["shard_id"] for r in out})
+    assert ids == list(range(len(ids)))
 
 
 def test_curate_corpus_funnel_counts_every_stage(spark):
@@ -188,6 +220,9 @@ def test_curation_checkpointed_resume(spark, tmp_path):
     cp3, third = run_curation_checkpointed(spark, d, ev, root, **args)
     assert sorted((r["doc_id"], r["shard_id"])
                   for r in third.collect()) == want
+    # n_in is pinned at first-run time: the limit(0) resume above must
+    # not have rewritten the input-count snapshot
+    assert cp3.snapshot_info("00_input")["rows"] == 10
 
 
 def test_curate_job_cli_end_to_end(spark, tmp_path, capsys):
