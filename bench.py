@@ -3,7 +3,12 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
+   "queries": {name: best-of-N sec}, "queries_cold": {name: 1st-run sec},
+   "sf": ..., "triples_per_sec": ...}
+
+Both the codegen-cold first run and the best-of-N steady-state number are
+recorded per query so round-over-round comparisons never mix the two
+methodologies; the headline total stays best-of-N (steady-state).
 
 The KG-extraction throughput component (the BASELINE.json primary metric)
 runs over the deterministic synthetic ontology corpus
@@ -115,18 +120,23 @@ def main():
     # single-shot cold numbers.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     qs = entrymod.queries()
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.time()
             try:
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
                 best = -1.0
+                if i == 0:
+                    cold[name] = -1.0
                 print(f"bench query {name} failed: {e}", file=sys.stderr)
                 break
             dt = time.time() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)  # first run = codegen-cold cost
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
@@ -136,6 +146,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "bench_runs": runs,
         "sf": sf,
         "triples_per_sec": triples_per_sec,
         "bench_docs": n_docs,

@@ -21,12 +21,15 @@ pair merge — documented deviation). xmlns:foo prefix declarations are
 honored for RDFa 1.0 back-compat.
 
 Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
-``itemtype`` / ``itemid`` / ``itemprop``; value extraction per element
-kind (a/link/area → href, img/audio/video/embed/iframe/source → src,
-meta → content, time → datetime, data/meter → value, nested itemscope →
-the nested item, else text content). Property IRIs resolve against the
-itemtype's vocabulary (last path segment replaced — the schema.org
-convention).
+``itemtype`` / ``itemid`` / ``itemprop`` / ``itemref`` (properties
+crawled from id-referenced subtrees per WHATWG §5.2.4, forward or
+backward references, cycle-safe — evaluated over a one-pass DOM tree
+because a reference can point anywhere in the document); value
+extraction per element kind (a/link/area → href,
+img/audio/video/embed/iframe/source → src, meta → content, time →
+datetime, data/meter → value, nested itemscope → the nested item, else
+text content). Property IRIs resolve against the itemtype's vocabulary
+(last path segment replaced — the schema.org convention).
 
 Both return the shared 7-tuple shape
 ``(subj, pred, obj, obj_kind, obj_datatype, lang, graph_ctx)``; blank
@@ -354,21 +357,87 @@ def parse_rdfa(text: str) -> list[tuple]:
 # microdata
 # ---------------------------------------------------------------------------
 
-class _MicrodataParser(HTMLParser):
+class _Node:
+    """Minimal DOM node: microdata needs a tree (``itemref`` may point
+    forward OR backward in the document), so a streaming parse can't
+    evaluate it — the tree is built once, then crawled per item."""
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _Node or str (text)
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {}, None)
+        self.cur = self.root
+        self.ids: dict[str, _Node] = {}  # first id wins, per getElementById
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        node = _Node(tag, a, self.cur)
+        self.cur.children.append(node)
+        if a.get("id") and a["id"] not in self.ids:
+            self.ids[a["id"]] = node
+        if tag not in _VOID:
+            self.cur = node
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        n = self.cur
+        while n is not self.root and n.tag != tag:
+            n = n.parent
+        if n is not self.root:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        self.cur.children.append(data)
+
+
+def _text_content(node: _Node) -> str:
+    text: list[str] = []
+    _collect(node, text)
+    return "".join(text).strip()
+
+
+def _collect(node: _Node, out: list[str]) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(c)
+        else:
+            _collect(c, out)
+
+
+class _MicrodataEvaluator:
+    """WHATWG microdata → RDF over the parsed tree.
+
+    Items are every ``itemscope`` element (document order, which also
+    fixes bnode numbering). Each item's properties come from the WHATWG
+    §5.2.4 crawl: the item element's children plus the elements named by
+    ``itemref`` ids; the crawl descends through non-item elements, treats
+    an ``itemprop`` element as a property of the item (a nested
+    ``itemscope`` property's value is the nested item), and never crawls
+    INTO a nested itemscope (its subtree belongs to the nested item). A
+    per-item visited set makes itemref cycles terminate.
+    """
+
+    def __init__(self, root: _Node, ids: dict[str, _Node]):
+        self.root = root
+        self.ids = ids
         self.triples: list[tuple] = []
         self.bnode_n = 0
-        # item stack entries: dict(item, vocab, depth) — None sentinel root
-        self.items: list[dict] = [{"item": None, "vocab": None, "depth": 0}]
-        self.captures: list[list] = []  # [depth, item, pred, buf]
-        self.depth = 0
 
     def _bnode(self) -> str:
         self.bnode_n += 1
         return f"_:md{self.bnode_n}"
 
-    def _pred(self, prop: str, vocab: str | None) -> str:
+    @staticmethod
+    def _pred(prop: str, vocab: str | None) -> str:
         if _is_abs(prop):
             return prop
         if vocab:
@@ -381,87 +450,96 @@ class _MicrodataParser(HTMLParser):
             return itemtype.split("#")[0] + "#"
         return itemtype.rsplit("/", 1)[0] + "/"
 
-    def handle_starttag(self, tag, attrs):
-        self.depth += 1
-        a = dict(attrs)
-        cur = self.items[-1]
-        prop = a.get("itemprop")
+    def run(self) -> list[tuple]:
+        scopes: list[_Node] = []
+        stack = [self.root]
+        order: list[_Node] = []
+        while stack:
+            n = stack.pop()
+            order.append(n)
+            stack.extend(c for c in reversed(n.children)
+                         if isinstance(c, _Node))
+        for n in order:
+            if "itemscope" in n.attrs:
+                scopes.append(n)
 
-        if "itemscope" in a:
-            item = a.get("itemid") or self._bnode()
-            vocab = cur["vocab"]
-            itemtype = a.get("itemtype")
+        item_id: dict[int, str] = {}
+        vocab: dict[int, str | None] = {}
+        for n in scopes:
+            item_id[id(n)] = n.attrs.get("itemid") or self._bnode()
+        for n in scopes:
+            itemtype = n.attrs.get("itemtype")
             if itemtype:
-                types = itemtype.split()
-                vocab = self._vocab_of(types[0])
-                for t in types:
-                    self.triples.append((item, RDF_TYPE, t, "iri",
-                                         None, None, None))
-            if prop and cur["item"] is not None:
-                for pn in prop.split():
-                    kind = "bnode" if item.startswith("_:") else "iri"
-                    self.triples.append(
-                        (cur["item"], self._pred(pn, cur["vocab"]), item,
-                         kind, None, None, None))
-            self.items.append({"item": item, "vocab": vocab,
-                               "depth": self.depth})
-            if tag in _VOID:
-                self._pop_items()
-            return
+                vocab[id(n)] = self._vocab_of(itemtype.split()[0])
+            else:
+                # inherit from the nearest ancestor item
+                p = n.parent
+                while p is not None and "itemscope" not in p.attrs:
+                    p = p.parent
+                vocab[id(n)] = vocab.get(id(p)) if p is not None else None
 
-    # non-itemscope itemprop: extract a value
-        if prop and cur["item"] is not None:
+        for n in scopes:
+            subj = item_id[id(n)]
+            for t in (n.attrs.get("itemtype") or "").split():
+                self.triples.append((subj, RDF_TYPE, t, "iri",
+                                     None, None, None))
+            self._crawl_item(n, subj, vocab[id(n)], item_id)
+        return self.triples
+
+    def _crawl_item(self, node: _Node, subj: str, vocab: str | None,
+                    item_id: dict[int, str]) -> None:
+        roots: list = list(node.children)
+        for ref in (node.attrs.get("itemref") or "").split():
+            if ref in self.ids:
+                roots.append(self.ids[ref])
+        visited: set[int] = {id(node)}
+        pending = list(reversed(roots))
+        while pending:
+            e = pending.pop()
+            if isinstance(e, str) or id(e) in visited:
+                continue
+            visited.add(id(e))
+            prop = e.attrs.get("itemprop")
+            if prop:
+                self._emit_property(e, subj, prop, vocab, item_id)
+            if "itemscope" not in e.attrs:
+                pending.extend(reversed(e.children))
+
+    def _emit_property(self, e: _Node, subj: str, prop: str,
+                       vocab: str | None,
+                       item_id: dict[int, str]) -> None:
+        a = e.attrs
+        if "itemscope" in a:
+            val = item_id[id(e)]
+            kind = "bnode" if val.startswith("_:") else "iri"
+        else:
             val, kind = None, "literal"
-            if tag in ("a", "link", "area") and "href" in a:
+            if e.tag in ("a", "link", "area") and "href" in a:
                 val, kind = a["href"], "iri"
-            elif tag in ("img", "audio", "video", "embed", "iframe",
-                         "source", "track") and "src" in a:
+            elif e.tag in ("img", "audio", "video", "embed", "iframe",
+                           "source", "track") and "src" in a:
                 val, kind = a["src"], "iri"
-            elif tag == "meta":
+            elif e.tag == "meta":
                 val = a.get("content", "")
-            elif tag == "time":
+            elif e.tag == "time":
                 val = a.get("datetime") or None
-            elif tag in ("data", "meter") and "value" in a:
+            elif e.tag in ("data", "meter") and "value" in a:
                 val = a["value"]
-            if val is not None:
-                for pn in prop.split():
-                    self.triples.append(
-                        (cur["item"], self._pred(pn, cur["vocab"]), val,
-                         kind, None, None, None))
-            elif tag not in _VOID:
-                for pn in prop.split():
-                    self.captures.append(
-                        [self.depth, cur["item"],
-                         self._pred(pn, cur["vocab"]), []])
-        if tag in _VOID:
-            self.depth -= 1
-
-    def _pop_items(self):
-        while len(self.items) > 1 and self.items[-1]["depth"] >= self.depth:
-            self.items.pop()
-        while self.captures and self.captures[-1][0] >= self.depth:
-            d, item, pred, buf = self.captures.pop()
-            self.triples.append((item, pred, "".join(buf).strip(),
-                                 "literal", None, None, None))
-        self.depth -= 1
-
-    def handle_endtag(self, tag):
-        if tag in _VOID:
-            return
-        self._pop_items()
-
-    def handle_data(self, data):
-        for cap in self.captures:
-            cap[3].append(data)
+            if val is None:
+                val = _text_content(e) if e.tag not in _VOID else ""
+        for pn in prop.split():
+            self.triples.append((subj, self._pred(pn, vocab), val, kind,
+                                 None, None, None))
 
 
 def parse_microdata(text: str) -> list[tuple]:
-    p = _MicrodataParser()
+    tb = _TreeBuilder()
     try:
-        p.feed(text)
-        p.close()
+        tb.feed(text)
+        tb.close()
+        triples = _MicrodataEvaluator(tb.root, tb.ids).run()
     except Exception as e:
         raise HtmlRdfParseError(f"microdata parse failed: {e}") from e
-    if not p.triples:
+    if not triples:
         raise HtmlRdfParseError("no microdata items found")
-    return p.triples
+    return triples

@@ -46,6 +46,8 @@ _TOKEN_RE = re.compile(
     | (?P<DECIMAL>[+-]?\d*\.\d+)
     | (?P<INTEGER>[+-]?\d+)
     | (?P<HATHAT>\^\^)
+    | (?P<OP>=>|<=|=)
+    | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<PUNCT>[;,.\[\]()\{\}])
     | (?P<PNAME>[A-Za-z0-9_][A-Za-z0-9_.\-]*)?:(?:[A-Za-z0-9_%\-.]*[A-Za-z0-9_%\-])?
     | (?P<KEYWORD>[A-Za-z][A-Za-z0-9_]*)
@@ -87,6 +89,18 @@ def _unescape(s: str) -> str:
 
 class TurtleParseError(ValueError):
     pass
+
+
+class _N3Formula(Exception):
+    """Internal: an N3 formula/implication construct was hit mid-statement;
+    the statement is rolled back and recorded as a skip, not a doc error."""
+
+    def __init__(self, what: str, open_braces: int = 0):
+        self.what = what
+        self.open_braces = open_braces  # '{' already consumed when raised
+
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
 class _Tokens:
@@ -134,6 +148,9 @@ class TurtleParser:
         self.base = ""
         self._bnode_n = 0
         self.triples: list[tuple] = []
+        # N3-only constructs skipped gracefully (one reason per statement);
+        # the caller surfaces these as skipped_items rows, NOT doc errors
+        self.skipped: list[str] = []
         # pname → IRI memo (vocab terms like owl:Class repeat constantly);
         # invalidated whenever a prefix is (re)declared
         self._pname_cache: dict[str, str] = {}
@@ -180,6 +197,10 @@ class TurtleParser:
             return bnode, "bnode", None, None
         if tv == "(":
             return self._parse_collection(), "bnode_or_nil", None, None
+        if tv == "{":
+            raise _N3Formula("formula term", open_braces=1)
+        if tk == "VAR":
+            raise _N3Formula(f"quantified variable {tv}")
         if as_subject:
             raise TurtleParseError(f"bad subject token {tv!r}")
         # objects only below
@@ -255,7 +276,15 @@ class TurtleParser:
         if tk == "IRI":
             return self._resolve_iri(tv)
         if tk == "PNAME":
+            if tv == "log:implies":
+                raise _N3Formula("log:implies rule")
             return self._resolve_pname(tv)
+        if tk == "OP":
+            # N3 operators: '=' is owl:sameAs (emit normally); '=>' / '<='
+            # are implication — the statement is a rule, skipped gracefully
+            if tv == "=":
+                return OWL_SAME_AS
+            raise _N3Formula(f"'{tv}' implication rule")
         raise TurtleParseError(f"bad predicate token {tv!r}")
 
     def _parse_predicate_object_list(self, subj: str):
@@ -320,6 +349,16 @@ class TurtleParser:
                 if self.toks.peek()[1] == ".":
                     self.toks.next()
                 continue
+            if tk == "LANGTAG" and tv in ("@forAll", "@forSome"):
+                # N3 quantifier directive: skip the whole statement
+                self.toks.next()
+                self._skip_n3_statement(f"{tv} quantifier")
+                continue
+            if tv == "{" and self._formula_ahead():
+                # {premise} => {conclusion} .  — an N3 rule, not a TriG
+                # default-graph block; skip it whole
+                self._skip_n3_statement("formula implication rule")
+                continue
             if tk == "KEYWORD" and tv.upper() == "GRAPH":
                 self.toks.next()
                 gk, gv = self.toks.next()
@@ -341,6 +380,48 @@ class TurtleParser:
             self._parse_statement()
         return self.triples
 
+    def _formula_ahead(self) -> bool:
+        """At a statement-initial '{': True iff the token after the
+        matching '}' is an N3 implication verb (=> / <= / = / log:implies)
+        — distinguishing an N3 rule from a TriG default-graph block."""
+        toks = self.toks.toks
+        depth = 0
+        i = self.toks.pos
+        while i < len(toks):
+            v = toks[i][1]
+            if v is None:
+                return False
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if depth == 0:
+                    nk, nv = toks[i + 1]
+                    return nk == "OP" or nv == "log:implies"
+            i += 1
+        return False
+
+    def _skip_n3_statement(self, what: str, depth: int = 0):
+        """Consume tokens (brace-balanced) through the statement's closing
+        '.', recording the skip instead of erroring the document. ``depth``
+        counts '{' already consumed before the skip began; a '}' taking
+        depth negative belongs to an enclosing TriG block and is pushed
+        back for the block parser."""
+        while True:
+            _k, v = self.toks.next()
+            if v is None:
+                break
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if depth < 0:
+                    self.toks.pos -= 1
+                    break
+            elif v == "." and depth <= 0:
+                break
+        self.skipped.append(what)
+
     def _parse_graph_block(self, graph: str | None, already_open: bool = False):
         outer = self.graph_ctx
         self.graph_ctx = graph
@@ -353,6 +434,16 @@ class TurtleParser:
         self.graph_ctx = outer
 
     def _parse_statement(self, end_tokens=(".",)):
+        mark = len(self.triples)
+        try:
+            self._parse_statement_inner(end_tokens)
+        except _N3Formula as f:
+            # roll back the statement's partial triples and skip to its
+            # end: N3-only constructs degrade to skip rows, never doc errors
+            del self.triples[mark:]
+            self._skip_n3_statement(f.what, depth=f.open_braces)
+
+    def _parse_statement_inner(self, end_tokens=(".",)):
         tk, tv = self.toks.next()
         subj, kind, _, _ = self._parse_term(tk, tv, as_subject=True)
         if kind == "bnode_or_nil":
@@ -383,3 +474,15 @@ def parse_turtle(text: str) -> list[tuple]:
     XML/TriX/RDFa are handled by the jsonld/xml span parsers.
     """
     return TurtleParser().parse(text)
+
+
+def parse_turtle_with_skips(text: str) -> tuple[list[tuple], list[str]]:
+    """Like :func:`parse_turtle`, also returning the reasons for any
+    N3-only statements that were skipped gracefully (formulae ``{...} =>
+    {...}``, ``<=``, ``log:implies`` rules, ``@forAll``/``@forSome``
+    quantifiers). N3 ``=`` is emitted as owl:sameAs, not skipped. An N3
+    rule file thus yields its plain triples plus skip records instead of
+    a document-level parse error."""
+    p = TurtleParser()
+    rows = p.parse(text)
+    return rows, p.skipped

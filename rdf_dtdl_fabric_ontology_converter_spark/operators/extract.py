@@ -112,8 +112,12 @@ def sniff_format(text: str) -> str:
 
 
 def _parse_span(text: str):
-    """Returns (fmt, rows, error). rows are 7-tuples from the span parsers."""
-    from ..functions.turtle import parse_turtle
+    """Returns (fmt, rows, error). rows are 7-tuples from the span parsers.
+
+    ``error`` with non-empty ``rows`` means a PARTIAL skip (N3-only
+    statements degraded to a skip record while the plain triples were
+    kept); the extractor emits both the triples and one skip row."""
+    from ..functions.turtle import parse_turtle_with_skips
     from ..functions.jsonld import parse_jsonld
     from ..functions.rdfxml import parse_rdfxml, parse_trix
     from ..functions.hext import parse_hext
@@ -121,7 +125,13 @@ def _parse_span(text: str):
     fmt = sniff_format(text)
     try:
         if fmt == "turtle":
-            return fmt, parse_turtle(text), None
+            rows, skips = parse_turtle_with_skips(text)
+            err = None
+            if skips:
+                kinds = sorted(set(skips))
+                err = (f"skipped {len(skips)} N3-only statement(s): "
+                       + "; ".join(kinds[:3]))
+            return fmt, rows, err
         if fmt == "jsonld":
             return fmt, parse_jsonld(text), None
         if fmt == "hext":
@@ -188,12 +198,13 @@ def extract_triples(documents: DataFrame) -> DataFrame:
                         continue
                     fmt, rows, err = _parse_span(span["text"])
                     if err is not None:
+                        # error-or-skip row; with rows alongside it this is
+                        # a PARTIAL skip (N3 rules dropped, triples kept)
                         for c, v in zip(chunks,
                                         ([None], [None], [None], [None],
                                          [None], [None], [None], [fmt],
                                          [doc_id], [idx], [err])):
                             c.append(v)
-                        continue
                     if not rows:
                         continue
                     n = len(rows)

@@ -331,6 +331,75 @@ def test_microdata():
     assert (addr, RDF_TYPE, "https://schema.org/PostalAddress") in got
 
 
+def test_n3_formulae_degrade_to_skips():
+    """An N3 rule file yields its plain triples PLUS skip records for the
+    N3-only statements ({..} => {..}, <=, log:implies, @forAll), never a
+    document-level parse error; N3 '=' becomes owl:sameAs."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.turtle import (
+        OWL_SAME_AS, parse_turtle_with_skips)
+    n3 = """@prefix : <http://e.org/> .
+@prefix log: <http://www.w3.org/2000/10/swap/log#> .
+:alice a :Person .
+{ ?x a :Person } => { ?x a :Agent } .
+:bob = :robert .
+@forAll :x .
+{ :premise :p ?y } log:implies { :conclusion :q ?y } .
+:carol a :Person ; :knows :alice .
+:dave :says { :sky :is :blue } .
+"""
+    rows, skips = parse_turtle_with_skips(n3)
+    spo_rows = {(s, p, o) for (s, p, o, *_rest) in rows}
+    assert ("http://e.org/alice", RDF_TYPE, "http://e.org/Person") in spo_rows
+    assert ("http://e.org/carol", "http://e.org/knows",
+            "http://e.org/alice") in spo_rows
+    assert ("http://e.org/bob", OWL_SAME_AS, "http://e.org/robert") in spo_rows
+    # 3 rules/quantifiers + 1 formula object = 4 skips, no Agent triples
+    assert len(skips) == 4
+    assert not any("Agent" in o for (_s, _p, o) in spo_rows)
+    # extractor surface: triples AND a skip row from the same span
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        _parse_span)
+    fmt, rows2, err = _parse_span(n3)
+    assert fmt == "turtle" and len(rows2) == len(rows)
+    assert err is not None and "N3-only" in err
+
+
+def test_microdata_itemref():
+    """WHATWG §5.2 itemref: an item's properties include those crawled
+    from the id-referenced subtrees — shared between items, forward or
+    backward references, cycles terminate (spec's band/name example)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        parse_microdata)
+    html = """<!DOCTYPE html>
+<html><body>
+ <div itemscope itemtype="https://schema.org/Person"
+      itemid="http://e.org/amanda" itemref="a b"></div>
+ <p id="a">Name: <span itemprop="name">Amanda</span></p>
+ <div id="b" itemprop="band" itemscope
+      itemtype="https://schema.org/MusicGroup" itemref="c"></div>
+ <div id="c">
+  <p>Band: <span itemprop="name">Jazz Band</span></p>
+  <p>Size: <span itemprop="size">12</span> players</p>
+ </div>
+</body></html>"""
+    got = spo(parse_microdata(html))
+    amanda = "http://e.org/amanda"
+    assert (amanda, "https://schema.org/name", "Amanda") in got
+    band = [o for (s, p, o) in got
+            if s == amanda and p == "https://schema.org/band"][0]
+    assert band.startswith("_:")
+    assert (band, RDF_TYPE, "https://schema.org/MusicGroup") in got
+    assert (band, "https://schema.org/name", "Jazz Band") in got
+    assert (band, "https://schema.org/size", "12") in got
+    # the band's itemref-crawled props must NOT leak onto amanda
+    assert (amanda, "https://schema.org/size", "12") not in got
+    # self-referential itemref cycle terminates with the prop exactly once
+    cyc = ('<div itemscope itemid="http://e.org/x" itemref="z"></div>'
+           '<div id="z" itemref="z"><span itemprop="p">v</span></div>')
+    rows = parse_microdata(cyc)
+    assert [r[:3] for r in rows].count(("http://e.org/x", "p", "v")) == 1
+
+
 # --- property-based round-trips (beyond the reference's test strategy:
 # it has no randomized tests; hypothesis shakes the tokenizer escape paths)
 
