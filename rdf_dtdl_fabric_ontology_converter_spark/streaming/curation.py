@@ -1,18 +1,26 @@
-"""Streaming corpus curation: stateless filters over a document ingest
-stream (Structured Streaming twins of operators/curate.py).
+"""Streaming corpus curation: Structured Streaming twins of
+operators/curate.py.
 
 Decontamination and stratified sampling are pure per-row decisions
 (against a broadcast benchmark set / a hash bucket), so unlike the
 stateful dedup in streaming/windows.py they need NO watermark and NO
 state store — every micro-batch filters independently and exactly-once
 falls out of the file-sink commit log alone.
+
+Chunk/line dedup IS stateful (corpus-wide first occurrence): the unit
+stream is deduped by ``dropDuplicatesWithinWatermark`` on the unit hash
+(state = seen unit hashes, evicted at the watermark — the same bounded
+trade as stream_exact_dedup) and the survivors are reassembled per
+document by a tumbling-window aggregation, the second stateful operator
+in the chain. Unit extraction itself is fully narrow (array slicing, no
+shuffle before the dedup exchange).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import shingle_rows, shingles
+from ..operators.dedup import shingle_rows, shingles, tokens
 from ..operators.curate import sample_bucket, sample_rate
 from .windows import DOCS_STREAM_SCHEMA
 
@@ -49,6 +57,94 @@ def stream_sample_stratified(docs: DataFrame, rates: dict[str, int],
     row-by-row as micro-batches arrive; all input columns pass through."""
     return docs.where(sample_bucket(key_col, seed) <
                       sample_rate(rates, default_permille, stratum_col))
+
+
+def _stream_unit_dedup(docs: DataFrame, units_arr: Column, sep: str,
+                       watermark: str, window: str, key_col: str,
+                       ts_col: str) -> DataFrame:
+    """Shared core of streaming chunk/line dedup (batch twin:
+    ``operators.curate._dedup_units``).
+
+    1. Narrow unit extraction: ``units_arr`` (an array column computed
+       from the text) is posexploded to (key, idx, unit) rows carrying
+       the doc's total unit count — no shuffle yet.
+    2. First occurrence: ``dropDuplicatesWithinWatermark`` on md5(unit)
+       keeps one state row per distinct unit seen inside the watermark
+       horizon; a unit re-ingested beyond the horizon passes through
+       again (the documented bounded-state trade).
+    3. Reassembly: tumbling event-time window + groupBy(key) rebuilds
+       the surviving text in unit order once the watermark closes the
+       window.
+
+    → (window, key_col, n_units, n_kept, text_clean) in append mode.
+    A document whose EVERY unit was seen before emits no row (unlike
+    the batch twin there is no static side to left-join back onto);
+    count survivors against the ingest ledger downstream if needed.
+    """
+    units = (docs
+             .withColumn("_arr", units_arr)
+             .select(key_col, ts_col,
+                     F.size("_arr").cast("long").alias("n_units"),
+                     F.posexplode("_arr").alias("idx", "unit"))
+             .withColumn("unit_hash", F.md5("unit")))
+    survivors = (units
+                 .withWatermark(ts_col, watermark)
+                 .dropDuplicatesWithinWatermark(["unit_hash"]))
+    return (survivors
+            .groupBy(F.window(ts_col, window).alias("window"),
+                     F.col(key_col))
+            .agg(F.first("n_units").alias("n_units"),
+                 F.count("*").alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(F.struct("idx", "unit"))),
+                     lambda s: s["unit"])).alias("text_clean")))
+
+
+def stream_chunk_dedup(docs: DataFrame, chunk: int = 10,
+                       watermark: str = "1 hour", window: str = "10 minutes",
+                       text_col: str = "text", key_col: str = "doc_id",
+                       ts_col: str = "ingest_ts") -> DataFrame:
+    """Streaming C4-style chunk dedup: consecutive ``chunk``-token units,
+    corpus-wide first occurrence within the watermark horizon."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    arr = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk + 1, chunk)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return _stream_unit_dedup(docs, arr, " ", watermark, window,
+                              key_col, ts_col)
+
+
+def stream_line_dedup(docs: DataFrame, delim: str = "\n",
+                      watermark: str = "1 hour", window: str = "10 minutes",
+                      text_col: str = "text", key_col: str = "doc_id",
+                      ts_col: str = "ingest_ts") -> DataFrame:
+    """Streaming line dedup: every line kept only at its first occurrence
+    inside the watermark horizon."""
+    return _stream_unit_dedup(docs, F.split(F.col(text_col), delim),
+                              delim, watermark, window, key_col, ts_col)
+
+
+def run_chunk_dedup_stream(spark: SparkSession, in_path: str,
+                           out_path: str, checkpoint: str, chunk: int = 10,
+                           watermark: str = "1 hour",
+                           window: str = "10 minutes"):
+    """File-source ingest stream → watermarked chunk dedup + reassembly →
+    parquet (append; availableNow for incremental batch-over-stream)."""
+    docs = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(in_path)
+    out = stream_chunk_dedup(docs, chunk=chunk, watermark=watermark,
+                             window=window)
+    return (out.writeStream
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
 
 
 def run_decontaminate_stream(spark: SparkSession, in_path: str,

@@ -218,3 +218,45 @@ def test_stream_sample_stratified(spark, tmp_path):
     assert got == want and len(got) > 0
     cols = spark.read.parquet(out).columns
     assert set(cols) == {"doc_id", "lang", "text"}
+
+
+def test_stream_chunk_dedup(spark, tmp_path):
+    """Streaming chunk dedup: unit-level first occurrence survives across
+    availableNow restarts (state checkpointed), in-batch and cross-batch
+    duplicate units are dropped, and surviving text is reassembled per
+    doc once the watermark closes its window."""
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.curation import (
+        run_chunk_dedup_stream)
+    in_path = str(tmp_path / "cdocs")
+    out = str(tmp_path / "cdedup")
+    ckpt = str(tmp_path / "cckpt")
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+
+    def write_docs(rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id string, ingest_ts timestamp, text string") \
+            .coalesce(1).write.mode(mode).parquet(in_path)
+
+    # chunk=2 → units of 2 tokens; "u1 u2" repeats in-batch (b drops it)
+    write_docs([("a", t0, "u1 u2 v1 v2"),
+                ("b", t0, "u1 u2 w1 w2")], "overwrite")
+    run_chunk_dedup_stream(spark, in_path, out, ckpt,
+                           chunk=2).awaitTermination(120)
+
+    # later batch: "v1 v2" is a CROSS-batch dup (checkpointed unit state)
+    # and the far-future pusher advances the watermark past t0's window
+    t1 = t0 + datetime.timedelta(minutes=5)
+    t2 = t0 + datetime.timedelta(hours=3)
+    write_docs([("c", t1, "v1 v2 q1 q2"),
+                ("z", t2, "zz1 zz2")], "append")
+    run_chunk_dedup_stream(spark, in_path, out, ckpt,
+                           chunk=2).awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) >= {"a", "b", "c"}  # z's window not yet closed
+    assert (got["a"]["n_units"], got["a"]["n_kept"]) == (2, 2)
+    assert got["a"]["text_clean"] == "u1 u2 v1 v2"
+    assert (got["b"]["n_units"], got["b"]["n_kept"]) == (2, 1)
+    assert got["b"]["text_clean"] == "w1 w2"
+    assert (got["c"]["n_units"], got["c"]["n_kept"]) == (2, 1)
+    assert got["c"]["text_clean"] == "q1 q2"
