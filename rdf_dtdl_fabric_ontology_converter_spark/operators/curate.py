@@ -22,13 +22,14 @@ Scale notes:
   KBs, the corpus is TBs) — its distinct shingles are broadcast, so the
   corpus side needs NO exchange beyond its own per-doc aggregate.
 - chunk/line dedup: first occurrence per unit hash is a
-  ``groupBy(unit_hash).agg(min(struct(key, idx)))`` — map-side partial
-  aggregation collapses a boilerplate unit repeated 10⁹× corpus-wide to
-  ONE row per map partition before the exchange, so no reducer ever sees
-  the hot hash's full row set (the previous ``row_number`` window sorted
-  all copies of a hot unit in a single task). The join-back on the unit
-  hash is AQE-skew-splittable (the firsts side is one row per distinct
-  unit), and the reassembly aggregate is keyed on doc_id.
+  ``groupBy(unit_hash).agg(min(struct(key, idx, unit)))`` — map-side
+  partial aggregation collapses a boilerplate unit repeated 10⁹×
+  corpus-wide to ONE row per map partition before the exchange, so no
+  reducer ever sees the hot hash's full row set (a ``row_number`` window
+  here would sort every copy in a single task). The winning struct
+  carries the unit text, so survivors regroup by doc from DISTINCT units
+  only — the exploded unit set is shuffled exactly once, never joined
+  back; per-doc totals come from a narrow array-size expression.
 - sample_stratified: fully narrow — a projection + filter, no shuffle, and
   the decision is a pure function of (seed, doc_id), so re-runs and
   incremental extensions of the corpus keep prior decisions stable.
@@ -71,43 +72,48 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame, n: int = 5,
             .withColumn("contaminated", F.col("n_overlap") > 0))
 
 
-def _dedup_units(documents: DataFrame, units: DataFrame, key_col: str,
-                 sep: str) -> DataFrame:
+def _dedup_units(documents: DataFrame, units: DataFrame, n_units,
+                 key_col: str, sep: str) -> DataFrame:
     """Shared core of chunk/line dedup: ``units`` is (key_col, idx, unit);
     keep each distinct unit text only at its globally-first occurrence
-    (smallest (key, idx)) and reassemble per-document text.
+    (smallest (key, idx)) and reassemble per-document text. ``n_units``
+    is a Column computing the document's total unit count NARROWLY from
+    ``documents`` (no second pass over the exploded rows).
 
     → (key_col, n_units, n_kept, text_clean) covering EVERY input
     document: docs whose every unit was seen earlier elsewhere survive
     with an empty text_clean, and docs with NULL/empty text (which
     explode to zero units) survive with n_units = 0.
 
-    Skew-safety: the first occurrence is ``min(struct(key, idx))`` per
-    unit hash — partial-aggregated map-side, so a unit repeated 10⁹×
-    corpus-wide reaches the exchange as one row per map partition
-    (a row_number window here would sort every copy in one task).
+    Skew-safety at 100 TB: the first occurrence is
+    ``min(struct(key, idx, unit))`` per unit hash — partial-aggregated
+    map-side, so a boilerplate unit repeated 10⁹× corpus-wide reaches
+    the exchange as ONE row per map partition (a row_number window here
+    would sort every copy in a single task). Because the winning struct
+    carries the unit text, the survivors of doc k are exactly the firsts
+    rows won by k — the survivor set is re-keyed from DISTINCT units
+    only, and the full exploded unit set is never joined back or
+    shuffled a second time.
     """
     firsts = (units.groupBy(F.md5("unit").alias("uh"))
               .agg(F.min(F.struct(F.col(key_col).alias("k"),
-                                  F.col("idx").alias("i"))).alias("first")))
-    tagged = units.withColumn("uh", F.md5("unit")).join(firsts, "uh")
-    # one aggregate computes totals, survivor count, and the reassembled
-    # text (collect_list skips the NULLed-out dropped units), so no second
-    # scan branch and no totals-vs-rebuilt join
-    keep = ((F.col("first.k") == F.col(key_col)) &
-            (F.col("first.i") == F.col("idx")))
-    agg = (tagged.groupBy(key_col)
-           .agg(F.count("*").alias("n_units"),
-                F.sum(keep.cast("long")).alias("n_kept"),
-                F.concat_ws(sep, F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(keep, F.struct("idx", "unit")))),
-                    lambda s: s["unit"])).alias("text_clean")))
-    return (documents.select(key_col)
-            .join(agg, key_col, "left")
+                                  F.col("idx").alias("i"),
+                                  F.col("unit").alias("u"))).alias("first")))
+    surv = (firsts
+            .select(F.col("first.k").alias(key_col),
+                    F.col("first.i").alias("idx"),
+                    F.col("first.u").alias("unit"))
+            .groupBy(key_col)
+            .agg(F.count("*").alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(F.struct("idx", "unit"))),
+                     lambda s: s["unit"])).alias("text_clean")))
+    return (documents
             .select(key_col,
-                    F.coalesce("n_units", F.lit(0)).cast("long")
-                    .alias("n_units"),
+                    F.coalesce(n_units, F.lit(0)).cast("long")
+                    .alias("n_units"))
+            .join(surv, key_col, "left")
+            .select(key_col, "n_units",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
@@ -130,7 +136,8 @@ def chunk_dedup(documents: DataFrame, chunk: int = 10,
              .agg(F.concat_ws(" ", F.transform(
                  F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                  lambda s: s["tok"])).alias("unit")))
-    return _dedup_units(documents, units, key_col, " ")
+    n_units = F.ceil(F.size(tokens(F.col(text_col))) / F.lit(chunk))
+    return _dedup_units(documents, units, n_units, key_col, " ")
 
 
 def line_dedup(documents: DataFrame, delim: str = "\n",
@@ -142,7 +149,8 @@ def line_dedup(documents: DataFrame, delim: str = "\n",
     units = documents.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), delim)).alias("idx", "unit"))
-    return _dedup_units(documents, units, key_col, delim)
+    n_units = F.size(F.split(F.col(text_col), delim))
+    return _dedup_units(documents, units, n_units, key_col, delim)
 
 
 def sample_stratified(documents: DataFrame, rates: dict[str, int],
@@ -262,7 +270,8 @@ def cap_per_source(documents: DataFrame, k: int,
 
 def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
                    dim: int | None = None, n_planes: int = 8,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_bands: int = 1, max_bucket: int | None = None
                    ) -> DataFrame:
     """Embedding-level dedup ACTION: near-duplicate cosine pairs
     (hyperplane-LSH bucketed — see
@@ -273,10 +282,13 @@ def semantic_dedup(vectors: DataFrame, threshold: float = 0.95,
     The pair graph is tiny relative to the corpus (it only contains
     near-duplicates), so the label-propagation rounds run on edges, not
     vectors, and the final labeling is one id-keyed left join.
+    ``n_bands``/``max_bucket`` are the web-scale LSH knobs (see
+    :func:`..dedup.embedding_near_duplicates`).
     """
     from .dedup import dedup_clusters, embedding_near_duplicates
     pairs = embedding_near_duplicates(vectors, threshold, dim, n_planes,
-                                      id_col, vec_col)
+                                      id_col, vec_col, n_bands=n_bands,
+                                      max_bucket=max_bucket)
     comps = dedup_clusters(pairs.select("doc_a", "doc_b"))
     return (vectors.select(id_col)
             .join(comps.select(F.col("doc_id").alias(id_col), "cluster_id"),

@@ -210,26 +210,61 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
 def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                               dim: int | None = None, n_planes: int = 8,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              n_bands: int = 1,
+                              max_bucket: int | None = None,
+                              return_capped: bool = False):
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cos ≥ threshold).
 
     Scale path: random-hyperplane LSH bucket self-join (near-identical
     vectors share all plane signs with high probability), then exact cosine
     within bucket. For exhaustive recall at small scale pass n_planes=0
     (full cross join).
+
+    The two web-scale knobs mirror :func:`lsh_candidates`:
+
+    - ``n_bands`` > 1: banded hyperplane LSH — band b signs the vector
+      with its OWN n_planes planes (plane indices b*n_planes ..) and the
+      candidate set is the union over bands. Occupancy (within-bucket
+      pair cost) is controlled by n_planes — 2**n_planes should scale
+      with the corpus so buckets stay constant-sized — while recall lost
+      to the extra planes is recovered by adding bands
+      (P(candidate) = 1-(1-p^r)^b).
+    - ``max_bucket``: degenerate-bucket guard — a (band, bucket) larger
+      than this is excluded from the self-join before it can produce
+      n²/2 pairs; never silent (``return_capped`` returns the excluded
+      buckets with their sizes for logging/alerting).
     """
     from .similarity import _dot, _norm, hyperplane_signature
     v = vectors.select(id_col, vec_col)
+    capped = None
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim required when bucketing (n_planes > 0)")
-        v = v.withColumn("bucket",
-                         hyperplane_signature(F.col(vec_col), dim, n_planes))
+        sigs = [F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(F.col(vec_col), dim, n_planes,
+                                 offset=b * n_planes).alias("bucket"))
+            for b in range(max(n_bands, 1))]
+        v = (v.select(id_col, vec_col, F.explode(F.array(*sigs)).alias("bs"))
+             .select(id_col, vec_col, "bs.band", "bs.bucket"))
+        if max_bucket is not None:
+            sizes = (v.groupBy("band", "bucket")
+                     .agg(F.count("*").alias("bucket_n")))
+            capped = sizes.where(F.col("bucket_n") > max_bucket)
+            v = v.join(sizes.where(F.col("bucket_n") <= max_bucket),
+                       ["band", "bucket"], "left_semi")
         a = v.select(F.col(id_col).alias("doc_a"),
-                     F.col(vec_col).alias("va"), "bucket")
+                     F.col(vec_col).alias("va"), "band", "bucket")
         b = v.select(F.col(id_col).alias("doc_b"),
-                     F.col(vec_col).alias("vb"), "bucket")
-        pairs = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+                     F.col(vec_col).alias("vb"), "band", "bucket")
+        pairs = (a.join(b, ["band", "bucket"])
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b", "va", "vb"))
+        if n_bands > 1:
+            # the same pair can surface in several bands — dedup BEFORE
+            # the cosine so each candidate is scored once
+            pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     else:
         a = v.select(F.col(id_col).alias("doc_a"),
                      F.col(vec_col).alias("va"))
@@ -238,9 +273,12 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
         pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
                                             _norm(F.col("vb")))
-    return (pairs.withColumn("cos", cos)
-            .where(F.col("cos") >= threshold)
-            .select("doc_a", "doc_b", "cos"))
+    out = (pairs.withColumn("cos", cos)
+           .where(F.col("cos") >= threshold)
+           .select("doc_a", "doc_b", "cos"))
+    if return_capped:
+        return out, capped
+    return out
 
 
 def simhash(documents: DataFrame, text_col: str = "text",

@@ -50,20 +50,24 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     "cos"))
 
 
-def hyperplane_planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+def hyperplane_planes(dim: int, n_planes: int = 8,
+                      offset: int = 0) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign of plane j, dim d is derived from
-    md5(f"plane{j}|{d}") — reproducible in any engine (incl. SQL oracles)."""
+    md5(f"plane{j}|{d}") — reproducible in any engine (incl. SQL oracles).
+    ``offset`` shifts the plane index range (band b of banded LSH uses
+    planes [b*n_planes, (b+1)*n_planes) so bands are independent)."""
     import hashlib
 
     def sign(j: int, d: int) -> float:
         h = hashlib.md5(f"plane{j}|{d}".encode()).hexdigest()
         return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
 
-    return [[sign(j, d) for d in range(dim)] for j in range(n_planes)]
+    return [[sign(j, d) for d in range(dim)]
+            for j in range(offset, offset + n_planes)]
 
 
-def hyperplane_signature(vec_col: Column, dim: int,
-                         n_planes: int = 8) -> Column:
+def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 8,
+                         offset: int = 0) -> Column:
     """Random-hyperplane signature over literal plane arrays.
 
     Planes are data-independent constants, so they are computed driver-side
@@ -73,7 +77,7 @@ def hyperplane_signature(vec_col: Column, dim: int,
     different plane signs; literals sidestep the whole class of bug).
     """
     sig = F.lit(0).cast("long")
-    for j, plane in enumerate(hyperplane_planes(dim, n_planes)):
+    for j, plane in enumerate(hyperplane_planes(dim, n_planes, offset)):
         lit_plane = F.array(*[F.lit(x) for x in plane])
         dot = _dot(vec_col, lit_plane)
         sig = sig + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)) \

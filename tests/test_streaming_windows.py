@@ -56,6 +56,22 @@ def test_embedding_near_duplicates(spark):
                                         n_planes=4)
     got_b = {(r["doc_a"], r["doc_b"]) for r in pairs_b.collect()}
     assert (3, 99) in got_b
+    # banded LSH (2 bands of 4 planes): band 0 uses the same planes as the
+    # single-band signature, so the banded candidate set is a superset
+    pairs_2b = embedding_near_duplicates(v, threshold=0.999, dim=8,
+                                         n_planes=4, n_bands=2)
+    got_2b = {(r["doc_a"], r["doc_b"]) for r in pairs_2b.collect()}
+    assert got_2b >= got_b
+    # each surviving pair is scored once (no per-band duplicates)
+    rows_2b = [(r["doc_a"], r["doc_b"]) for r in pairs_2b.collect()]
+    assert len(rows_2b) == len(set(rows_2b))
+    # degenerate-bucket cap: a cap of 1 kills every self-join bucket and
+    # the excluded buckets are reported, never silently dropped
+    none_p, capped = embedding_near_duplicates(
+        v, threshold=0.999, dim=8, n_planes=4, max_bucket=1,
+        return_capped=True)
+    assert none_p.count() == 0
+    assert capped.where(F.col("bucket_n") > 1).count() > 0
 
 
 def test_pandas_cosine_matches_jvm(spark):

@@ -1,23 +1,35 @@
-"""Dedup-family 10x scale-proof bench (round-3 item 7).
+"""10x scale-proof bench for the dedup / curation / embedding / KG
+families (round-3 item 7, round-4 items 1/3/6).
 
-Builds an sf1-equivalent documents corpus (10x the sf0.1 table: each copy
-gets a copy-specific LETTER ROTATION — a character bijection, so text
-length, token counts, and the intra-copy duplicate structure are EXACTLY
-preserved while cross-copy shingles never collide. Near-duplicate
-structure, and therefore candidate-pair counts and shingle volume, scale
-exactly 10x — the fair scaling corpus) and runs the dedup family at sf0.1
-and at 10x, interleaved, medians of N reps.
+Builds an sf1-equivalent corpus (10x the sf0.1 table) whose duplicate
+structure scales EXACTLY 10x, then runs a query family at both scales,
+interleaved, medians of N reps:
+
+- documents: each copy gets a copy-specific LETTER ROTATION — a character
+  bijection, so text length, token counts, and the intra-copy duplicate
+  structure are exactly preserved while cross-copy shingles never collide.
+- embeddings (family "emb"): each copy multiplies every vector by a
+  copy-specific DETERMINISTIC SIGN PATTERN (a diagonal orthogonal matrix),
+  so intra-copy cosines — and therefore near-dup pairs and LSH bucket
+  structure — are exactly preserved, while cross-copy cosines of the same
+  base vector are ~0 (half the signs differ).
+- kg (family "kg"): the synthetic ontology pipeline at 10x the document
+  count (10k classes -> 100k classes), no table build needed.
+- hotunit (family "hotunit"): chunk/line dedup on a corpus where ONE unit
+  repeats 10^6 times — the 100-TB boilerplate-skew stress — A/B'd against
+  the legacy row_number-window implementation on the same input.
 
 Prints one JSON line:
   {"queries": {name: {"sf01_med": s, "sf1eq_med": s, "ratio": r,
                "exchanges_sf01": n, "exchanges_sf1eq": n}},
    "docs": {"sf01": n, "sf1eq": n}, "reps": N}
 
-A ratio <= ~10 (docs grew 10x) with identical exchange counts is the
+A ratio <= ~10 (data grew 10x) with identical exchange counts is the
 near-linear evidence; superlinear growth or extra exchanges at 10x would
 flag a plan that does not survive scale-up.
 
-Usage: python tools/scale10_bench.py [reps] [out_dir]
+Usage: python tools/scale10_bench.py [reps] [out_dir] [family]
+       family in {dedup (default), curate, emb, kg, hotunit}
 """
 
 from __future__ import annotations
@@ -76,15 +88,205 @@ def n_exchanges(df) -> int:
 
 CURATE_QUERIES = ["chunk_dedup", "decontaminate", "sample_stratified",
                   "pack_shards", "curate_corpus"]
+EMB_QUERIES = ["semantic_dedup", "emb_near_dup", "ann_lsh_buckets",
+               "ann_ivf_topk"]
+
+
+def emb_scaled_queries(big: bool) -> dict:
+    """The embedding family with PRODUCTION tuning at each scale: LSH
+    bucket count 2**n_planes scales with the corpus (4 planes at sf0.1,
+    8 at 10x — constant bucket occupancy, so within-bucket pair cost
+    scales linearly), with a second band recovering the recall the extra
+    planes cost (the n_bands knob). Timing both scales at the sf0.1
+    tuning would measure a mis-configured job: with fixed buckets the
+    pair set grows quadratically by construction."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import semantic_dedup
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dedup import (
+        embedding_near_duplicates)
+    planes = 8 if big else 4
+    dim = 64
+
+    def read(spark, sf_dir):
+        return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select("vec_id", "embedding"))
+
+    return {
+        "semantic_dedup": lambda spark, sf_dir: semantic_dedup(
+            read(spark, sf_dir), threshold=0.45, dim=dim, n_planes=planes,
+            n_bands=2, max_bucket=5000),
+        "emb_near_dup": lambda spark, sf_dir: embedding_near_duplicates(
+            read(spark, sf_dir), threshold=0.45, dim=dim, n_planes=planes,
+            n_bands=2, max_bucket=5000),
+        "ann_lsh_buckets": entrymod.queries()["ann_lsh_buckets"],
+        "ann_ivf_topk": entrymod.queries()["ann_ivf_topk"],
+    }
+
+
+def build_emb_corpus(out_dir: str) -> str:
+    """10 sign-flipped copies of the sf0.1 embeddings table ->
+    out_dir/embeddings.parquet (copy 0 is the original). The sign pattern
+    is a diagonal orthogonal transform: intra-copy dot products (and so
+    every near-dup pair and LSH bucket) are exactly preserved; cross-copy
+    dot products of the same base vector are ~0 because ~half the
+    component signs differ between any two copy patterns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    dst = out / "embeddings.parquet"
+    if not dst.exists():
+        t = pq.read_table(f"{SF01}/embeddings.parquet")
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+        vec_id = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        label = np.array(t["label"].to_pylist(), dtype=np.int32)
+        dim = emb.shape[1]
+        ids, labels, vecs = [], [], []
+        k = np.arange(dim)
+        for i in range(10):
+            signs = (np.ones(dim) if i == 0 else
+                     np.where((k * (2 * i + 1) + i) % 10 < 5, -1.0, 1.0))
+            vecs.append(emb * signs.astype(np.float32))
+            ids.append(vec_id * 10 + i)
+            labels.append(label)
+        pq.write_table(pa.table({
+            "vec_id": np.concatenate(ids),
+            "embedding": pa.array(np.concatenate(vecs).tolist(),
+                                  pa.list_(pa.float32())),
+            "label": np.concatenate(labels)}), dst)
+    return str(out)
+
+
+def run_kg_family(spark, reps: int) -> dict:
+    """kg_full_synth at sf0.1 volume (1k docs / 10k classes) vs 10x
+    (10k docs / 100k classes) — the entity pipeline's scale point."""
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import run_pipeline
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import synth_documents
+
+    def run(n):
+        res = run_pipeline(spark, synth_documents(spark, n, partitions=64))
+        df = res.entity_types
+        df.write.format("noop").mode("overwrite").save()
+        return df
+
+    run(100)  # warmup
+    times = {"sf01": [], "sf1eq": []}
+    for rep in range(reps):
+        for name, n in (("sf01", 1000), ("sf1eq", 10000)):
+            t0 = time.time()
+            run(n)
+            times[name].append(round(time.time() - t0, 2))
+            print(f"rep{rep} kg_full_synth n={n}: {times[name][-1]}s",
+                  file=sys.stderr)
+    m01 = statistics.median(times["sf01"])
+    m10 = statistics.median(times["sf1eq"])
+    return {"queries": {"kg_full_synth": {
+        "sf01_med": m01, "sf1eq_med": m10,
+        "ratio": round(m10 / m01, 2),
+        "sf01_all": times["sf01"], "sf1eq_all": times["sf1eq"],
+        "exchanges_sf01": n_exchanges(run(1000)),
+        "exchanges_sf1eq": n_exchanges(run(10000))}},
+        "docs": {"sf01": 1000, "sf1eq": 10000}, "reps": reps}
+
+
+def _legacy_dedup_units(documents, delim="\n"):
+    """The PRE-round-4 first-occurrence implementation (row_number over a
+    window partitioned by the unit hash) — kept here only as the skew A/B
+    baseline; a hot unit's every copy sorts in ONE task."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+    units = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), delim))
+        .alias("idx", "unit"))
+    w = Window.partitionBy(F.md5("unit")).orderBy("doc_id", "idx")
+    keep = F.row_number().over(w) == 1
+    return (units.withColumn("k", keep.cast("long"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_units"),
+                 F.sum("k").alias("n_kept")))
+
+
+def build_hot_corpus(spark, n_docs: int):
+    """n_docs two-line documents where line 1 is the SAME boilerplate
+    everywhere (n_docs copies of one unit — web-scale boilerplate skew)
+    and line 2 is unique. Generated distributed (spark.range), no collect."""
+    import pyspark.sql.functions as F
+    hot = "subscribe to our newsletter for updates and offers today"
+    return (spark.range(n_docs)
+            .select(F.col("id").cast("string").alias("doc_id"),
+                    F.concat(F.lit(hot + "\n"),
+                             F.lit("unique line number "),
+                             F.col("id").cast("string"),
+                             F.lit(" with trailing pad tokens"))
+                    .alias("text")))
+
+
+def run_hotunit_family(spark, reps: int) -> dict:
+    """line_dedup on 10^5 vs 10^6 copies of one hot unit (ratio should be
+    ~10, no straggler), plus the legacy window implementation on the 10^6
+    corpus as the skew A/B — with a per-row-identical output check."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import line_dedup
+    import pyspark.sql.functions as F
+    d_small = build_hot_corpus(spark, 100_000).localCheckpoint()
+    d_big = build_hot_corpus(spark, 1_000_000).localCheckpoint()
+
+    def bench(fn, label):
+        runs = []
+        for rep in range(reps):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 2))
+            print(f"rep{rep} {label}: {runs[-1]}s", file=sys.stderr)
+        return runs
+
+    line_dedup(d_small).write.format("noop").mode("overwrite").save()  # warm
+    t_small = bench(lambda: line_dedup(d_small).write.format("noop")
+                    .mode("overwrite").save(), "line_dedup hot1e5")
+    t_big = bench(lambda: line_dedup(d_big).write.format("noop")
+                  .mode("overwrite").save(), "line_dedup hot1e6")
+    t_legacy = bench(lambda: _legacy_dedup_units(d_big).write.format("noop")
+                     .mode("overwrite").save(), "LEGACY window hot1e6")
+    # semantics check: survivor counts identical between implementations
+    new_kept = (line_dedup(d_big).agg(F.sum("n_kept")).collect()[0][0])
+    old_kept = (_legacy_dedup_units(d_big).agg(F.sum("n_kept"))
+                .collect()[0][0])
+    assert new_kept == old_kept, (new_kept, old_kept)
+    m_small, m_big = statistics.median(t_small), statistics.median(t_big)
+    m_leg = statistics.median(t_legacy)
+    return {"queries": {"line_dedup_hotunit": {
+        "sf01_med": m_small, "sf1eq_med": m_big,
+        "ratio": round(m_big / m_small, 2),
+        "legacy_window_1e6_med": m_leg,
+        "legacy_vs_new_at_1e6": round(m_leg / m_big, 2),
+        "sf01_all": t_small, "sf1eq_all": t_big, "legacy_all": t_legacy,
+        "exchanges_sf01": n_exchanges(line_dedup(d_small)),
+        "exchanges_sf1eq": n_exchanges(line_dedup(d_big)),
+        "kept_units": int(new_kept)}},
+        "docs": {"sf01": 100_000, "sf1eq": 1_000_000}, "reps": reps}
 
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1eq"
+    family = sys.argv[3] if len(sys.argv) > 3 else "dedup"
     global QUERIES
-    if len(sys.argv) > 3 and sys.argv[3] == "curate":
+    if family == "curate":
         QUERIES = CURATE_QUERIES
-    sf1eq = build_corpus(out_dir)
+    elif family == "emb":
+        QUERIES = EMB_QUERIES
+    if family in ("kg", "hotunit"):
+        spark = build_session(app="scale10", master="local[32]",
+                              shuffle_partitions=64,
+                              extra={"spark.ui.enabled": "false",
+                                     "spark.driver.memory": "16g"})
+        result = (run_kg_family(spark, reps) if family == "kg"
+                  else run_hotunit_family(spark, reps))
+        result["family"] = family
+        print(json.dumps(result))
+        spark.stop()
+        return
+    sf1eq = (build_emb_corpus(out_dir) if family == "emb"
+             else build_corpus(out_dir))
 
     spark = build_session(app="scale10", master="local[32]",
                           shuffle_partitions=64,
@@ -98,11 +300,16 @@ def main():
     qs["dedup_exact"](spark, SF01).write.format("noop") \
         .mode("overwrite").save()
 
+    def fn_for(q, sf_name):
+        if family == "emb":
+            return emb_scaled_queries(big=(sf_name == "sf1eq"))[q]
+        return qs[q]
+
     for rep in range(reps):
         for sf_name, sf_dir in (("sf01", SF01), ("sf1eq", sf1eq)):
             for q in QUERIES:
                 t0 = time.time()
-                qs[q](spark, sf_dir).write.format("noop") \
+                fn_for(q, sf_name)(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 times[q][sf_name].append(round(time.time() - t0, 2))
                 print(f"rep{rep} {sf_name} {q}: {times[q][sf_name][-1]}s",
@@ -116,13 +323,14 @@ def main():
             "sf01_med": m01, "sf1eq_med": m10,
             "ratio": round(m10 / m01, 2) if m01 else None,
             "sf01_all": times[q]["sf01"], "sf1eq_all": times[q]["sf1eq"],
-            "exchanges_sf01": n_exchanges(qs[q](spark, SF01)),
-            "exchanges_sf1eq": n_exchanges(qs[q](spark, sf1eq)),
+            "exchanges_sf01": n_exchanges(fn_for(q, "sf01")(spark, SF01)),
+            "exchanges_sf1eq": n_exchanges(fn_for(q, "sf1eq")(spark, sf1eq)),
         }
-    import pyspark.sql.functions as F  # noqa: F401
+    table = "embeddings" if family == "emb" else "documents"
+    result["family"] = family
     result["docs"] = {
-        "sf01": spark.read.parquet(f"{SF01}/documents.parquet").count(),
-        "sf1eq": spark.read.parquet(f"{sf1eq}/documents.parquet").count(),
+        "sf01": spark.read.parquet(f"{SF01}/{table}.parquet").count(),
+        "sf1eq": spark.read.parquet(f"{sf1eq}/{table}.parquet").count(),
     }
     print(json.dumps(result))
     spark.stop()
