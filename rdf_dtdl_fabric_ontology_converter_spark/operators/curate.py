@@ -362,8 +362,10 @@ def pack_shards(documents: DataFrame, budget: int,
     (it then straddles one or more boundaries, and the re-rank keeps the
     following ids contiguous); this is NOT strict greedy bin packing
     (which needs a sequential running-total reset and cannot be a
-    prefix sum), but every shard's token total is >= budget except the
-    stratum's last, and reproducibility is independent of parallelism.
+    prefix sum): away from oversized documents every shard's token total
+    reaches the budget (only the stratum's last falls short), while a
+    shard immediately after an oversized document can be smaller.
+    Reproducibility is independent of parallelism.
 
     ``sub_strata > 1`` splits each stratum into that many deterministic
     hash sub-streams (shard_id becomes per-(stratum, sub-stream)) so a
