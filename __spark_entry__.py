@@ -958,6 +958,53 @@ FROM documents d LEFT JOIN totals t USING (doc_id)
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style dedup (Lee et al. 2022): token positions covered
+    by a duplicated 20-token window (stride 1, global first occurrence
+    kept) are removed and the text rebuilt."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import substring_dedup
+    return substring_dedup(_t(spark, sf_dir, "documents"), k=20) \
+        .orderBy("doc_id")
+
+
+_ORACLE_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, i,
+         array_to_string(t[(i+1):(i+20)], ' ') AS wtext
+  FROM toks,
+       LATERAL unnest(range(0, greatest(len(t) - 19, 0))) AS u(i)
+), ranked AS (
+  SELECT doc_id, i, count(*) OVER (PARTITION BY md5(wtext)) AS cnt,
+         row_number() OVER (PARTITION BY md5(wtext)
+                            ORDER BY doc_id, i) AS rn
+  FROM w
+), starts AS (
+  SELECT doc_id, i FROM ranked WHERE cnt > 1 AND rn > 1
+), pos AS (
+  SELECT tk.doc_id, v.i AS p, tk.t[v.i + 1] AS tok
+  FROM toks tk, LATERAL unnest(range(0, len(tk.t))) AS v(i)
+), kept AS (
+  SELECT p.doc_id, p.p, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM starts s
+                    WHERE s.doc_id = p.doc_id
+                      AND s.i <= p.p AND p.p < s.i + 20)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY tk.doc_id
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: md5 hash bucket (pure function
     of seed+doc_id) under per-lang permille rates — reproducible corpus
@@ -1979,7 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_shape": q_tpch_q3_shape,
-        "tpch_q5_shape": q_tpch_q5_shape,
+        "substring_dedup": q_substring_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
         "events_json_extract": q_events_json_extract,
@@ -1992,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # techniques are already covered by green rows above ---
         "salted_count": q_salted_count,
         "rel2triples_unpivot": q_rel2triples_unpivot,
+        "tpch_q5_shape": q_tpch_q5_shape,
         "tpch_q18_shape": q_tpch_q18_shape,
     }
 
@@ -2024,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _ORACLE_TEXT_REPETITION,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
+        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,
         "cap_per_source": _ORACLE_CAP_PER_SOURCE,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "chunk_dedup",
+    "substring_dedup",
     "decontaminate",
     "curate_corpus",
     "semantic_dedup",

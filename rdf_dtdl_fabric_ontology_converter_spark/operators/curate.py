@@ -153,6 +153,74 @@ def line_dedup(documents: DataFrame, delim: str = "\n",
     return _dedup_units(documents, units, n_units, key_col, delim)
 
 
+def substring_dedup(documents: DataFrame, k: int = 20,
+                    text_col: str = "text", key_col: str = "doc_id"
+                    ) -> DataFrame:
+    """ExactSubstr-style dedup (the suffix-array technique of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, re-expressed distributed): every token position covered by
+    a ``k``-token window whose text also occurs ANYWHERE else in the
+    corpus — except the window's globally-first occurrence — is removed,
+    and the surviving tokens are re-joined.
+
+    A duplicated substring of L ≥ k tokens is covered by exactly
+    L-k+1 duplicated stride-1 windows, so rolling k-token windows find
+    the same covered regions the suffix array finds, with three
+    DataFrame-shaped steps instead of a monolithic sorted index:
+
+    1. windows: per doc, ``transform`` over the token array builds the
+       stride-1 k-gram structs NARROWLY (no shuffle, no self-join).
+    2. duplicated occurrences: ``groupBy(md5(window))`` with
+       ``min(struct(key, start))`` + count — the same map-side-combined,
+       skew-safe first-occurrence aggregate as chunk/line dedup — then a
+       join back RESTRICTED to multi-occurrence windows (in a mostly
+       unique corpus the duplicated-window side is a small fraction, and
+       it is the only thing re-joined).
+    3. mask: per doc, the dup window starts collect into one array and a
+       narrow ``filter``/``exists`` over the token array drops covered
+       positions and rebuilds the text.
+
+    → (key_col, n_tok, n_kept, text_clean), every input doc covered
+    (NULL/short texts pass through whole).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    arr = tokens(F.col(text_col))
+    d = documents.select(key_col, arr.alias("t"))
+    n_win = F.greatest(F.size("t") - k + 1, F.lit(0))
+    wins = (d.where(n_win > 0)
+            .select(key_col,
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(0), n_win - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("t"), i + 1, k))))
+                    .alias("start", "wtext")))
+    groups = (wins.groupBy(F.md5("wtext").alias("wh"))
+              .agg(F.min(F.struct(F.col(key_col).alias("k"),
+                                  F.col("start").alias("s"))).alias("first"),
+                   F.count("*").alias("cnt"))
+              .where(F.col("cnt") > 1))
+    dup_starts = (wins.withColumn("wh", F.md5("wtext"))
+                  .join(groups, "wh")
+                  .where((F.col("first.k") != F.col(key_col)) |
+                         (F.col("first.s") != F.col("start")))
+                  .groupBy(key_col)
+                  .agg(F.collect_list("start").alias("starts")))
+    idx = d.join(dup_starts, key_col, "left")
+    pairs = F.transform(F.coalesce("t", F.array().cast("array<string>")),
+                        lambda x, i: F.struct(i.alias("i"), x.alias("x")))
+    covered = lambda p: F.exists(  # noqa: E731
+        F.coalesce("starts", F.array().cast("array<int>")),
+        lambda s: (p["i"] >= s) & (p["i"] < s + k))
+    kept = F.filter(pairs, lambda p: ~covered(p))
+    return idx.select(
+        key_col,
+        F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tok"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["x"]))
+        .alias("text_clean"))
+
+
 def sample_stratified(documents: DataFrame, rates: dict[str, int],
                       default_permille: int = 0, stratum_col: str = "lang",
                       key_col: str = "doc_id", seed: str = "") -> DataFrame:

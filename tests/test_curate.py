@@ -291,3 +291,41 @@ def test_cap_per_source_keeps_longest_k(spark):
                               ["doc_id", "text", "source"])
     kept = [r["doc_id"] for r in cap_per_source(t, k=1).collect()]
     assert kept == [5]
+
+
+def test_substring_dedup_removes_covered_positions(spark):
+    """ExactSubstr semantics: a k-token passage repeated in a later doc
+    is removed there (globally-first occurrence survives); unique text is
+    untouched; short and NULL docs pass through whole."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        substring_dedup)
+    passage = " ".join(f"p{i}" for i in range(6))  # 6 tokens
+    rows = [("a", passage + " tail1 tail2"),
+            ("b", "head1 head2 " + passage),       # repeats the passage
+            ("c", "all fresh words here"),
+            ("d", None),
+            ("e", "tiny")]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(d, k=6).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    # a: first occurrence of every window -> fully kept
+    assert out["a"]["n_kept"] == out["a"]["n_tok"] == 8
+    # b: the 6 passage tokens are covered by the duplicated window
+    assert (out["b"]["n_tok"], out["b"]["n_kept"]) == (8, 2)
+    assert out["b"]["text_clean"] == "head1 head2"
+    assert out["c"]["n_kept"] == 4 and out["c"]["text_clean"] == "all fresh words here"
+    assert (out["d"]["n_tok"], out["d"]["text_clean"]) == (0, "")
+    assert out["e"]["n_kept"] == 1  # shorter than k -> no windows, kept
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    """A passage repeated INSIDE one doc: the first copy's windows are
+    the global firsts, the second copy's positions are covered."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        substring_dedup)
+    p = "x1 x2 x3"
+    d = spark.createDataFrame([("a", p + " mid " + p)],
+                              "doc_id string, text string")
+    out = substring_dedup(d, k=3).collect()[0]
+    assert (out["n_tok"], out["n_kept"]) == (7, 4)
+    assert out["text_clean"] == "x1 x2 x3 mid"
