@@ -267,6 +267,49 @@ def sample_rate(rates: dict[str, int], default_permille: int,
                       F.lit(int(default_permille)))
 
 
+def score_linear(documents: DataFrame, weights: dict[str, float],
+                 bias: float = 0.0, threshold: float = 0.5,
+                 text_col: str = "text", key_col: str = "doc_id"
+                 ) -> DataFrame:
+    """Broadcast linear text classifier (fastText-style bag of words) —
+    the learned-model quality-scoring stage of a CCNet/FineWeb-style
+    pipeline: score = sigmoid(bias + Σ w[token]·count(token)/n_tok),
+    keep = score ≥ threshold.
+
+    The weight table (a trained model's vocabulary) ships as a broadcast
+    DataFrame joined on the token — a fastText vocab is MBs against a TB
+    corpus, so the corpus side pays only its own per-doc aggregate, the
+    same broadcast shape as decontamination. Tokens outside the
+    vocabulary contribute 0 (the join is inner; the per-doc sum starts
+    from bias). → (key_col, n_tok, z, score, keep) for EVERY input doc
+    (empty/NULL text scores sigmoid(bias)).
+    """
+    spark = documents.sparkSession
+    w = F.broadcast(spark.createDataFrame(
+        sorted(weights.items()), "tok string, wt double"))
+    toks = (documents
+            .select(key_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy(key_col, "tok")
+            .agg(F.count("*").alias("c")))
+    per_doc = (toks.groupBy(key_col)
+               .agg(F.sum("c").alias("n_tok")))
+    hits = (toks.join(w, "tok")
+            .groupBy(key_col)
+            .agg(F.sum(F.col("wt") * F.col("c")).alias("wsum")))
+    z = (F.lit(float(bias)) +
+         F.coalesce(F.col("wsum"), F.lit(0.0)) /
+         F.greatest(F.col("n_tok"), F.lit(1)).cast("double"))
+    return (documents.select(key_col)
+            .join(per_doc, key_col, "left")
+            .join(hits, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_tok", F.lit(0)).cast("long")
+                    .alias("n_tok"),
+                    z.alias("z"),
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"))
+            .withColumn("keep", F.col("score") >= F.lit(float(threshold))))
+
+
 def quality_filter(documents: DataFrame, min_tok: int = 20,
                    rep_factor: int = 8, text_col: str = "text",
                    key_col: str = "doc_id") -> DataFrame:

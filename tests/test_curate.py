@@ -329,3 +329,26 @@ def test_substring_dedup_within_doc_repeat(spark):
     out = substring_dedup(d, k=3).collect()[0]
     assert (out["n_tok"], out["n_kept"]) == (7, 4)
     assert out["text_clean"] == "x1 x2 x3 mid"
+
+
+def test_score_linear_broadcast_classifier(spark):
+    """fastText-style linear scorer: per-token weights, normalized by
+    token count, sigmoid + threshold; OOV tokens contribute 0; every
+    input doc covered (NULL text scores sigmoid(bias))."""
+    import math
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        score_linear)
+    rows = [("a", "fast fast code"),      # z = 0 + 4/3
+            ("b", "slow slow slow"),      # z = -6/3
+            ("c", "unknown words only"),  # z = 0
+            ("d", None)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in score_linear(
+        d, {"fast": 2.0, "slow": -2.0}).collect()}
+    assert abs(out["a"]["z"] - 4.0 / 3.0) < 1e-9 and out["a"]["keep"]
+    assert abs(out["a"]["score"] -
+               1 / (1 + math.exp(-4.0 / 3.0))) < 1e-9
+    assert out["b"]["z"] == -2.0 and not out["b"]["keep"]
+    assert out["c"]["z"] == 0.0 and out["c"]["score"] == 0.5
+    assert out["c"]["keep"]  # score 0.5 >= default threshold
+    assert (out["d"]["n_tok"], out["d"]["z"]) == (0, 0.0)
