@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cap_per_source",
     "text_stats",
     "text_fingerprint",
+    "score_linear",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "tpch_q1",
