@@ -86,7 +86,8 @@ def n_exchanges(df) -> int:
     return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
 
 
-CURATE_QUERIES = ["chunk_dedup", "decontaminate", "sample_stratified",
+CURATE_QUERIES = ["chunk_dedup", "substring_dedup", "score_linear",
+                  "decontaminate", "sample_stratified",
                   "pack_shards", "curate_corpus"]
 EMB_QUERIES = ["semantic_dedup", "emb_near_dup", "ann_lsh_buckets",
                "ann_ivf_topk"]
