@@ -14,14 +14,20 @@ RDFa 1.1 processing sequence: @about sets the subject for the element's
 own @property; @property+@resource makes the resource the object AND the
 subject for descendants (object chaining). Bare @rel/@rev terms with no
 in-scope vocab/prefix are HTML link relations (stylesheet, nofollow, …)
-and are ignored, per the HTML5 host-language rules. @inlist collects
+and are ignored, per the HTML5 host-language rules. The RDFa 1.1
+initial context's default prefixes (dc, foaf, schema, og, …) are
+predefined, locally-declared prefixes winning; @about/@resource follow
+the SafeCURIEorCURIEorIRI grammar (safe-CURIE brackets, no @vocab
+application, relative IRIs resolved against <base href>), and bare
+@href/@src resolve against <base href> too. @inlist collects
 property/rel values into rdf:first/rdf:rest chains (one list per
 (subject, predicate), document order; disjoint list scopes for the same
 pair merge — documented deviation). xmlns:foo prefix declarations are
 honored for RDFa 1.0 back-compat.
 
 Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
-``itemtype`` / ``itemid`` / ``itemprop`` / ``itemref`` (properties
+``itemtype`` / ``itemid`` (resolved against ``<base href>``) /
+``itemprop`` / ``itemref`` (properties
 crawled from id-referenced subtrees per WHATWG §5.2.4, forward or
 backward references, cycle-safe — evaluated over a one-pass DOM tree
 because a reference can point anywhere in the document); value
@@ -50,6 +56,53 @@ _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
          "link", "meta", "param", "source", "track", "wbr"}
 
+# RDFa 1.1 initial context (https://www.w3.org/2011/rdfa-context/rdfa-1.1):
+# prefixes every conformant processor predefines, so real pages use
+# `property="dc:title"` etc. WITHOUT declaring them. Locally-declared
+# prefixes always win.
+INITIAL_CONTEXT = {
+    "cc": "http://creativecommons.org/ns#",
+    "ctag": "http://commontag.org/ns#",
+    "dc": "http://purl.org/dc/terms/",
+    "dc11": "http://purl.org/dc/elements/1.1/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "gr": "http://purl.org/goodrelations/v1#",
+    "grddl": "http://www.w3.org/2003/g/data-view#",
+    "ical": "http://www.w3.org/2002/12/cal/icaltzd#",
+    "ma": "http://www.w3.org/ns/ma-ont#",
+    "og": "http://ogp.me/ns#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfa": "http://www.w3.org/ns/rdfa#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "rev": "http://purl.org/stuff/rev#",
+    "rif": "http://www.w3.org/2007/rif#",
+    "schema": "http://schema.org/",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "skosxl": "http://www.w3.org/2008/05/skos-xl#",
+    "v": "http://rdf.data-vocabulary.org/#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "void": "http://rdfs.org/ns/void#",
+    "wdr": "http://www.w3.org/2007/05/powder#",
+    "wdrs": "http://www.w3.org/2007/05/powder-s#",
+    "xhv": "http://www.w3.org/1999/xhtml/vocab#",
+    "xml": "http://www.w3.org/XML/1998/namespace",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def _resolve_base(base: str | None, iri: str) -> str:
+    """Resolve a (possibly relative) IRI against the document base set by
+    ``<base href>`` — the HTML host-language rule shared by RDFa and
+    microdata. Absolute IRIs and missing bases pass through."""
+    if not base or not iri or _is_abs(iri) or iri.startswith("_:"):
+        return iri
+    from urllib.parse import urljoin
+    return urljoin(base, iri)
+
 
 class HtmlRdfParseError(ValueError):
     pass
@@ -74,6 +127,7 @@ class _RdfaParser(HTMLParser):
         # that establishes a new subject (RDFa 1.1 processing step 10).
         self.scopes = [{"subject": None, "vocab": None, "prefixes": {},
                         "lang": None, "incomplete": []}]
+        self.base: str | None = None  # <base href> (HTML host language)
         # pending text-content captures: list of
         # [depth, subject, pred, datatype, lang, buf, inlist]
         self.captures: list[list] = []
@@ -93,6 +147,8 @@ class _RdfaParser(HTMLParser):
         return f"_:rdfa{self.bnode_n}"
 
     def _resolve(self, term: str, scope: dict) -> str | None:
+        """TERMorCURIEorAbsIRI resolution (@property/@typeof/@datatype):
+        local prefixes, then the RDFa 1.1 initial context, then @vocab."""
         if not term:
             return None
         if term.startswith("_:"):
@@ -100,11 +156,38 @@ class _RdfaParser(HTMLParser):
         pfx, sep, local = term.partition(":")
         if sep and pfx in scope["prefixes"]:
             return scope["prefixes"][pfx] + local
+        # initial context BEFORE the absolute-IRI test: "dc:title" matches
+        # the scheme grammar but none of the context prefixes are real
+        # URI schemes, so the CURIE reading wins
+        if sep and pfx in INITIAL_CONTEXT:
+            return INITIAL_CONTEXT[pfx] + local
         if _is_abs(term):
             return term
         if scope["vocab"]:
             return scope["vocab"] + term
         return term
+
+    def _resolve_iri_attr(self, term: str, scope: dict) -> str | None:
+        """SafeCURIEorCURIEorIRI resolution (@about/@resource): safe-CURIE
+        brackets, prefixes (local then initial context) — @vocab does NOT
+        apply here per the RDFa attribute grammar — else a (possibly
+        relative) IRI resolved against <base href>."""
+        if term is None:
+            return None
+        if not term:
+            return self.base  # @about="" / @resource="" = the document
+        if term.startswith("[") and term.endswith("]"):
+            term = term[1:-1]
+        if term.startswith("_:"):
+            return term
+        pfx, sep, local = term.partition(":")
+        if sep and pfx in scope["prefixes"]:
+            return scope["prefixes"][pfx] + local
+        if sep and pfx in INITIAL_CONTEXT:
+            return INITIAL_CONTEXT[pfx] + local
+        if _is_abs(term):
+            return term
+        return _resolve_base(self.base, term)
 
     def _link_preds(self, val: str | None, scope: dict) -> list[str]:
         """Resolve @rel/@rev terms; bare terms with no in-scope vocab or
@@ -118,6 +201,8 @@ class _RdfaParser(HTMLParser):
             pfx, sep, local = term.partition(":")
             if sep and pfx in scope["prefixes"]:
                 preds.append(scope["prefixes"][pfx] + local)
+            elif sep and pfx in INITIAL_CONTEXT:
+                preds.append(INITIAL_CONTEXT[pfx] + local)
             elif _is_abs(term):
                 preds.append(term)
             elif scope["vocab"]:
@@ -163,19 +248,22 @@ class _RdfaParser(HTMLParser):
         rel_preds = self._link_preds(a.get("rel"), scope)
         rev_preds = self._link_preds(a.get("rev"), scope)
 
+        if tag == "base" and a.get("href"):
+            self.base = a["href"]
+
         # the object resource carried by this element (resource > href > src)
         obj_iri = None
         if resource is not None:
-            obj_iri = self._resolve(resource, scope)
+            obj_iri = self._resolve_iri_attr(resource, scope)
         elif "href" in a:
-            obj_iri = a["href"]
+            obj_iri = _resolve_base(self.base, a["href"])
         elif "src" in a:
-            obj_iri = a["src"]
+            obj_iri = _resolve_base(self.base, a["src"])
 
         new_subject = None      # subject established BY this element
         child_subject = None    # subject for descendants via object chaining
         if about is not None:
-            new_subject = self._resolve(about, scope)
+            new_subject = self._resolve_iri_attr(about, scope)
         # subject this element's own @rel/@rev/@property attach to
         self_subject = (new_subject if new_subject is not None
                         else parent["subject"])
@@ -254,10 +342,10 @@ class _RdfaParser(HTMLParser):
         elif not (rel_preds or rev_preds):
             if new_subject is None and typeof is not None:
                 # typeof without about/property: new (b)node subject
-                new_subject = (self._resolve(resource, scope) if resource
-                               else self._bnode())
+                new_subject = (self._resolve_iri_attr(resource, scope)
+                               if resource else self._bnode())
             elif new_subject is None and resource is not None:
-                new_subject = self._resolve(resource, scope)
+                new_subject = self._resolve_iri_attr(resource, scope)
 
         # complete the nearest ancestor's pending @rel/@rev triples
         if new_subject is not None and incoming:
@@ -376,6 +464,7 @@ class _TreeBuilder(HTMLParser):
         self.root = _Node("#root", {}, None)
         self.cur = self.root
         self.ids: dict[str, _Node] = {}  # first id wins, per getElementById
+        self.base: str | None = None     # first <base href> wins
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -383,6 +472,8 @@ class _TreeBuilder(HTMLParser):
         self.cur.children.append(node)
         if a.get("id") and a["id"] not in self.ids:
             self.ids[a["id"]] = node
+        if tag == "base" and a.get("href") and self.base is None:
+            self.base = a["href"]
         if tag not in _VOID:
             self.cur = node
 
@@ -426,9 +517,11 @@ class _MicrodataEvaluator:
     per-item visited set makes itemref cycles terminate.
     """
 
-    def __init__(self, root: _Node, ids: dict[str, _Node]):
+    def __init__(self, root: _Node, ids: dict[str, _Node],
+                 base: str | None = None):
         self.root = root
         self.ids = ids
+        self.base = base
         self.triples: list[tuple] = []
         self.bnode_n = 0
 
@@ -466,7 +559,9 @@ class _MicrodataEvaluator:
         item_id: dict[int, str] = {}
         vocab: dict[int, str | None] = {}
         for n in scopes:
-            item_id[id(n)] = n.attrs.get("itemid") or self._bnode()
+            iid = n.attrs.get("itemid")
+            item_id[id(n)] = (_resolve_base(self.base, iid) if iid
+                              else self._bnode())
         for n in scopes:
             itemtype = n.attrs.get("itemtype")
             if itemtype:
@@ -515,10 +610,10 @@ class _MicrodataEvaluator:
         else:
             val, kind = None, "literal"
             if e.tag in ("a", "link", "area") and "href" in a:
-                val, kind = a["href"], "iri"
+                val, kind = _resolve_base(self.base, a["href"]), "iri"
             elif e.tag in ("img", "audio", "video", "embed", "iframe",
                            "source", "track") and "src" in a:
-                val, kind = a["src"], "iri"
+                val, kind = _resolve_base(self.base, a["src"]), "iri"
             elif e.tag == "meta":
                 val = a.get("content", "")
             elif e.tag == "time":
@@ -537,7 +632,7 @@ def parse_microdata(text: str) -> list[tuple]:
     try:
         tb.feed(text)
         tb.close()
-        triples = _MicrodataEvaluator(tb.root, tb.ids).run()
+        triples = _MicrodataEvaluator(tb.root, tb.ids, tb.base).run()
     except Exception as e:
         raise HtmlRdfParseError(f"microdata parse failed: {e}") from e
     if not triples:

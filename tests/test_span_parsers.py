@@ -489,3 +489,47 @@ def test_rdfa_inlist_and_xmlns():
                              "http://purl.org/dc/terms/references")]
     assert walk(refs_head) == ["http://example.org/r1",
                                "http://example.org/r2"]
+
+
+def test_rdfa_initial_context_and_base():
+    """RDFa 1.1 initial context: dc:/foaf:/schema: work UNDECLARED
+    (locally-declared prefixes win); @about/@resource/@href resolve
+    relative IRIs against <base href>, and @vocab does NOT apply to
+    @about (SafeCURIEorCURIEorIRI grammar)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        parse_rdfa)
+    html = ('<html><head><base href="http://ex.org/dir/page"></head>'
+            '<body vocab="http://schema.org/">'
+            '<div about="#me" property="dc:title">T</div>'
+            '<div about="http://ex.org/a" property="foaf:name">F</div>'
+            '<p prefix="dc: http://other.org/" about="http://ex.org/b"'
+            '   property="dc:title">local wins</p>'
+            '<a about="http://ex.org/c" property="name" href="../up">L</a>'
+            "</body></html>")
+    got = spo(parse_rdfa(html))
+    # relative @about resolved against base, initial-context dc: prefix
+    assert ("http://ex.org/dir/page#me",
+            "http://purl.org/dc/terms/title", "T") in got
+    assert ("http://ex.org/a", "http://xmlns.com/foaf/0.1/name", "F") in got
+    # locally-declared dc: overrides the initial context
+    assert ("http://ex.org/b", "http://other.org/title", "local wins") in got
+    # relative @href resolved against base (../up from /dir/page)
+    assert ("http://ex.org/c", "http://schema.org/name",
+            "http://ex.org/up") in got
+
+
+def test_microdata_base_href():
+    """Microdata itemid and href/src property values resolve against
+    <base href>."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        parse_microdata)
+    html = ('<html><head><base href="http://ex.org/dir/"></head><body>'
+            '<div itemscope itemtype="https://schema.org/Thing"'
+            '     itemid="things/1">'
+            '<a itemprop="url" href="../about">x</a></div>'
+            "</body></html>")
+    got = spo(parse_microdata(html))
+    assert ("http://ex.org/dir/things/1", RDF_TYPE,
+            "https://schema.org/Thing") in got
+    assert ("http://ex.org/dir/things/1", "https://schema.org/url",
+            "http://ex.org/about") in got
