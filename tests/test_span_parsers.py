@@ -533,3 +533,24 @@ def test_microdata_base_href():
             "https://schema.org/Thing") in got
     assert ("http://ex.org/dir/things/1", "https://schema.org/url",
             "http://ex.org/about") in got
+
+
+@given(st.integers(1, 8), st.integers(1, 4), st.randoms())
+@settings(max_examples=25, deadline=None)
+def test_n3_rule_interleaving_property(n_stmts, n_rules, rnd):
+    """Property: interleaving N3 rules anywhere between plain statements
+    never errors, preserves exactly the plain triples, and records one
+    skip per rule."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.turtle import (
+        parse_turtle_with_skips)
+    stmts = [f"<http://e.org/s{i}> <http://e.org/p> <http://e.org/o{i}> ."
+             for i in range(n_stmts)]
+    rules = [("{ ?x <http://e.org/p> ?y } => "
+              "{ ?y <http://e.org/q> ?x } .")] * n_rules
+    mixed = stmts + rules
+    rnd.shuffle(mixed)
+    rows, skips = parse_turtle_with_skips("\n".join(mixed))
+    assert len(skips) == n_rules
+    assert {(s, o) for (s, _p, o, *_r) in rows} == {
+        (f"http://e.org/s{i}", f"http://e.org/o{i}")
+        for i in range(n_stmts)}
