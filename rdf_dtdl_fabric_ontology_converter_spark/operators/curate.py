@@ -176,9 +176,13 @@ def substring_dedup(documents: DataFrame, k: int = 20,
        join back RESTRICTED to multi-occurrence windows (in a mostly
        unique corpus the duplicated-window side is a small fraction, and
        it is the only thing re-joined).
-    3. mask: per doc, the dup window starts collect into one array and a
-       narrow ``filter``/``exists`` over the token array drops covered
-       positions and rebuilds the text.
+    3. mask: the dup window starts of a doc are merged into DISJOINT
+       covered intervals first (running-max windows over the small
+       dup-starts set only — a fully-duplicated doc collapses to ONE
+       interval, so the mask never degenerates to
+       O(n_tok × n_dup_windows)), then a narrow ``filter``/``exists``
+       over the token array drops covered positions and rebuilds the
+       text.
 
     → (key_col, n_tok, n_kept, text_clean), every input doc covered
     (NULL/short texts pass through whole).
@@ -204,14 +208,28 @@ def substring_dedup(documents: DataFrame, k: int = 20,
                   .join(groups, "wh")
                   .where((F.col("first.k") != F.col(key_col)) |
                          (F.col("first.s") != F.col("start")))
-                  .groupBy(key_col)
-                  .agg(F.collect_list("start").alias("starts")))
-    idx = d.join(dup_starts, key_col, "left")
+                  .select(key_col, "start"))
+    # merge overlapping [start, start+k) windows into disjoint intervals:
+    # a start opens a new interval iff it lies at/after the running max
+    # end of all earlier starts (windows over the dup-starts rows only)
+    wk = Window.partitionBy(key_col).orderBy("start")
+    hi_before = F.max(F.col("start") + k).over(
+        wk.rowsBetween(Window.unboundedPreceding, -1))
+    iid = F.sum(F.when(F.col("start") >= F.coalesce(hi_before, F.lit(-1)),
+                       1).otherwise(0)).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    intervals = (dup_starts.withColumn("iid", iid)
+                 .groupBy(key_col, "iid")
+                 .agg(F.min("start").alias("lo"),
+                      (F.max("start") + k).alias("hi"))
+                 .groupBy(key_col)
+                 .agg(F.collect_list(F.struct("lo", "hi")).alias("ivs")))
+    idx = d.join(intervals, key_col, "left")
     pairs = F.transform(F.coalesce("t", F.array().cast("array<string>")),
                         lambda x, i: F.struct(i.alias("i"), x.alias("x")))
     covered = lambda p: F.exists(  # noqa: E731
-        F.coalesce("starts", F.array().cast("array<int>")),
-        lambda s: (p["i"] >= s) & (p["i"] < s + k))
+        F.coalesce("ivs", F.array().cast("array<struct<lo:int,hi:int>>")),
+        lambda v: (p["i"] >= v["lo"]) & (p["i"] < v["hi"]))
     kept = F.filter(pairs, lambda p: ~covered(p))
     return idx.select(
         key_col,

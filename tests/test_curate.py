@@ -352,3 +352,17 @@ def test_score_linear_broadcast_classifier(spark):
     assert out["c"]["z"] == 0.0 and out["c"]["score"] == 0.5
     assert out["c"]["keep"]  # score 0.5 >= default threshold
     assert (out["d"]["n_tok"], out["d"]["z"]) == (0, 0.0)
+
+
+def test_substring_dedup_fully_duplicated_doc_collapses_intervals(spark):
+    """The degenerate case: a whole long doc repeated — its hundreds of
+    duplicated stride-1 windows must merge into ONE covered interval (no
+    O(n_tok x n_dup_windows) mask), removing the repeat entirely."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        substring_dedup)
+    body = " ".join(f"w{i}" for i in range(300))
+    d = spark.createDataFrame([("a", body), ("b", body)],
+                              "doc_id string, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(d, k=20).collect()}
+    assert out["a"]["n_kept"] == 300              # first copy intact
+    assert (out["b"]["n_kept"], out["b"]["text_clean"]) == (0, "")
