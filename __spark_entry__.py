@@ -1005,6 +1005,113 @@ FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY tk.doc_id
 """
 
 
+def q_entity_linking(spark, sf_dir):
+    """Entity linking (J12) end-to-end: candidate mentions (1-2-gram,
+    JVM-side) from the first 100 documents, linked against a
+    deterministic 20-entity dictionary (the corpus's most frequent
+    tokens) — exact tier broadcast equi-join on the normalized label,
+    fuzzy tier trigram-Jaccard over blocked DISTINCT candidates."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import (
+        extract_mentions, link_mentions)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    spans = docs.select("doc_id", F.array(F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"))).alias("spans"))
+    top = (docs.select(F.explode(
+        F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok").count()
+        .orderBy(F.desc("count"), "tok").limit(20))
+    ents = top.select(
+        F.concat(F.lit("E_"), "tok").alias("id"),
+        F.col("tok").alias("name"),
+        F.concat(F.lit("http://example.org/tok/"), "tok").alias("class_uri"))
+    out = link_mentions(extract_mentions(spans, max_ngram=2, min_len=4),
+                        ents, fuzzy_threshold=0.5)
+    return (out.select("doc_id", "span_idx", "mention", "entity_id",
+                       "match_kind", F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "mention", "entity_id"))
+
+
+_ORACLE_ENTITY_LINKING = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs
+), top AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c
+    FROM toks, unnest(t) AS u(tok) GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 20)
+), dic AS (
+  SELECT DISTINCT 'E_' || tok AS entity_id,
+         regexp_replace(lower(trim(tok)), '[^a-z0-9]+', ' ', 'g')
+           AS norm_label
+  FROM top
+  WHERE regexp_replace(lower(trim(tok)), '[^a-z0-9]+', ' ', 'g') != ''
+), mentions AS (
+  SELECT DISTINCT doc_id, 0 AS span_idx, mention FROM (
+    SELECT doc_id, unnest(t) AS mention FROM toks
+    UNION ALL
+    SELECT doc_id,
+           unnest([CASE WHEN i + 2 <= len(t)
+                        THEN t[i+1] || ' ' || t[i+2]
+                        ELSE t[i+1] END
+                   for i in range(greatest(len(t) - 2, 0) + 1)])
+    FROM toks WHERE len(t) > 0)
+  WHERE len(mention) >= 4
+), m AS (
+  SELECT *, regexp_replace(lower(trim(mention)), '[^a-z0-9]+', ' ', 'g')
+              AS norm_mention
+  FROM mentions
+), exact AS (
+  SELECT m.doc_id, m.span_idx, m.mention, d.entity_id,
+         'exact' AS match_kind, 1.0 AS score, m.norm_mention
+  FROM m JOIN dic d ON m.norm_mention = d.norm_label
+), unlinked AS (
+  SELECT * FROM m
+  WHERE norm_mention NOT IN (SELECT norm_mention FROM exact)
+), cand AS (
+  SELECT nm.norm_mention, d.entity_id,
+         '  ' || nm.norm_mention || ' ' AS pm,
+         '  ' || d.norm_label   || ' ' AS pl
+  FROM (SELECT DISTINCT norm_mention FROM unlinked) nm
+  JOIN dic d
+    ON substr(nm.norm_mention, 1, 1) ||
+       CAST(CAST(floor(len(nm.norm_mention) / 4) AS BIGINT) AS VARCHAR)
+     = substr(d.norm_label, 1, 1) ||
+       CAST(CAST(floor(len(d.norm_label) / 4) AS BIGINT) AS VARCHAR)
+), grams AS (
+  SELECT norm_mention, entity_id,
+         list_distinct([substr(pm, i + 1, 3)
+                        for i in range(len(pm) - 2)]) AS gm,
+         list_distinct([substr(pl, i + 1, 3)
+                        for i in range(len(pl) - 2)]) AS gl
+  FROM cand
+), scored AS (
+  SELECT norm_mention, entity_id,
+         CASE WHEN len(list_intersect(gm, gl)) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(gm, gl)) AS DOUBLE) /
+                   (len(gm) + len(gl) - len(list_intersect(gm, gl))) END
+           AS score
+  FROM grams
+), winners AS (
+  SELECT norm_mention, entity_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm_mention
+                                 ORDER BY score DESC, entity_id) AS rn
+    FROM scored WHERE score >= 0.5)
+  WHERE rn = 1
+), fuzzy AS (
+  SELECT u.doc_id, u.span_idx, u.mention, w.entity_id,
+         'fuzzy' AS match_kind, w.score, u.norm_mention
+  FROM unlinked u JOIN winners w USING (norm_mention)
+)
+SELECT doc_id, CAST(span_idx AS INT) AS span_idx, mention, entity_id,
+       match_kind, round(score, 4) AS score
+FROM (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)
+ORDER BY doc_id, mention, entity_id
+"""
+
+
 _SCORE_WEIGHTS = {"fast": 2.0, "slow": -2.0, "data": 0.5, "query": 1.0,
                   "scan": -0.5}  # binary-fraction weights: wsum is exact
 
@@ -2070,7 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3_shape": q_tpch_q3_shape,
+        "entity_linking": q_entity_linking,
         "substring_dedup": q_substring_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
@@ -2082,10 +2189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdm_relationship_types": q_cdm_relationship_types,
         # --- past the driver's 50-entry window: redundant demos whose
         # techniques are already covered by green rows above (kNN vote is
-        # the 4th similarity-family query; 3 ANN rows remain in-window) ---
+        # the 4th similarity-family query; 3 ANN rows remain in-window;
+        # TPC-H q1 stays in-window, the other 3 shapes are join demos) ---
         "knn_label_vote": q_knn_label_vote,
         "salted_count": q_salted_count,
         "rel2triples_unpivot": q_rel2triples_unpivot,
+        "tpch_q3_shape": q_tpch_q3_shape,
         "tpch_q5_shape": q_tpch_q5_shape,
         "tpch_q18_shape": q_tpch_q18_shape,
     }
@@ -2119,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _ORACLE_TEXT_REPETITION,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
+        "entity_linking": _ORACLE_ENTITY_LINKING,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,

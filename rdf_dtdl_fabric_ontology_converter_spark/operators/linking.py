@@ -113,10 +113,16 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
     linked_keys = exact.select("norm_mention").dropDuplicates()
     unlinked = m.join(linked_keys, "norm_mention", "left_anti")
 
-    # blocking: first character + coarse length band
+    # blocking: first character + coarse length band. Candidates are
+    # scored at the DISTINCT-mention level — the pandas UDF runs once per
+    # (mention, candidate) pair however many times the mention occurs,
+    # and every occurrence then inherits the winning entity via a
+    # mention-keyed join (also makes the winner deterministic: the old
+    # per-occurrence rank-1 window kept an arbitrary occurrence).
     block = lambda c: F.concat(F.substring(c, 1, 1),  # noqa: E731
                                F.floor(F.length(c) / 4).cast("string"))
-    cand = (unlinked.withColumn("blk", block(F.col("norm_mention")))
+    cand = (unlinked.select("norm_mention").dropDuplicates()
+            .withColumn("blk", block(F.col("norm_mention")))
             .join(F.broadcast(dic.withColumn("blk",
                                              block(F.col("norm_label")))),
                   "blk")
@@ -125,9 +131,10 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
             .where(F.col("score") >= fuzzy_threshold))
     w = Window.partitionBy("norm_mention").orderBy(F.desc("score"),
                                                    "entity_id")
-    fuzzy = (cand.withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") == 1)
-             .withColumn("match_kind", F.lit("fuzzy"))
-             .drop("rn", "blk", "label", "norm_label"))
+    winners = (cand.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("norm_mention", "entity_id", "score"))
+    fuzzy = (unlinked.join(winners, "norm_mention")
+             .withColumn("match_kind", F.lit("fuzzy")))
 
     return exact.unionByName(fuzzy).drop("norm_mention")
