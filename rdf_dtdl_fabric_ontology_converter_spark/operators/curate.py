@@ -287,21 +287,48 @@ def sample_rate(rates: dict[str, int], default_permille: int,
 
 def score_linear(documents: DataFrame, weights: dict[str, float],
                  bias: float = 0.0, threshold: float = 0.5,
-                 text_col: str = "text", key_col: str = "doc_id"
-                 ) -> DataFrame:
-    """Broadcast linear text classifier (fastText-style bag of words) —
-    the learned-model quality-scoring stage of a CCNet/FineWeb-style
+                 text_col: str = "text", key_col: str = "doc_id",
+                 max_literal_vocab: int = 4096) -> DataFrame:
+    """Linear text classifier (fastText-style bag of words) — the
+    learned-model quality-scoring stage of a CCNet/FineWeb-style
     pipeline: score = sigmoid(bias + Σ w[token]·count(token)/n_tok),
     keep = score ≥ threshold.
 
-    The weight table (a trained model's vocabulary) ships as a broadcast
-    DataFrame joined on the token — a fastText vocab is MBs against a TB
-    corpus, so the corpus side pays only its own per-doc aggregate, the
-    same broadcast shape as decontamination. Tokens outside the
-    vocabulary contribute 0 (the join is inner; the per-doc sum starts
-    from bias). → (key_col, n_tok, z, score, keep) for EVERY input doc
-    (empty/NULL text scores sigmoid(bias)).
+    Two physical plans, same result:
+
+    - vocabulary ≤ ``max_literal_vocab``: the weights ship as a literal
+      map and the whole scorer is a NARROW projection — ZERO exchanges,
+      which also makes it directly usable on a streaming DataFrame
+      (no stateful operator at all).
+    - larger vocabulary (a full fastText model is MBs against a TB
+      corpus): the weight table ships as a broadcast DataFrame joined on
+      the token; the corpus side pays only its own per-doc aggregates,
+      the same broadcast shape as decontamination.
+
+    Tokens outside the vocabulary contribute 0. → (key_col, n_tok, z,
+    score, keep) for EVERY input doc (empty/NULL text scores
+    sigmoid(bias)).
     """
+    if len(weights) <= max_literal_vocab:
+        wmap = F.create_map(*[x for k, v in sorted(weights.items())
+                              for x in (F.lit(k), F.lit(float(v)))]) \
+            if weights else None
+        toks = tokens(F.col(text_col))
+        n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("long")
+        wsum = F.coalesce(F.aggregate(
+            toks, F.lit(0.0),
+            lambda acc, t: acc + F.coalesce(wmap[t] if wmap is not None
+                                            else F.lit(0.0), F.lit(0.0))),
+            F.lit(0.0))
+        z = (F.lit(float(bias)) +
+             wsum / F.greatest(n_tok, F.lit(1)).cast("double"))
+        return (documents
+                .select(key_col, n_tok.alias("n_tok"), z.alias("z"),
+                        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+                        .alias("score"))
+                .withColumn("keep",
+                            F.col("score") >= F.lit(float(threshold))))
+
     spark = documents.sparkSession
     w = F.broadcast(spark.createDataFrame(
         sorted(weights.items()), "tok string, wt double"))

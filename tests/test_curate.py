@@ -343,8 +343,13 @@ def test_score_linear_broadcast_classifier(spark):
             ("c", "unknown words only"),  # z = 0
             ("d", None)]
     d = spark.createDataFrame(rows, "doc_id string, text string")
-    out = {r["doc_id"]: r for r in score_linear(
-        d, {"fast": 2.0, "slow": -2.0}).collect()}
+    outs = [score_linear(d, {"fast": 2.0, "slow": -2.0}),
+            # force the broadcast-join plan: both paths must agree
+            score_linear(d, {"fast": 2.0, "slow": -2.0},
+                         max_literal_vocab=0)]
+    rows_a, rows_b = [sorted(map(tuple, o.collect())) for o in outs]
+    assert rows_a == rows_b
+    out = {r["doc_id"]: r for r in outs[0].collect()}
     assert abs(out["a"]["z"] - 4.0 / 3.0) < 1e-9 and out["a"]["keep"]
     assert abs(out["a"]["score"] -
                1 / (1 + math.exp(-4.0 / 3.0))) < 1e-9

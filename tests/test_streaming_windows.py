@@ -276,3 +276,31 @@ def test_stream_chunk_dedup(spark, tmp_path):
     assert got["b"]["text_clean"] == "w1 w2"
     assert (got["c"]["n_units"], got["c"]["n_kept"]) == (2, 1)
     assert got["c"]["text_clean"] == "q1 q2"
+
+
+def test_stream_score_linear(spark, tmp_path):
+    """The literal-map score_linear plan is a narrow projection, so it
+    runs unchanged on a streaming DataFrame (no stateful operator) and
+    matches the batch scorer exactly."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        score_linear)
+    import pyspark.sql.types as T
+    rows = [(f"d{i}", ["fast code", "slow path", "neutral words"][i % 3])
+            for i in range(12)]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    in_path = str(tmp_path / "scdocs")
+    batch.write.parquet(in_path)
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).parquet(in_path)
+    out = str(tmp_path / "scored")
+    q = (score_linear(stream, {"fast": 2.0, "slow": -2.0})
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "scckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple,
+                      score_linear(batch, {"fast": 2.0, "slow": -2.0})
+                      .collect()))
+    assert got == want and len(got) == 12
