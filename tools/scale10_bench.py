@@ -223,47 +223,54 @@ def build_hot_corpus(spark, n_docs: int):
 
 
 def run_hotunit_family(spark, reps: int) -> dict:
-    """line_dedup on 10^5 vs 10^6 copies of one hot unit (ratio should be
-    ~10, no straggler), plus the legacy window implementation on the 10^6
-    corpus as the skew A/B — with a per-row-identical output check."""
+    """line_dedup on 10^5 / 10^6 / 10^7 copies of one hot unit vs the
+    legacy window implementation at each scale — the skew A/B with a
+    survivor-count-identical semantics check. Expected shape: legacy wins
+    on constant factors while its single-task hot-key sort is still
+    cheap, the new min-struct plan crosses over by 10^7 copies (and its
+    growth stays sublinear because NO stage's task input is proportional
+    to the hot-unit multiplicity)."""
     from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import line_dedup
     import pyspark.sql.functions as F
-    d_small = build_hot_corpus(spark, 100_000).localCheckpoint()
-    d_big = build_hot_corpus(spark, 1_000_000).localCheckpoint()
 
-    def bench(fn, label):
+    def bench(fn, label, n):
         runs = []
-        for rep in range(reps):
+        for rep in range(n):
             t0 = time.time()
             fn()
             runs.append(round(time.time() - t0, 2))
             print(f"rep{rep} {label}: {runs[-1]}s", file=sys.stderr)
         return runs
 
-    line_dedup(d_small).write.format("noop").mode("overwrite").save()  # warm
-    t_small = bench(lambda: line_dedup(d_small).write.format("noop")
-                    .mode("overwrite").save(), "line_dedup hot1e5")
-    t_big = bench(lambda: line_dedup(d_big).write.format("noop")
-                  .mode("overwrite").save(), "line_dedup hot1e6")
-    t_legacy = bench(lambda: _legacy_dedup_units(d_big).write.format("noop")
-                     .mode("overwrite").save(), "LEGACY window hot1e6")
-    # semantics check: survivor counts identical between implementations
-    new_kept = (line_dedup(d_big).agg(F.sum("n_kept")).collect()[0][0])
-    old_kept = (_legacy_dedup_units(d_big).agg(F.sum("n_kept"))
-                .collect()[0][0])
+    sizes = [100_000, 1_000_000, 10_000_000]
+    corpora = {}
+    result = {"queries": {}, "reps": reps, "hot_copies": sizes}
+    for n_docs in sizes:
+        d = build_hot_corpus(spark, n_docs).localCheckpoint()
+        corpora[n_docs] = d
+        if n_docs == sizes[0]:
+            line_dedup(d).write.format("noop").mode("overwrite").save()
+        n_reps = reps if n_docs < 10_000_000 else max(2, reps - 1)
+        t_new = bench(lambda: line_dedup(d).write.format("noop")
+                      .mode("overwrite").save(), f"new hot{n_docs}", n_reps)
+        t_leg = bench(lambda: _legacy_dedup_units(d).write.format("noop")
+                      .mode("overwrite").save(), f"LEGACY hot{n_docs}",
+                      n_reps)
+        result["queries"][f"line_dedup_hot{n_docs}"] = {
+            "new_med": statistics.median(t_new),
+            "legacy_med": statistics.median(t_leg),
+            "legacy_over_new": round(statistics.median(t_leg) /
+                                     statistics.median(t_new), 2),
+            "new_all": t_new, "legacy_all": t_leg,
+            "exchanges_new": n_exchanges(line_dedup(d)),
+        }
+    # semantics check at 10^6: survivor counts identical between impls
+    d = corpora[1_000_000]
+    new_kept = line_dedup(d).agg(F.sum("n_kept")).collect()[0][0]
+    old_kept = _legacy_dedup_units(d).agg(F.sum("n_kept")).collect()[0][0]
     assert new_kept == old_kept, (new_kept, old_kept)
-    m_small, m_big = statistics.median(t_small), statistics.median(t_big)
-    m_leg = statistics.median(t_legacy)
-    return {"queries": {"line_dedup_hotunit": {
-        "sf01_med": m_small, "sf1eq_med": m_big,
-        "ratio": round(m_big / m_small, 2),
-        "legacy_window_1e6_med": m_leg,
-        "legacy_vs_new_at_1e6": round(m_leg / m_big, 2),
-        "sf01_all": t_small, "sf1eq_all": t_big, "legacy_all": t_legacy,
-        "exchanges_sf01": n_exchanges(line_dedup(d_small)),
-        "exchanges_sf1eq": n_exchanges(line_dedup(d_big)),
-        "kept_units": int(new_kept)}},
-        "docs": {"sf01": 100_000, "sf1eq": 1_000_000}, "reps": reps}
+    result["kept_units_1e6"] = int(new_kept)
+    return result
 
 
 def main():
