@@ -175,7 +175,10 @@ def substring_dedup(documents: DataFrame, k: int = 20,
        skew-safe first-occurrence aggregate as chunk/line dedup — then a
        join back RESTRICTED to multi-occurrence windows (in a mostly
        unique corpus the duplicated-window side is a small fraction, and
-       it is the only thing re-joined).
+       it is the only thing re-joined; a boilerplate window repeated
+       10⁹× makes that join's probe partition hot, which AQE's
+       skew-join splitting handles — the build side is one row per
+       distinct window, freely replicated across splits).
     3. mask: the dup window starts of a doc are merged into DISJOINT
        covered intervals first (running-max windows over the small
        dup-starts set only — a fully-duplicated doc collapses to ONE

@@ -304,3 +304,35 @@ def test_stream_score_linear(spark, tmp_path):
                       score_linear(batch, {"fast": 2.0, "slow": -2.0})
                       .collect()))
     assert got == want and len(got) == 12
+
+
+def test_stream_line_dedup(spark, tmp_path):
+    """The line variant of the streaming unit dedup: same stateful core
+    as stream_chunk_dedup, delimiter-split units."""
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.curation import (
+        stream_line_dedup)
+    import pyspark.sql.types as T
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+    t2 = t0 + datetime.timedelta(hours=3)
+    rows = [("a", t0, "x\ny"), ("b", t0, "x\nz"), ("p", t2, "late")]
+    in_path = str(tmp_path / "ldocs")
+    spark.createDataFrame(
+        rows, "doc_id string, ingest_ts timestamp, text string") \
+        .coalesce(1).write.parquet(in_path)
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("ingest_ts", T.TimestampType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).parquet(in_path)
+    out = str(tmp_path / "ldedup")
+    q = (stream_line_dedup(stream)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "lckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # second run: the t2 pusher already advanced the watermark past t0's
+    # window in run 1's final batch, so a no-new-data run flushes nothing
+    # extra but the t0 rows must already be out
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a"]["text_clean"] == "x\ny" and got["a"]["n_kept"] == 2
+    # "x" was seen in doc a first (same batch): doc b keeps only "z"
+    assert got["b"]["text_clean"] == "z" and got["b"]["n_kept"] == 1
