@@ -222,6 +222,53 @@ def build_hot_corpus(spark, n_docs: int):
                     .alias("text")))
 
 
+def run_linking_family(spark, reps: int, sf1eq: str) -> dict:
+    """Entity linking at sf0.1 vs the 10x letter-rotated corpus: 1-2-gram
+    mentions over EVERY doc, linked against the corpus's own top-20-token
+    dictionary (exact broadcast tier + fuzzy trigram tier). Mentions
+    scale with the corpus; the dictionary stays 20 entities (broadcast),
+    so the expected cost is ~linear in documents."""
+    import pyspark.sql.functions as F
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import (
+        extract_mentions, link_mentions)
+
+    def run(sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spans = docs.select("doc_id", F.array(F.struct(
+            F.lit("text").alias("kind"), F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"))).alias("spans"))
+        top = (docs.select(F.explode(
+            F.split(F.trim("text"), r"\s+")).alias("tok"))
+            .groupBy("tok").count()
+            .orderBy(F.desc("count"), "tok").limit(20))
+        ents = top.select(
+            F.concat(F.lit("E_"), "tok").alias("id"),
+            F.col("tok").alias("name"),
+            F.concat(F.lit("http://example.org/tok/"), "tok")
+            .alias("class_uri"))
+        return link_mentions(
+            extract_mentions(spans, max_ngram=2, min_len=4), ents)
+
+    run(SF01).write.format("noop").mode("overwrite").save()  # warm
+    times = {"sf01": [], "sf1eq": []}
+    for rep in range(reps):
+        for name, sf_dir in (("sf01", SF01), ("sf1eq", sf1eq)):
+            t0 = time.time()
+            run(sf_dir).write.format("noop").mode("overwrite").save()
+            times[name].append(round(time.time() - t0, 2))
+            print(f"rep{rep} linking {name}: {times[name][-1]}s",
+                  file=sys.stderr)
+    m01 = statistics.median(times["sf01"])
+    m10 = statistics.median(times["sf1eq"])
+    return {"queries": {"entity_linking_full": {
+        "sf01_med": m01, "sf1eq_med": m10,
+        "ratio": round(m10 / m01, 2),
+        "sf01_all": times["sf01"], "sf1eq_all": times["sf1eq"],
+        "exchanges_sf01": n_exchanges(run(SF01)),
+        "exchanges_sf1eq": n_exchanges(run(sf1eq))}},
+        "reps": reps}
+
+
 def run_hotunit_family(spark, reps: int) -> dict:
     """line_dedup on 10^5 / 10^6 / 10^7 copies of one hot unit vs the
     legacy window implementation at each scale — the skew A/B with a
@@ -282,13 +329,17 @@ def main():
         QUERIES = CURATE_QUERIES
     elif family == "emb":
         QUERIES = EMB_QUERIES
-    if family in ("kg", "hotunit"):
+    if family in ("kg", "hotunit", "linking"):
         spark = build_session(app="scale10", master="local[32]",
                               shuffle_partitions=64,
                               extra={"spark.ui.enabled": "false",
                                      "spark.driver.memory": "16g"})
-        result = (run_kg_family(spark, reps) if family == "kg"
-                  else run_hotunit_family(spark, reps))
+        if family == "kg":
+            result = run_kg_family(spark, reps)
+        elif family == "hotunit":
+            result = run_hotunit_family(spark, reps)
+        else:
+            result = run_linking_family(spark, reps, build_corpus(out_dir))
         result["family"] = family
         print(json.dumps(result))
         spark.stop()
