@@ -554,3 +554,30 @@ def test_n3_rule_interleaving_property(n_stmts, n_rules, rnd):
     assert {(s, o) for (s, _p, o, *_r) in rows} == {
         (f"http://e.org/s{i}", f"http://e.org/o{i}")
         for i in range(n_stmts)}
+
+
+_TAG_SOUP = st.lists(st.sampled_from([
+    "<div itemscope>", "</div>", "<span itemprop='p'>", "</span>",
+    "<p id='a'>", "</p>", "<div itemref='a b'>", "<base href='/x/'>",
+    "<div about='#m' property='dc:title'>", "<div vocab='http://s.o/'>",
+    "text chunk", "<img src='i.png' itemprop='im'>", "<b>", "</i>",
+    "<div typeof='Thing'>", "<a href='u' rel='x:y'>", "&amp;", "<!-- c -->",
+]), min_size=1, max_size=30)
+
+
+@given(_TAG_SOUP)
+@settings(max_examples=60, deadline=None)
+def test_html_parsers_never_crash_on_tag_soup(parts):
+    """Property: arbitrarily nested/unbalanced markup either parses to
+    triples or raises the typed HtmlRdfParseError — never an unhandled
+    exception (the extractor turns the typed error into a skip row)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.htmlrdf import (
+        HtmlRdfParseError, parse_microdata, parse_rdfa)
+    doc = "<html><body>" + "".join(parts) + "</body></html>"
+    for parse in (parse_rdfa, parse_microdata):
+        try:
+            rows = parse(doc)
+            assert isinstance(rows, list) and rows
+            assert all(len(r) == 7 for r in rows)
+        except HtmlRdfParseError:
+            pass
