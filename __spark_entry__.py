@@ -1005,6 +1005,53 @@ FROM toks tk LEFT JOIN agg a USING (doc_id) ORDER BY tk.doc_id
 """
 
 
+def q_sameas_canon(spark, sf_dir):
+    """owl:sameAs canonicalization (north rule): nations chained by
+    sameAs within their region; hash-min label propagation finds the
+    components and every IRI is rewritten to the lexicographically
+    smallest member, then the triples re-dedup. One row per region for
+    the type triple and one self-sameAs per region survive."""
+    from pyspark.sql.window import Window as W
+    from rdf_dtdl_fabric_ontology_converter_spark import OWL_SAME_AS, RDF_TYPE
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import (
+        rewrite_canonical, sameas_components)
+    nation = _t(spark, sf_dir, "nation")
+    iri = lambda c: F.concat(F.lit("http://e.org/N"), F.col(c))  # noqa: E731
+    nulls = [F.lit(None).cast("string").alias(c)
+             for c in ("obj_datatype", "lang", "graph_ctx")]
+    types = nation.select(
+        iri("n_name").alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+        F.lit("http://e.org/Nation").alias("obj"),
+        F.lit("iri").alias("obj_kind"), *nulls)
+    w = W.partitionBy("n_regionkey").orderBy("n_name")
+    edges = (nation.withColumn("prev", F.lag("n_name").over(w))
+             .where(F.col("prev").isNotNull())
+             .select(iri("prev").alias("subj"),
+                     F.lit(OWL_SAME_AS).alias("pred"),
+                     iri("n_name").alias("obj"),
+                     F.lit("iri").alias("obj_kind"), *nulls))
+    triples = types.unionByName(edges)
+    out = rewrite_canonical(triples, sameas_components(triples))
+    return out.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+
+
+_ORACLE_SAMEAS_CANON = """
+WITH canon AS (
+  SELECT n_regionkey, min(n_name) AS cname FROM nation GROUP BY n_regionkey
+)
+SELECT 'http://e.org/N' || cname AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://e.org/Nation' AS obj
+FROM canon
+UNION ALL
+SELECT 'http://e.org/N' || cname,
+       'http://www.w3.org/2002/07/owl#sameAs',
+       'http://e.org/N' || cname
+FROM canon
+ORDER BY subj, pred, obj
+"""
+
+
 def q_entity_linking(spark, sf_dir):
     """Entity linking (J12) end-to-end: candidate mentions (1-2-gram,
     JVM-side) from the first 100 documents, linked against a
@@ -2170,7 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
-        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "sameas_canon": q_sameas_canon,
         "score_linear": q_score_linear,
         "emb_near_dup": q_emb_near_dup,
         "events_window_agg": q_events_window_agg,
@@ -2190,7 +2237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window: redundant demos whose
         # techniques are already covered by green rows above (kNN vote is
         # the 4th similarity-family query; 3 ANN rows remain in-window;
-        # TPC-H q1 stays in-window, the other 3 shapes are join demos) ---
+        # TPC-H q1 stays in-window, the other 3 shapes are join demos;
+        # rolling fingerprint's hash technique has text_fingerprint +
+        # substring_dedup rows in-window) ---
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "knn_label_vote": q_knn_label_vote,
         "salted_count": q_salted_count,
         "rel2triples_unpivot": q_rel2triples_unpivot,
@@ -2239,8 +2289,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "text_langid": _ORACLE_LANGID,
         "text_quality": _ORACLE_QUALITY,
-        "text_rolling_fingerprint": _ORACLE_ROLLING,
+        "sameas_canon": _ORACLE_SAMEAS_CANON,
         "score_linear": _ORACLE_SCORE_LINEAR,
+        "text_rolling_fingerprint": _ORACLE_ROLLING,
         "knn_label_vote": _ORACLE_KNN,
         "emb_near_dup": _oracle_emb_near_dup(),
         "events_window_agg": _ORACLE_EVENTS_WINDOW,
