@@ -37,7 +37,23 @@ class CheckpointManager:
     def _manifest(self, stage: str) -> Path:
         return self.root / stage / "manifest.json"
 
-    def _data(self, stage: str) -> str:
+    def _history(self, stage: str) -> Path:
+        return self.root / stage / "history.jsonl"
+
+    def _data(self, stage: str, snapshot_id: str | None = None) -> str:
+        """Current snapshot's data dir (or a specific snapshot's).
+
+        Snapshots are VERSIONED (Iceberg-style): each commit writes a
+        fresh ``data-<snapshot_id>`` directory and flips the manifest
+        pointer last, so earlier snapshots stay readable (time travel)
+        until expired. Pre-versioning checkpoints used a bare ``data``
+        dir; manifests without a data_path fall back to it.
+        """
+        if snapshot_id is not None:
+            return str(self.root / stage / f"data-{snapshot_id}")
+        info = self.snapshot_info(stage)
+        if info and info.get("data_path"):
+            return str(self.root / stage / info["data_path"])
         return str(self.root / stage / "data")
 
     def is_committed(self, stage: str) -> bool:
@@ -50,28 +66,72 @@ class CheckpointManager:
         except ValueError:
             return False
 
-    def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._data(stage))
+    def read(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
+        """Read the stage's CURRENT snapshot, or a specific retained one
+        by id (time travel)."""
+        return self.spark.read.parquet(self._data(stage, snapshot_id))
 
     def snapshot_info(self, stage: str) -> dict | None:
         if not self.is_committed(stage):
             return None
         return json.loads(self._manifest(stage).read_text())
 
+    def history(self, stage: str) -> list[dict]:
+        """All committed snapshots of a stage, oldest first."""
+        h = self._history(stage)
+        if not h.exists():
+            return []
+        return [json.loads(line)
+                for line in h.read_text().splitlines() if line.strip()]
+
+    def rollback(self, stage: str, snapshot_id: str) -> None:
+        """Point the stage back at an earlier retained snapshot (the
+        Iceberg rollback): the manifest pointer flips, nothing is
+        rewritten; a later stage(force=True) run commits a NEW snapshot
+        on top."""
+        for entry in self.history(stage):
+            if entry["snapshot_id"] == snapshot_id:
+                data = Path(self._data(stage, snapshot_id))
+                if not data.exists():
+                    raise ValueError(
+                        f"snapshot {snapshot_id} of {stage} was expired")
+                self._manifest(stage).write_text(json.dumps(entry))
+                return
+        raise ValueError(f"no committed snapshot {snapshot_id} for {stage}")
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[str]:
+        """Retention: delete the data of all but the newest ``keep_last``
+        snapshots (never the current pointer). Returns expired ids."""
+        import shutil
+        current = (self.snapshot_info(stage) or {}).get("snapshot_id")
+        entries = self.history(stage)
+        expired = []
+        for entry in entries[:-keep_last] if keep_last > 0 else entries:
+            sid = entry["snapshot_id"]
+            if sid == current:
+                continue
+            data = Path(self._data(stage, sid))
+            if data.exists():
+                shutil.rmtree(data)
+                expired.append(sid)
+        return expired
+
     def stage(self, name: str, build: Callable[[], DataFrame],
               force: bool = False) -> DataFrame:
         """Run (or resume) a stage. If a committed snapshot exists, read it
-        back instead of recomputing — exact resume."""
+        back instead of recomputing — exact resume. A forced re-run
+        commits a NEW snapshot version; prior versions stay readable via
+        ``read(stage, snapshot_id)`` until ``expire_snapshots``."""
         if not force and self.is_committed(name):
             return self.read(name)
         t0 = time.time()
         df = build()
+        snapshot_id = uuid.uuid4().hex
         (self.root / name).mkdir(parents=True, exist_ok=True)
-        df.write.mode("overwrite").parquet(self._data(name))
+        df.write.mode("overwrite").parquet(self._data(name, snapshot_id))
         wall_ms = int((time.time() - t0) * 1000)
 
-        out = self.read(name)
-        snapshot_id = uuid.uuid4().hex
+        out = self.read(name, snapshot_id)
         # ONE scan: the per-partition aggregate is collected (bounded by
         # partition count) and the total row count derived from it — no
         # second full count() pass over the snapshot
@@ -84,11 +144,17 @@ class CheckpointManager:
                         or [(name, snapshot_id, -1, 0, wall_ms)])
         self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) \
             .write.mode("append").parquet(str(self.root / "_lineage"))
-        # manifest written LAST = the commit point; lineage rows from runs
-        # killed before this line are orphans that lineage() filters out
-        self._manifest(name).write_text(json.dumps({
-            "stage": name, "snapshot_id": snapshot_id, "rows": rows,
-            "wall_ms": wall_ms, "committed_at": time.time()}))
+        # manifest written LAST = the commit point (an atomic pointer
+        # flip: the new snapshot's data dir is complete before the
+        # pointer moves, and the previous snapshot stays readable);
+        # lineage rows from runs killed before this line are orphans
+        # that lineage() filters out
+        entry = {"stage": name, "snapshot_id": snapshot_id, "rows": rows,
+                 "wall_ms": wall_ms, "committed_at": time.time(),
+                 "data_path": f"data-{snapshot_id}"}
+        with self._history(name).open("a") as h:
+            h.write(json.dumps(entry) + "\n")
+        self._manifest(name).write_text(json.dumps(entry))
         return out
 
     def count_stage(self, name: str, df: DataFrame,

@@ -661,3 +661,38 @@ def test_media_walkers_never_crash():
                 f"walker leaked {type(e).__name__}: {e}"
 
     run()
+
+
+def test_checkpoint_snapshot_versions_time_travel(spark, tmp_path):
+    """Iceberg-style snapshot semantics on the checkpoint emulation:
+    a forced re-run commits a NEW snapshot while the old one stays
+    readable by id (time travel); rollback flips the current pointer
+    without rewriting; expire_snapshots drops old data but never the
+    current pointer."""
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.checkpoint import (
+        CheckpointManager)
+    cp = CheckpointManager(spark, str(tmp_path / "cp"))
+    cp.stage("S", lambda: spark.range(3))
+    s1 = cp.snapshot_info("S")["snapshot_id"]
+    cp.stage("S", lambda: spark.range(7), force=True)
+    s2 = cp.snapshot_info("S")["snapshot_id"]
+    assert s1 != s2
+    # current reads the new version; the old snapshot is still readable
+    assert cp.read("S").count() == 7
+    assert cp.read("S", snapshot_id=s1).count() == 3
+    assert [e["snapshot_id"] for e in cp.history("S")] == [s1, s2]
+    # rollback flips the pointer (nothing rewritten)
+    cp.rollback("S", s1)
+    assert cp.read("S").count() == 3
+    assert cp.snapshot_info("S")["snapshot_id"] == s1
+    # retention: keep_last=1 would drop s1's data, but s1 is current ->
+    # only s2 is expirable once we roll forward again
+    cp.rollback("S", s2)
+    expired = cp.expire_snapshots("S", keep_last=1)
+    assert expired == [s1]
+    assert cp.read("S").count() == 7
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        cp.read("S", snapshot_id=s1).count()  # expired data is gone
+    with _pytest.raises(ValueError, match="expired"):
+        cp.rollback("S", s1)
