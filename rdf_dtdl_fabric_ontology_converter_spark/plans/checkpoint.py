@@ -10,7 +10,12 @@ Production target is Iceberg (stage tables with snapshot-id recorded); this
 sandbox has no Iceberg runtime jar, so snapshots are emulated with parquet
 directories committed via an atomic manifest marker written AFTER the data:
 a stage is committed iff its manifest parses, so a kill mid-write is never
-mistaken for a committed snapshot.
+mistaken for a committed snapshot. Snapshots are VERSIONED with Iceberg's
+headline semantics: every commit writes a fresh ``data-<snapshot_id>``
+directory and flips the manifest pointer last, prior snapshots stay
+readable by id (``read(stage, snapshot_id)`` — time travel), ``rollback``
+flips the current pointer without rewriting data, ``expire_snapshots``
+enforces retention, and ``history`` lists every commit.
 """
 
 from __future__ import annotations
