@@ -80,53 +80,40 @@ def sameas_components(triples: DataFrame, max_rounds: int = 20,
                       preds: tuple[str, ...] = (OWL_SAME_AS,)) -> DataFrame:
     """→ (member, canonical): connected components of the sameAs graph.
 
-    Hash-min label propagation: every node's label starts as itself; each
-    round every node takes the min label among itself and its neighbours;
-    fixpoint when no label changes. Edges are undirected (sameAs is
-    symmetric). Rounds are bounded and each ends in localCheckpoint to cut
-    lineage; the edge set (sameAs assertions) is far smaller than the
-    corpus, so rounds are small-table shuffles.
+    Delegates to the SHARED pointer-doubled hash-min CC in
+    ``operators.cc.connected_components`` (the same routine
+    ``dedup.dedup_clusters`` uses): rounds are O(log diameter), so a
+    30-hop sameAs chain — routine when chaining equivalences across
+    sources at web scale — converges in ~5 rounds instead of needing 30;
+    and exhausting ``max_rounds`` raises instead of silently returning
+    unconverged labels (which would under-canonicalize, splitting one
+    entity into several). Edges are undirected (sameAs is symmetric);
+    the edge set (sameAs assertions) is far smaller than the corpus, so
+    rounds are small-table shuffles.
     """
+    from .cc import connected_components
+
     edges = (triples
              .where(F.col("pred").isin(list(preds)))
              .where(F.col("obj_kind") == "iri")
-             .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
-             .dropDuplicates())
-    # materialize the edge set once — `und` is joined every round, and
-    # leaving it lazy re-runs its upstream (triples filter or worse) per
-    # round (same fix as dedup_clusters)
-    und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .localCheckpoint(eager=False)
-    labels = (und.select(F.col("a").alias("node"))
-              .unionByName(und.select(F.col("b").alias("node")))
-              .dropDuplicates()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint())
-    for _ in range(max_rounds):
-        neigh = (und.join(labels, und.b == labels.node)
-                 .groupBy(F.col("a").alias("node"))
-                 .agg(F.min("label").alias("nbr_label")))
-        # carry old+new label in one checkpointed frame so the convergence
-        # check is a single count on the frame that materializes the round
-        # (no second join-the-previous-round job)
-        merged = (labels.join(neigh, "node", "left")
-                  .select("node", F.col("label").alias("old_label"),
-                          F.least(F.col("label"),
-                                  F.coalesce("nbr_label", F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=False))
-        changed = merged.where(F.col("label") != F.col("old_label")).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
-            break
+             .select(F.col("subj").alias("a"), F.col("obj").alias("b")))
+    labels = connected_components(edges, max_rounds=max_rounds)
     return labels.select(F.col("node").alias("member"),
                          F.col("label").alias("canonical"))
 
 
 def rewrite_canonical(triples: DataFrame, components: DataFrame) -> DataFrame:
-    """Rewrite subj/obj IRIs to their canonical representatives + re-dedup."""
-    comp = F.broadcast(components)
+    """Rewrite subj/obj IRIs to their canonical representatives + re-dedup.
+
+    No explicit broadcast hint: the member→canonical map scales with the
+    number of sameAs-connected IRIs in the corpus (unbounded at 100x), and
+    a forced ``F.broadcast`` would both risk executor OOM and forbid AQE
+    from demoting it. AQE promotes the join to broadcast at runtime while
+    the map fits under spark.sql.autoBroadcastJoinThreshold, and falls
+    back to a shuffled hash join when it does not — the same policy the
+    linking module documents for its dictionary (round-4 verdict item 1).
+    """
+    comp = components
     out = (triples
            .join(comp.withColumnRenamed("member", "subj")
                  .withColumnRenamed("canonical", "subj_canon"),

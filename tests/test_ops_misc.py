@@ -696,3 +696,31 @@ def test_checkpoint_snapshot_versions_time_travel(spark, tmp_path):
         cp.read("S", snapshot_id=s1).count()  # expired data is gone
     with _pytest.raises(ValueError, match="expired"):
         cp.rollback("S", s1)
+
+
+def test_sameas_long_chain_and_nonconvergence(spark):
+    """Round-4 verdict item 1: sameas_components now shares the
+    pointer-doubled CC with dedup_clusters. A 30-hop sameAs chain (would
+    need 30 rounds under plain hash-min, > the old max_rounds=20)
+    converges in O(log d) rounds; exhausting rounds raises instead of
+    silently under-canonicalizing."""
+    import pytest
+    from rdf_dtdl_fabric_ontology_converter_spark import OWL_SAME_AS
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import (
+        rewrite_canonical, sameas_components)
+    rows = [(f"http://e.org/E{i:02d}", OWL_SAME_AS,
+             f"http://e.org/E{i + 1:02d}", "iri", None, None, None)
+            for i in range(30)]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, lang string, graph_ctx string")
+    comps = sameas_components(triples, max_rounds=8)
+    got = {r["member"]: r["canonical"] for r in comps.collect()}
+    assert len(got) == 31
+    assert set(got.values()) == {"http://e.org/E00"}
+    # the rewrite collapses the whole chain to one self-sameAs triple
+    out = rewrite_canonical(triples, comps).collect()
+    assert len(out) == 1 and out[0]["subj"] == "http://e.org/E00" \
+        and out[0]["obj"] == "http://e.org/E00"
+    with pytest.raises(RuntimeError, match="did not converge"):
+        sameas_components(triples, max_rounds=1)

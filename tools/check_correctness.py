@@ -4,7 +4,14 @@ Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
 twin on DuckDB over the same sf dir, then compares row count, column names,
 and an order-insensitive value multiset (values stringified, floats rounded).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [--tail]
+           [sf_dir] [query ...]
+
+``--tail`` selects only the queries past the driver's 50-entry window
+(the ones the per-round driver harness does not verify — round-4 ADVICE);
+``--json`` records per-query results in a driver-shaped artifact so each
+round can commit e.g. CORRECTNESS_TAIL_r05.json alongside the driver's
+file.
 """
 
 from __future__ import annotations
@@ -59,8 +66,17 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    tail_only = "--tail" in argv
+    if tail_only:
+        argv.remove("--tail")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = build_session(master="local[8]", shuffle_partitions=8,
                           extra={"spark.ui.enabled": "false"})
     con = duckdb.connect()
@@ -70,7 +86,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if tail_only:
+        only |= set(list(qs)[50:])
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,6 +101,10 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark {type(e).__name__}: {e}"}
             continue
         spark_t = time.time() - t0
         if name not in oracles:
@@ -89,6 +112,10 @@ def main():
                   f"({spark_t:.1f}s)")
             if len(srows) == 0:
                 failures.append(name)
+            results[name] = {"rows_match": len(srows) > 0,
+                             "schema_match": None, "hash_match": None,
+                             "spark_rows": len(srows), "oracle_rows": None,
+                             "err": None}
             continue
         try:
             # fetch via pandas (like the driver) so HUGEINT/decimal sums
@@ -99,6 +126,10 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": f"duckdb {type(e).__name__}: {e}"}
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         s_n, d_n = norm_rows(scols, srows), norm_rows(dcols, drows)
@@ -107,6 +138,10 @@ def main():
         print(f"{status} {name}: spark={len(srows)} duck={len(drows)} "
               f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
               f"({spark_t:.1f}s)")
+        results[name] = {"rows_match": len(srows) == len(drows),
+                         "schema_match": ok_cols, "hash_match": ok_vals,
+                         "spark_rows": len(srows),
+                         "oracle_rows": len(drows), "err": None}
         if status == "FAIL":
             failures.append(name)
             if ok_cols and not ok_vals:
@@ -116,6 +151,10 @@ def main():
                 print(f"   duck-only:  {donly}")
     print("----")
     print("FAILURES:", failures if failures else "none")
+    if json_out:
+        import json
+        Path(json_out).write_text(json.dumps(results, indent=1))
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
