@@ -311,7 +311,21 @@ def score_linear(documents: DataFrame, weights: dict[str, float],
     Tokens outside the vocabulary contribute 0. → (key_col, n_tok, z,
     score, keep) for EVERY input doc (empty/NULL text scores
     sigmoid(bias)).
+
+    Weight keys are normalized with ``.lower()`` to match ``tokens()``
+    output (which lowercases); a mixed-case vocabulary would otherwise
+    silently contribute 0 on every doc (round-4 ADVICE). Two keys that
+    collide after lowercasing is a caller error and raises.
     """
+    lowered: dict[str, float] = {}
+    for k, v in weights.items():
+        lk = k.lower()
+        if lk in lowered and lowered[lk] != float(v):
+            raise ValueError(
+                f"score_linear weight keys collide after lowercasing: "
+                f"{lk!r} maps to both {lowered[lk]} and {float(v)}")
+        lowered[lk] = float(v)
+    weights = lowered
     if len(weights) <= max_literal_vocab:
         wmap = F.create_map(*[x for k, v in sorted(weights.items())
                               for x in (F.lit(k), F.lit(float(v)))]) \

@@ -73,8 +73,19 @@ class CheckpointManager:
 
     def read(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
         """Read the stage's CURRENT snapshot, or a specific retained one
-        by id (time travel)."""
+        by id (time travel). Count-only stages (``count_stage``) have no
+        data to read and raise a descriptive error, not a missing-parquet
+        path."""
+        self._reject_count_only(stage, "read")
         return self.spark.read.parquet(self._data(stage, snapshot_id))
+
+    def _reject_count_only(self, stage: str, op: str) -> None:
+        info = self.snapshot_info(stage)
+        if info and info.get("count_only"):
+            raise ValueError(
+                f"stage '{stage}' was committed via count_stage (count-only"
+                f" manifest, no data snapshot); {op}() is not available —"
+                f" use snapshot_info('{stage}')['rows'] for its cardinality")
 
     def snapshot_info(self, stage: str) -> dict | None:
         if not self.is_committed(stage):
@@ -94,6 +105,7 @@ class CheckpointManager:
         Iceberg rollback): the manifest pointer flips, nothing is
         rewritten; a later stage(force=True) run commits a NEW snapshot
         on top."""
+        self._reject_count_only(stage, "rollback")
         for entry in self.history(stage):
             if entry["snapshot_id"] == snapshot_id:
                 data = Path(self._data(stage, snapshot_id))

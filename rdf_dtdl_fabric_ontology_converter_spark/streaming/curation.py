@@ -79,7 +79,9 @@ def _stream_unit_dedup(docs: DataFrame, units_arr: Column, sep: str,
     → (window, key_col, n_units, n_kept, text_clean) in append mode.
     A document whose EVERY unit was seen before emits no row (unlike
     the batch twin there is no static side to left-join back onto);
-    count survivors against the ingest ledger downstream if needed.
+    run :func:`stream_unit_ledger` as a parallel sink on the same
+    source and left-join on (window, key) so such docs surface with
+    n_kept=0 downstream.
     """
     units = (docs
              .withColumn("_arr", units_arr)
@@ -100,23 +102,65 @@ def _stream_unit_dedup(docs: DataFrame, units_arr: Column, sep: str,
                      lambda s: s["unit"])).alias("text_clean")))
 
 
+def _chunk_units_arr(text_col: str, chunk: int) -> Column:
+    """text → array of consecutive ``chunk``-token units (narrow)."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    return F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk + 1, chunk)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def stream_unit_ledger(docs: DataFrame, units_arr: Column,
+                       watermark: str = "1 hour",
+                       window: str = "10 minutes",
+                       key_col: str = "doc_id",
+                       ts_col: str = "ingest_ts") -> DataFrame:
+    """Per-(window, doc) INGEST ledger → (window, key_col, n_units).
+
+    ``_stream_unit_dedup`` emits no row for a document whose every unit
+    was already seen (there is no static side to left-join back onto in
+    append mode), so downstream funnel counts would silently lose those
+    docs (round-4 ADVICE). This parallel aggregation counts units BEFORE
+    the dedup, from the same narrow unit extraction; run it as a second
+    sink on the same source and left-join the dedup output on
+    (window, key_col) downstream — fully-duplicated docs surface with
+    ``coalesce(n_kept, 0) = 0``. State is one row per (window, doc),
+    evicted at the watermark, bounded like the dedup's own reassembly.
+    """
+    return (docs
+            .withColumn("_arr", units_arr)
+            .select(key_col, ts_col,
+                    F.size("_arr").cast("long").alias("n_units"))
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("window"),
+                     F.col(key_col))
+            .agg(F.max("n_units").alias("n_units")))
+
+
 def stream_chunk_dedup(docs: DataFrame, chunk: int = 10,
                        watermark: str = "1 hour", window: str = "10 minutes",
                        text_col: str = "text", key_col: str = "doc_id",
                        ts_col: str = "ingest_ts") -> DataFrame:
     """Streaming C4-style chunk dedup: consecutive ``chunk``-token units,
     corpus-wide first occurrence within the watermark horizon."""
-    if chunk < 1:
-        raise ValueError(f"chunk must be >= 1, got {chunk}")
-    toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
-    arr = F.when(n_chunks > 0, F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * chunk + 1, chunk)))) \
-        .otherwise(F.array().cast("array<string>"))
-    return _stream_unit_dedup(docs, arr, " ", watermark, window,
-                              key_col, ts_col)
+    return _stream_unit_dedup(docs, _chunk_units_arr(text_col, chunk),
+                              " ", watermark, window, key_col, ts_col)
+
+
+def stream_chunk_ledger(docs: DataFrame, chunk: int = 10,
+                        watermark: str = "1 hour",
+                        window: str = "10 minutes",
+                        text_col: str = "text", key_col: str = "doc_id",
+                        ts_col: str = "ingest_ts") -> DataFrame:
+    """Ingest ledger twin of :func:`stream_chunk_dedup` (same unit
+    extraction, pre-dedup counts)."""
+    return stream_unit_ledger(docs, _chunk_units_arr(text_col, chunk),
+                              watermark, window, key_col, ts_col)
 
 
 def stream_line_dedup(docs: DataFrame, delim: str = "\n",
@@ -127,6 +171,16 @@ def stream_line_dedup(docs: DataFrame, delim: str = "\n",
     inside the watermark horizon."""
     return _stream_unit_dedup(docs, F.split(F.col(text_col), delim),
                               delim, watermark, window, key_col, ts_col)
+
+
+def stream_line_ledger(docs: DataFrame, delim: str = "\n",
+                       watermark: str = "1 hour",
+                       window: str = "10 minutes",
+                       text_col: str = "text", key_col: str = "doc_id",
+                       ts_col: str = "ingest_ts") -> DataFrame:
+    """Ingest ledger twin of :func:`stream_line_dedup`."""
+    return stream_unit_ledger(docs, F.split(F.col(text_col), delim),
+                              watermark, window, key_col, ts_col)
 
 
 def run_chunk_dedup_stream(spark: SparkSession, in_path: str,

@@ -724,3 +724,37 @@ def test_sameas_long_chain_and_nonconvergence(spark):
         and out[0]["obj"] == "http://e.org/E00"
     with pytest.raises(RuntimeError, match="did not converge"):
         sameas_components(triples, max_rounds=1)
+
+
+def test_count_only_stage_read_rollback_errors(spark, tmp_path):
+    """Round-4 ADVICE: read()/rollback() on a count_stage-committed stage
+    raise a descriptive count-only error, not a missing-parquet path."""
+    import pytest
+    from rdf_dtdl_fabric_ontology_converter_spark.plans.checkpoint import (
+        CheckpointManager)
+    cp = CheckpointManager(spark, str(tmp_path / "cp"))
+    assert cp.count_stage("00_input", spark.range(5)) == 5
+    with pytest.raises(ValueError, match="count-only"):
+        cp.read("00_input")
+    with pytest.raises(ValueError, match="count-only"):
+        cp.rollback("00_input", "whatever")
+    assert cp.snapshot_info("00_input")["rows"] == 5
+
+
+def test_score_linear_mixed_case_vocab(spark):
+    """Round-4 ADVICE: weight keys are lowercased to match tokens();
+    mixed-case keys now score instead of silently contributing 0, and a
+    post-lowercase collision with different weights raises."""
+    import pytest
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        score_linear)
+    docs = spark.createDataFrame([("d1", "Fast code"), ("d2", "slow path")],
+                                 ["doc_id", "text"])
+    for vocab_cap in (4096, 0):   # literal-map plan and broadcast plan
+        got = {r["doc_id"]: r["z"]
+               for r in score_linear(docs, {"Fast": 2.0, "SLOW": -2.0},
+                                     max_literal_vocab=vocab_cap).collect()}
+        assert got["d1"] == pytest.approx(1.0)   # 2.0 / 2 tokens
+        assert got["d2"] == pytest.approx(-1.0)
+    with pytest.raises(ValueError, match="collide"):
+        score_linear(docs, {"Fast": 2.0, "fast": 1.0})

@@ -336,3 +336,46 @@ def test_stream_line_dedup(spark, tmp_path):
     assert got["a"]["text_clean"] == "x\ny" and got["a"]["n_kept"] == 2
     # "x" was seen in doc a first (same batch): doc b keeps only "z"
     assert got["b"]["text_clean"] == "z" and got["b"]["n_kept"] == 1
+
+
+def test_stream_chunk_ledger_surfaces_fully_dup_docs(spark, tmp_path):
+    """Round-4 ADVICE: a doc whose every unit was seen before emits no
+    dedup row; the parallel ingest ledger left-joined on (window, doc)
+    surfaces it with n_kept=0."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.curation import (
+        stream_chunk_dedup, stream_chunk_ledger)
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+    t2 = t0 + datetime.timedelta(hours=3)
+    # doc b duplicates doc a's only unit entirely -> no dedup output row
+    rows = [("a", t0, "u1 u2"), ("b", t0, "u1 u2"), ("z", t2, "push")]
+    in_path = str(tmp_path / "fdocs")
+    spark.createDataFrame(
+        rows, "doc_id string, ingest_ts timestamp, text string") \
+        .coalesce(1).write.parquet(in_path)
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("ingest_ts", T.TimestampType()),
+                           T.StructField("text", T.StringType())])
+
+    def run(make, out, ckpt):
+        stream = spark.readStream.schema(schema).parquet(in_path)
+        q = (make(stream, chunk=2)
+             .writeStream.format("parquet").option("path", str(tmp_path / out))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / out))
+
+    dedup = run(stream_chunk_dedup, "fout", "fckpt")
+    ledger = run(stream_chunk_ledger, "lout", "lckpt")
+    assert {r["doc_id"] for r in dedup.collect()} == {"a"}
+    funnel = {r["doc_id"]: (r["n_units"], r["n_kept"])
+              for r in ledger.join(
+                  dedup.select("window", "doc_id", "n_kept"),
+                  ["window", "doc_id"], "left")
+              .select("doc_id", "n_units",
+                      F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+              .collect()}
+    # every ingested doc in the closed window appears; b shows 0 kept
+    assert funnel["a"] == (1, 1) and funnel["b"] == (1, 0)
