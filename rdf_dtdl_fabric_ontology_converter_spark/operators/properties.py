@@ -49,11 +49,19 @@ def first_ranges(triples: DataFrame) -> DataFrame:
                     F.col("r.obj_kind").alias("range_kind")))
 
 
-def data_property_set(triples: DataFrame, xsd_map: DataFrame) -> DataFrame:
-    """→ (prop_uri): owl datatype props ∪ rdf:Property with XSD range."""
+def data_property_set(triples: DataFrame, xsd_map: DataFrame,
+                      franges: DataFrame | None = None) -> DataFrame:
+    """→ (prop_uri): owl datatype props ∪ rdf:Property with XSD range.
+
+    ``franges``: optional pre-computed (ideally checkpointed)
+    ``first_ranges(triples)`` — the pipeline computes it once and shares
+    it across the four stage-B consumers instead of re-running the
+    range aggregation (and re-compiling its codegen) per call site.
+    """
     owl_dp = _typed_subjects(triples, OWL_DATATYPE_PROPERTY)
     rdf_props = _typed_subjects(triples, RDF_PROPERTY)
-    ranged = rdf_props.join(first_ranges(triples), "prop_uri")
+    ranged = rdf_props.join(
+        first_ranges(triples) if franges is None else franges, "prop_uri")
     known = xsd_map.select(F.col("xsd_iri").alias("range_obj"))
     in_map = (ranged
               .where(F.col("range_kind") == "iri")
@@ -92,19 +100,28 @@ def _resolve_datatype_union(triples: DataFrame, bnode_ranges: DataFrame,
             .select("prop_uri", F.col("fabric_type").alias("union_type")))
 
 
-def dp_bnode_ranges(triples: DataFrame, xsd_map: DataFrame) -> DataFrame:
+def dp_bnode_ranges(triples: DataFrame, xsd_map: DataFrame,
+                    props: DataFrame | None = None,
+                    franges: DataFrame | None = None) -> DataFrame:
     """(prop_uri, range_obj): pinned-first blank-node range per data
     property — the datatype-union resolution roots (role 'dpr' in
-    resolver.resolve_graph_roots)."""
-    props = data_property_set(triples, xsd_map)
-    return (props.join(first_ranges(triples), "prop_uri")
+    resolver.resolve_graph_roots).
+
+    ``props``/``franges``: optional shared ``data_property_set`` /
+    ``first_ranges`` frames (see pipeline.build_graph)."""
+    if props is None:
+        props = data_property_set(triples, xsd_map, franges=franges)
+    return (props.join(first_ranges(triples) if franges is None else franges,
+                       "prop_uri")
             .where(F.col("range_kind") == "bnode")
             .select("prop_uri", "range_obj"))
 
 
 def extract_data_properties(triples: DataFrame, classes: DataFrame,
                             expr: DataFrame, xsd_map: DataFrame,
-                            resolved: DataFrame | None = None
+                            resolved: DataFrame | None = None,
+                            props: DataFrame | None = None,
+                            franges: DataFrame | None = None
                             ) -> tuple[DataFrame, DataFrame]:
     """→ (data_properties, prop_domains).
 
@@ -117,12 +134,19 @@ def extract_data_properties(triples: DataFrame, classes: DataFrame,
     resolution reuse the fused single-loop pass (post-filtered to this
     extractor's property set, which is result-identical) instead of running
     two private resolver loops.
+
+    ``props``/``franges``: optional shared ``data_property_set`` /
+    ``first_ranges`` frames, checkpointed once by pipeline.build_graph so
+    the four stage-B call sites read one materialization instead of each
+    re-running (and re-codegening) the same aggregations.
     """
-    props = data_property_set(triples, xsd_map)
+    if props is None:
+        props = data_property_set(triples, xsd_map, franges=franges)
 
     # value type: direct IRI range via broadcast dictionary; bnode range via
     # datatype-union resolution; missing range → String default
-    ranges = props.join(first_ranges(triples), "prop_uri", "left")
+    ranges = props.join(first_ranges(triples) if franges is None else franges,
+                        "prop_uri", "left")
     direct = (ranges.where(F.col("range_kind") == "iri")
               .join(F.broadcast(xsd_map),
                     F.col("range_obj") == xsd_map.xsd_iri, "left")

@@ -34,7 +34,8 @@ from .resolver import resolve_class_targets
 
 
 def object_property_set(triples: DataFrame, xsd_map: DataFrame,
-                        prop_domains: DataFrame) -> DataFrame:
+                        prop_domains: DataFrame,
+                        franges: DataFrame | None = None) -> DataFrame:
     owl_op = (triples
               .where((F.col("pred") == RDF_TYPE) &
                      (F.col("obj") == OWL_OBJECT_PROPERTY))
@@ -47,7 +48,8 @@ def object_property_set(triples: DataFrame, xsd_map: DataFrame,
                  .where(~F.col("subj").startswith("_:"))
                  .select(F.col("subj").alias("prop_uri"))
                  .dropDuplicates())
-    ranged = rdf_props.join(first_ranges(triples), "prop_uri")
+    ranged = rdf_props.join(
+        first_ranges(triples) if franges is None else franges, "prop_uri")
     known_xsd = xsd_map.select(F.col("xsd_iri").alias("range_obj"))
     entity_ranged = (ranged
                      .where(F.col("range_kind") == "iri")
@@ -110,7 +112,8 @@ def usage_inference(triples: DataFrame, props: DataFrame,
 def extract_relationships(triples: DataFrame, classes: DataFrame,
                           expr: DataFrame, xsd_map: DataFrame,
                           prop_domains: DataFrame,
-                          resolved: DataFrame | None = None
+                          resolved: DataFrame | None = None,
+                          franges: DataFrame | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """→ (relationship_types, skipped).
 
@@ -121,8 +124,10 @@ def extract_relationships(triples: DataFrame, classes: DataFrame,
 
     ``resolved``: optional fused resolver output (resolve_graph_roots);
     supplies the 'dom'/'rng' slices so no private loops run here.
+    ``franges``: optional shared ``first_ranges`` frame (build_graph).
     """
-    props = object_property_set(triples, xsd_map, prop_domains)
+    props = object_property_set(triples, xsd_map, prop_domains,
+                                franges=franges)
 
     dom_t = rng_t = None
     if resolved is not None:

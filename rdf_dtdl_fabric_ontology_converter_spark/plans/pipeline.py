@@ -26,9 +26,15 @@ from ..operators.canon import dedup_triples
 from ..operators.classes import classes_with_parents, extract_classes
 from ..operators.extract import extract_triples, split_errors
 from ..operators.identity import materialize_entity_types
-from ..operators.properties import dp_bnode_ranges, extract_data_properties
+from ..operators.properties import (data_property_set, dp_bnode_ranges,
+                                    extract_data_properties, first_ranges)
 from ..operators.relationships import extract_relationships
 from ..operators.resolver import expression_subgraph, resolve_graph_roots
+
+# target rows per partition when re-scanning the checkpointed graph in
+# stage B; keeps tiny ontologies at 1-partition scans without ever
+# widening a large corpus beyond its shuffle width
+ROWS_PER_SCAN_PARTITION = 100_000
 
 
 @dataclass
@@ -72,7 +78,20 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
     # Materialize the deduped graph once, up front, so both iterative
     # chains below start from the cached checkpoint instead of racing to
     # materialize it.
-    triples.count()
+    n_triples = triples.count()
+
+    # Right-size downstream scan parallelism from the MEASURED graph size:
+    # stage B re-scans this checkpoint dozens of times (every broadcast
+    # build included), and a small ontology pinned at shuffle-partition
+    # width pays (partitions × scans) tasks of pure scheduling latency —
+    # the round-4 fixed-cost profile. coalesce is narrow (no shuffle) on
+    # the checkpointed partitions; a 100-TB corpus keeps its full width
+    # (count / ROWS_PER_SCAN_PARTITION exceeds it), so this only ever
+    # trims the degenerate small-graph case.
+    cur = triples.rdd.getNumPartitions()
+    want = max(1, min(cur, n_triples // ROWS_PER_SCAN_PARTITION + 1))
+    if want < cur:
+        triples = triples.coalesce(want)
 
     # The two iterative chains — subclass transitive closure and the fused
     # class-expression resolution loop — are independent (both read only
@@ -81,6 +100,17 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
     # scheduler accepts jobs from multiple threads) so their round-trip
     # latencies overlap instead of adding up.
     expr = expression_subgraph(triples)
+
+    # Shared stage-B frames, checkpointed ONCE: first_ranges is consumed by
+    # four call sites (data/object property sets, value-type ranges, bnode
+    # roots) and data_property_set by two — without the shared
+    # checkpoint each consumer re-runs the same aggregation over the
+    # corpus and compiles its own codegen for it (the round-4 fixed-cost
+    # profile: dozens of tiny duplicate AQE stage-jobs). Both frames are
+    # schema-bounded (≤500 types × ≤200 props by Fabric limit).
+    franges = first_ranges(triples).localCheckpoint(eager=False)
+    props_dp = data_property_set(triples, xsd_map, franges=franges) \
+        .localCheckpoint(eager=False)
 
     def _classes_chain() -> DataFrame:
         c = classes_with_parents(triples, extract_classes(triples))
@@ -92,7 +122,9 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
         # frontier-count action per round instead of four private loops;
         # consumers read the single lazily-checkpointed result.
         return resolve_graph_roots(
-            triples, expr, dp_bnode_ranges=dp_bnode_ranges(triples, xsd_map))
+            triples, expr,
+            dp_bnode_ranges=dp_bnode_ranges(triples, xsd_map,
+                                            props=props_dp, franges=franges))
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         classes_f = pool.submit(_classes_chain)
@@ -100,10 +132,12 @@ def build_graph(spark: SparkSession, triples_prov: DataFrame,
         classes = classes_f.result()
         resolved = resolved_f.result()
     data_props, prop_domains = extract_data_properties(
-        triples, classes, expr, xsd_map, resolved=resolved)
+        triples, classes, expr, xsd_map, resolved=resolved,
+        props=props_dp, franges=franges)
     prop_domains = prop_domains.localCheckpoint(eager=False)
     rels, rel_skips = extract_relationships(
-        triples, classes, expr, xsd_map, prop_domains, resolved=resolved)
+        triples, classes, expr, xsd_map, prop_domains, resolved=resolved,
+        franges=franges)
 
     # J1 attach: one row per (class, property); both sides schema-bounded
     class_props = (prop_domains
