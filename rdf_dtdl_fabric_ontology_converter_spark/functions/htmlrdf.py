@@ -108,6 +108,31 @@ class HtmlRdfParseError(ValueError):
     pass
 
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_TIME_LEXICALS = [
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}(:\d{2}(\.\d+)?)?"
+                r"(Z|[+-]\d{2}:\d{2})?$"), _XSD + "dateTime"),
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$"),
+     _XSD + "date"),
+    (re.compile(r"^\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?$"),
+     _XSD + "time"),
+    (re.compile(r"^-?\d{4,}-\d{2}$"), _XSD + "gYearMonth"),
+    (re.compile(r"^-?\d{4,}$"), _XSD + "gYear"),
+    (re.compile(r"^-?P(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?"
+                r"(\d+(\.\d+)?S)?)?$"), _XSD + "duration"),
+]
+
+
+def _sniff_time_datatype(value: str) -> str | None:
+    """HTML+RDFa: infer the XSD datatype of a <time datetime=...> literal
+    from its lexical form (dateTime/date/time/gYearMonth/gYear/duration);
+    unrecognized forms stay plain literals."""
+    for rx, dt in _TIME_LEXICALS:
+        if rx.match(value or ""):
+            return dt
+    return None
+
+
 def _is_abs(term: str) -> bool:
     return bool(_ABS_IRI.match(term))
 
@@ -148,7 +173,10 @@ class _RdfaParser(HTMLParser):
 
     def _resolve(self, term: str, scope: dict) -> str | None:
         """TERMorCURIEorAbsIRI resolution (@property/@typeof/@datatype):
-        local prefixes, then the RDFa 1.1 initial context, then @vocab."""
+        local prefixes, then the RDFa 1.1 initial context, then @vocab.
+        A bare term with NO in-scope vocab resolves to nothing (RDFa 1.1
+        §7.4.3: terms are only meaningful against a vocabulary) — emitting
+        it verbatim would mint a relative 'IRI' like ``name``."""
         if not term:
             return None
         if term.startswith("_:"):
@@ -165,7 +193,7 @@ class _RdfaParser(HTMLParser):
             return term
         if scope["vocab"]:
             return scope["vocab"] + term
-        return term
+        return None
 
     def _resolve_iri_attr(self, term: str, scope: dict) -> str | None:
         """SafeCURIEorCURIEorIRI resolution (@about/@resource): safe-CURIE
@@ -176,7 +204,8 @@ class _RdfaParser(HTMLParser):
             return None
         if not term:
             return self.base  # @about="" / @resource="" = the document
-        if term.startswith("[") and term.endswith("]"):
+        safe = term.startswith("[") and term.endswith("]")
+        if safe:
             term = term[1:-1]
         if term.startswith("_:"):
             return term
@@ -185,6 +214,11 @@ class _RdfaParser(HTMLParser):
             return scope["prefixes"][pfx] + local
         if sep and pfx in INITIAL_CONTEXT:
             return INITIAL_CONTEXT[pfx] + local
+        if safe:
+            # a safe CURIE MUST be a CURIE: an undeclared prefix makes the
+            # attribute value ignored (RDFa 1.1 §6), never a literal IRI
+            # like "nope:s"
+            return None
         if _is_abs(term):
             return term
         return _resolve_base(self.base, term)
@@ -293,31 +327,47 @@ class _RdfaParser(HTMLParser):
                     [("fwd", p, self_subject) for p in rel_preds] +
                     [("rev", p, self_subject) for p in rev_preds])
 
-        if prop:
+        # @property admits a whitespace-separated list of terms; terms
+        # that resolve to nothing (bare term without vocab, undeclared
+        # CURIE prefix) are dropped per the TERMorCURIEorAbsIRIs grammar
+        prop_preds = [q for q in (self._resolve(t, scope)
+                                  for t in (prop or "").split())
+                      if q and not q.startswith("_:")]
+        if prop_preds:
             if self_subject is None:
                 self_subject = self._bnode()
             psubj = self_subject
-            pred = self._resolve(prop, scope)
             dt = self._resolve(a.get("datatype"), scope) \
                 if a.get("datatype") else None
             inlist = "inlist" in a
-            if "content" in a:
-                if inlist:
-                    self._inlist_add(psubj, pred, a["content"] or "",
-                                     "literal", dt, scope["lang"])
-                else:
-                    self.triples.append((psubj, pred, a["content"] or "",
-                                         "literal", dt, scope["lang"], None))
+            content_val = a.get("content")
+            if content_val is None and tag == "time" and "datetime" in a:
+                # HTML+RDFa host-language rule: <time datetime=...> supplies
+                # the literal, with the datatype sniffed from its lexical
+                # form unless @datatype overrides
+                content_val = a["datetime"]
+                if "datatype" not in a:
+                    dt = _sniff_time_datatype(content_val)
+            if content_val is not None:
+                for pred in prop_preds:
+                    if inlist:
+                        self._inlist_add(psubj, pred, content_val or "",
+                                         "literal", dt, scope["lang"])
+                    else:
+                        self.triples.append((psubj, pred, content_val or "",
+                                             "literal", dt, scope["lang"],
+                                             None))
                 if obj_iri is not None and not (rel_preds or rev_preds):
                     child_subject = obj_iri
             elif obj_iri is not None and not (rel_preds or rev_preds):
-                if inlist:
-                    self._inlist_add(psubj, pred, obj_iri,
-                                     self._kind(obj_iri))
-                else:
-                    self.triples.append((psubj, pred, obj_iri,
-                                         self._kind(obj_iri),
-                                         None, None, None))
+                for pred in prop_preds:
+                    if inlist:
+                        self._inlist_add(psubj, pred, obj_iri,
+                                         self._kind(obj_iri))
+                    else:
+                        self.triples.append((psubj, pred, obj_iri,
+                                             self._kind(obj_iri),
+                                             None, None, None))
                 # @property+@resource: the resource becomes the subject for
                 # descendant elements (object chaining), typeof or not
                 child_subject = obj_iri
@@ -325,19 +375,21 @@ class _RdfaParser(HTMLParser):
                 # property + typeof chaining: object is a fresh bnode that
                 # becomes the subject for descendants
                 obj = self._bnode()
-                self.triples.append((psubj, pred, obj, "bnode",
-                                     None, None, None))
+                for pred in prop_preds:
+                    self.triples.append((psubj, pred, obj, "bnode",
+                                         None, None, None))
                 child_subject = obj
             elif tag in _VOID:
-                if inlist:
-                    self._inlist_add(psubj, pred, "", "literal",
-                                     dt, scope["lang"])
-                else:
-                    self.triples.append((psubj, pred, "", "literal",
-                                         dt, scope["lang"], None))
+                for pred in prop_preds:
+                    if inlist:
+                        self._inlist_add(psubj, pred, "", "literal",
+                                         dt, scope["lang"])
+                    else:
+                        self.triples.append((psubj, pred, "", "literal",
+                                             dt, scope["lang"], None))
             else:
                 self.captures.append(
-                    [self.depth, psubj, pred, dt, scope["lang"], [],
+                    [self.depth, psubj, prop_preds, dt, scope["lang"], [],
                      inlist])
         elif not (rel_preds or rev_preds):
             if new_subject is None and typeof is not None:
@@ -370,7 +422,7 @@ class _RdfaParser(HTMLParser):
         if typeof is not None:
             if about is not None:
                 tsubj = new_subject
-            elif prop and child_subject is not None:
+            elif prop_preds and child_subject is not None:
                 tsubj = child_subject  # typed resource = the object
             else:
                 tsubj = (new_subject or child_subject or scope["subject"]
@@ -389,13 +441,14 @@ class _RdfaParser(HTMLParser):
         if len(self.scopes) > 1:
             self.scopes.pop()
         while self.captures and self.captures[-1][0] >= self.depth:
-            d, subj, pred, dt, lang, buf, inlist = self.captures.pop()
-            if inlist:
-                self._inlist_add(subj, pred, "".join(buf).strip(),
-                                 "literal", dt, lang)
-            else:
-                self.triples.append((subj, pred, "".join(buf).strip(),
-                                     "literal", dt, lang, None))
+            d, subj, preds, dt, lang, buf, inlist = self.captures.pop()
+            for pred in preds:
+                if inlist:
+                    self._inlist_add(subj, pred, "".join(buf).strip(),
+                                     "literal", dt, lang)
+                else:
+                    self.triples.append((subj, pred, "".join(buf).strip(),
+                                         "literal", dt, lang, None))
         self.depth -= 1
 
     def handle_endtag(self, tag):
