@@ -192,13 +192,25 @@ class CheckpointManager:
         return rows
 
     def committed_snapshot_ids(self) -> list[str]:
-        ids = []
+        """Every committed snapshot id: the current manifest of each stage
+        PLUS all history entries (versioned snapshots stay committed until
+        expired — without the history scan, lineage() silently dropped the
+        rows of retained prior versions)."""
+        ids = set()
         for m in self.root.glob("*/manifest.json"):
             try:
-                ids.append(json.loads(m.read_text())["snapshot_id"])
+                ids.add(json.loads(m.read_text())["snapshot_id"])
             except (ValueError, KeyError):
                 continue
-        return ids
+        for h in self.root.glob("*/history.jsonl"):
+            for line in h.read_text().splitlines():
+                if not line.strip():
+                    continue
+                try:
+                    ids.add(json.loads(line)["snapshot_id"])
+                except (ValueError, KeyError):
+                    continue
+        return sorted(ids)
 
     def lineage(self, committed_only: bool = True) -> DataFrame:
         """Per-partition lineage; by default restricted to snapshot_ids with

@@ -1,0 +1,86 @@
+"""Incremental KG maintenance end-to-end (round-4 verdict item 3).
+
+Oracle: after each ingest, the committed vertex/edge snapshot must equal a
+from-scratch batch run over all documents seen so far; prior snapshot
+versions stay readable (time travel) and rollback flips the tables back
+coherently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_dtdl_fabric_ontology_converter_spark.plans.incremental_kg import (
+    IncrementalKG)
+from rdf_dtdl_fabric_ontology_converter_spark.plans.pipeline import (
+    run_pipeline)
+from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+    synth_documents)
+
+
+def _vertex_rows(df):
+    return sorted(
+        (r["name"], r["id"], r["base_entity_type_id"], r["n_props"])
+        for r in df.select(
+            "name", "id", "base_entity_type_id",
+            F.size("properties").alias("n_props")).collect())
+
+
+def _edge_rows(df):
+    return sorted((r["rel_key"], r["id"]) for r in
+                  df.select("rel_key", "id").collect())
+
+
+def test_incremental_kg_two_batches(spark, tmp_path):
+    docs = synth_documents(spark, 6, classes_per_doc=2)
+    batch1 = docs.where(F.col("doc_id") < "doc_0000000003")
+    batch2 = docs.where(F.col("doc_id") >= "doc_0000000003")
+    docs_path = str(tmp_path / "docs")
+    batch1.write.mode("overwrite").parquet(docs_path)
+
+    kg = IncrementalKG(spark, str(tmp_path / "kg"), docs_path)
+    info1 = kg.ingest()
+    v1 = info1["entity_types"]["snapshot_id"]
+    assert info1["n_entity_types"] > 0
+
+    # oracle 1: from-scratch batch run over batch 1
+    want1 = run_pipeline(spark, batch1)
+    assert _vertex_rows(kg.read_vertices()) == \
+        _vertex_rows(want1.entity_types)
+
+    # second document batch arrives; ingest extracts ONLY the new files
+    # (stream checkpoint) and commits a NEW snapshot version
+    batch2.write.mode("append").parquet(docs_path)
+    info2 = kg.ingest()
+    v2 = info2["entity_types"]["snapshot_id"]
+    assert v2 != v1
+
+    # oracle 2: from-scratch batch run over ALL documents
+    want2 = run_pipeline(spark, docs)
+    assert _vertex_rows(kg.read_vertices()) == \
+        _vertex_rows(want2.entity_types)
+    assert _edge_rows(kg.read_edges()) == \
+        _edge_rows(want2.relationship_types)
+
+    # the triple log was appended, not rebuilt: exactly the union of both
+    # batches' triples, no duplicates from re-extraction of batch 1
+    log = spark.read.parquet(str(tmp_path / "kg" / "triples"))
+    batch_triples = run_pipeline(spark, docs).triples_prov
+    assert log.where(F.col("parse_error").isNull()).count() == \
+        batch_triples.count()
+
+    # time travel: v1 still readable and equal to the batch-1 oracle
+    assert _vertex_rows(kg.read_vertices(snapshot_id=v1)) == \
+        _vertex_rows(want1.entity_types)
+    assert [e["snapshot_id"] for e in kg.history()] == [v1, v2]
+
+    # rollback flips vertex AND edge tables to the same ingest's versions
+    kg.rollback(v1)
+    assert _vertex_rows(kg.read_vertices()) == \
+        _vertex_rows(want1.entity_types)
+    assert _edge_rows(kg.read_edges()) == \
+        _edge_rows(want1.relationship_types)
+
+    # lineage recorded a commit per stage per ingest
+    lin = kg.snapshots.lineage()
+    assert lin.select("snapshot_id").distinct().count() >= 6
