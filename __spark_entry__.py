@@ -1219,6 +1219,62 @@ ORDER BY doc_id, mention, entity_id
 """
 
 
+def q_entity_linking_disambig(spark, sf_dir):
+    """Entity-linking DISAMBIGUATION tier (J12 + context): the mention
+    "alpha fed" trigram-ties EXACTLY (7/13) between entities "alpha red"
+    (100) and "alpha ted" (200); each nation doc also carries an anchor
+    mention ("house"→300 on even keys, "tower"→400 on odd) that
+    exact-links, and the edge set {300-100, 400-200} lets the context
+    tier pick the supported candidate per document — the SAME surface
+    mention resolves to 100 in even docs and 200 in odd docs. Region docs
+    carry no anchor: the surviving tie falls back to min entity_id."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import (
+        link_mentions)
+    ents = spark.createDataFrame(
+        [("100", "alpha red"), ("200", "alpha ted"),
+         ("300", "house"), ("400", "tower")], ["id", "name"]) \
+        .withColumn("class_uri", F.concat(F.lit("http://e.org/e/"),
+                                          F.regexp_replace("name", " ", "_")))
+    rels = spark.createDataFrame(
+        [("300", "100"), ("400", "200")],
+        ["source_entity_type_id", "target_entity_type_id"])
+    nation = _t(spark, sf_dir, "nation")
+    anchor = F.when(F.col("n_nationkey") % 2 == 0,
+                    F.lit("house")).otherwise(F.lit("tower"))
+    m_nation = (nation.select(
+        F.concat(F.lit("d"), "n_nationkey").alias("doc_id"),
+        F.explode(F.array(F.lit("alpha fed"), anchor)).alias("mention")))
+    m_region = (_t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), "r_regionkey").alias("doc_id"),
+        F.lit("alpha fed").alias("mention")))
+    out = link_mentions(m_nation.unionByName(m_region), ents,
+                        fuzzy_threshold=0.5, relationships=rels)
+    return (out.select("doc_id", "mention", "entity_id", "match_kind",
+                       F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "mention", "entity_id"))
+
+
+_ORACLE_LINKING_DISAMBIG = """
+SELECT * FROM (
+  SELECT 'd'||n_nationkey AS doc_id,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'house' ELSE 'tower' END
+           AS mention,
+         CASE WHEN n_nationkey % 2 = 0 THEN '300' ELSE '400' END
+           AS entity_id,
+         'exact' AS match_kind, 1.0 AS score
+  FROM nation
+  UNION ALL
+  SELECT 'd'||n_nationkey, 'alpha fed',
+         CASE WHEN n_nationkey % 2 = 0 THEN '100' ELSE '200' END,
+         'fuzzy', round(7.0/13.0, 4)
+  FROM nation
+  UNION ALL
+  SELECT 'r'||r_regionkey, 'alpha fed', '100', 'fuzzy', round(7.0/13.0, 4)
+  FROM region
+) ORDER BY doc_id, mention, entity_id
+"""
+
+
 _SCORE_WEIGHTS = {"fast": 2.0, "slow": -2.0, "data": 0.5, "query": 1.0,
                   "scan": -0.5}  # binary-fraction weights: wsum is exact
 
@@ -2262,7 +2318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
@@ -2285,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1": q_tpch_q1,
         "entity_linking": q_entity_linking,
+        "entity_linking_disambig": q_entity_linking_disambig,
         "substring_dedup": q_substring_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
@@ -2304,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EVERY tail entry is still oracle-gated each round by
         # tests/test_oracle_tail.py. ---
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        # ngram-jaccard verify also runs inside the in-window dedup_pipeline
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "knn_label_vote": q_knn_label_vote,
         "salted_count": q_salted_count,
@@ -2344,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _ORACLE_DECONTAMINATE,
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
         "entity_linking": _ORACLE_ENTITY_LINKING,
+        "entity_linking_disambig": _ORACLE_LINKING_DISAMBIG,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,

@@ -95,11 +95,24 @@ def extract_mentions(documents: DataFrame, max_ngram: int = 3,
 
 def link_mentions(mentions: DataFrame, entity_types: DataFrame,
                   mention_col: str = "mention",
-                  fuzzy_threshold: float = 0.5) -> DataFrame:
+                  fuzzy_threshold: float = 0.5,
+                  relationships: DataFrame | None = None,
+                  doc_col: str = "doc_id") -> DataFrame:
     """mentions(..., mention) → + (entity_id, match_kind, score).
 
     Exact tier links by normalized label; fuzzy tier scores blocked
     candidates with trigram Jaccard.
+
+    ``relationships`` (optional): the edge table
+    (source_entity_type_id, target_entity_type_id) enables the
+    DISAMBIGUATION tier — when fuzzy candidates tie on trigram score, the
+    winner is the candidate with the most support from entities
+    exactly-linked in the SAME document (support = edges between the
+    candidate and the doc's exact-linked entity set). One extra
+    doc-keyed join + one broadcast of the schema-bounded edge set, no
+    Python; the same surface mention can then resolve differently in
+    different documents, which is the point of context disambiguation.
+    Ties that survive context fall back to min entity_id (deterministic).
     """
     dic = entity_dictionary(entity_types)
     m = mentions.withColumn("norm_mention", _norm(F.col(mention_col)))
@@ -129,12 +142,46 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
             .withColumn("score", trigram_jaccard(F.col("norm_mention"),
                                                  F.col("norm_label")))
             .where(F.col("score") >= fuzzy_threshold))
-    w = Window.partitionBy("norm_mention").orderBy(F.desc("score"),
-                                                   "entity_id")
-    winners = (cand.withColumn("rn", F.row_number().over(w))
-               .where(F.col("rn") == 1)
-               .select("norm_mention", "entity_id", "score"))
-    fuzzy = (unlinked.join(winners, "norm_mention")
-             .withColumn("match_kind", F.lit("fuzzy")))
 
+    if relationships is None:
+        w = Window.partitionBy("norm_mention").orderBy(F.desc("score"),
+                                                       "entity_id")
+        winners = (cand.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") == 1)
+                   .select("norm_mention", "entity_id", "score"))
+        fuzzy = (unlinked.join(winners, "norm_mention")
+                 .withColumn("match_kind", F.lit("fuzzy")))
+        return exact.unionByName(fuzzy).drop("norm_mention")
+
+    # --- context disambiguation tier ------------------------------------
+    # candidates fan out per (doc, mention): score stays mention-keyed
+    # (no extra Python), support is doc-keyed
+    occ = unlinked.select(doc_col, "norm_mention").dropDuplicates()
+    occ_cand = occ.join(cand.select("norm_mention", "entity_id", "score"),
+                        "norm_mention")
+    ctx = (exact.select(doc_col, F.col("entity_id").alias("ctx_id"))
+           .dropDuplicates())
+    e = relationships.select(
+        F.col("source_entity_type_id").alias("ea"),
+        F.col("target_entity_type_id").alias("eb"))
+    edges = e.unionByName(e.select(F.col("eb").alias("ea"),
+                                   F.col("ea").alias("eb"))) \
+        .dropDuplicates()
+    support = (occ_cand
+               .join(ctx, doc_col)
+               .join(F.broadcast(edges),
+                     (F.col("entity_id") == F.col("ea")) &
+                     (F.col("ctx_id") == F.col("eb")), "inner")
+               .groupBy(doc_col, "norm_mention", "entity_id")
+               .agg(F.count("*").alias("n_support")))
+    ranked = (occ_cand
+              .join(support, [doc_col, "norm_mention", "entity_id"], "left")
+              .withColumn("n_support", F.coalesce("n_support", F.lit(0))))
+    w = Window.partitionBy(doc_col, "norm_mention") \
+        .orderBy(F.desc("score"), F.desc("n_support"), "entity_id")
+    winners = (ranked.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select(doc_col, "norm_mention", "entity_id", "score"))
+    fuzzy = (unlinked.join(winners, [doc_col, "norm_mention"])
+             .withColumn("match_kind", F.lit("fuzzy")))
     return exact.unionByName(fuzzy).drop("norm_mention")

@@ -758,3 +758,36 @@ def test_score_linear_mixed_case_vocab(spark):
         assert got["d2"] == pytest.approx(-1.0)
     with pytest.raises(ValueError, match="collide"):
         score_linear(docs, {"Fast": 2.0, "fast": 1.0})
+
+
+def test_entity_linking_context_disambiguation(spark):
+    """Round-4 verdict item 5: when fuzzy candidates tie on trigram score,
+    the edge-supported candidate wins PER DOCUMENT; without context the
+    tie falls back to min entity_id."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.linking import (
+        link_mentions)
+    ents = spark.createDataFrame(
+        [("100", "alpha red", "http://e.org/e/alpha_red"),
+         ("200", "alpha ted", "http://e.org/e/alpha_ted"),
+         ("300", "house", "http://e.org/e/house"),
+         ("400", "tower", "http://e.org/e/tower")],
+        ["id", "name", "class_uri"])
+    rels = spark.createDataFrame(
+        [("300", "100"), ("400", "200")],
+        ["source_entity_type_id", "target_entity_type_id"])
+    mentions = spark.createDataFrame(
+        [("dA", "alpha fed"), ("dA", "house"),
+         ("dB", "alpha fed"), ("dB", "tower"),
+         ("dC", "alpha fed")], ["doc_id", "mention"])
+    out = link_mentions(mentions, ents, fuzzy_threshold=0.5,
+                        relationships=rels)
+    got = {(r["doc_id"], r["mention"]): (r["entity_id"], r["match_kind"])
+           for r in out.collect()}
+    assert got[("dA", "alpha fed")] == ("100", "fuzzy")   # house supports
+    assert got[("dB", "alpha fed")] == ("200", "fuzzy")   # tower supports
+    assert got[("dC", "alpha fed")] == ("100", "fuzzy")   # tie -> min id
+    assert got[("dA", "house")] == ("300", "exact")
+    # without the relationships frame the mention-global winner applies
+    base = link_mentions(mentions, ents, fuzzy_threshold=0.5)
+    b = {(r["doc_id"], r["mention"]): r["entity_id"] for r in base.collect()}
+    assert b[("dA", "alpha fed")] == b[("dB", "alpha fed")] == "100"
