@@ -1374,6 +1374,41 @@ FROM raw ORDER BY doc_id
 """
 
 
+def q_pack_shards_greedy(spark, sf_dir):
+    """STRICT greedy bin packing (exact budget isolation: no shard
+    exceeds 500 tokens unless it holds one oversized doc, alone) —
+    applyInPandas running-total reset per stratum, parallel across
+    strata; the oracle replays the identical recurrence with a
+    recursive CTE."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        pack_shards_greedy)
+    return (pack_shards_greedy(_t(spark, sf_dir, "documents"), budget=500)
+            .orderBy("doc_id"))
+
+
+_ORACLE_PACK_SHARDS_GREEDY = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         CAST(coalesce(len(string_split_regex(lower(trim(text)), '\s+')), 0)
+              AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, n_tok, rn,
+         CAST(0 AS BIGINT) AS shard_id, n_tok AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.lang, d.n_tok, d.rn,
+         CASE WHEN g.acc > 0 AND g.acc + d.n_tok > 500
+              THEN g.shard_id + 1 ELSE g.shard_id END,
+         CASE WHEN g.acc > 0 AND g.acc + d.n_tok > 500
+              THEN d.n_tok ELSE g.acc + d.n_tok END
+  FROM g JOIN d ON d.lang = g.lang AND d.rn = g.rn + 1
+)
+SELECT doc_id, lang, n_tok, shard_id FROM g ORDER BY doc_id
+"""
+
+
 def _curate_args():
     return dict(rates={"en": 700, "de": 700}, default_permille=500,
                 budget=500, seed="r3")
@@ -2326,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
         "pack_shards": q_pack_shards,
+        "pack_shards_greedy": q_pack_shards_greedy,
         "cap_per_source": q_cap_per_source,
         "curate_corpus": q_curate_corpus,
         "curate_funnel": q_curate_funnel,
@@ -2336,7 +2372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canon": q_sameas_canon,
         "score_linear": q_score_linear,
         "emb_near_dup": q_emb_near_dup,
-        "events_window_agg": q_events_window_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1": q_tpch_q1,
         "entity_linking": q_entity_linking,
@@ -2362,6 +2397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         # ngram-jaccard verify also runs inside the in-window dedup_pipeline
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # tumbling-window agg: the window technique also backs the
+        # in-window events_sessionize row and the streaming suite
+        "events_window_agg": q_events_window_agg,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "knn_label_vote": q_knn_label_vote,
         "salted_count": q_salted_count,
@@ -2406,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "sample_stratified": _ORACLE_SAMPLE_STRATIFIED,
         "pack_shards": _ORACLE_PACK_SHARDS,
+        "pack_shards_greedy": _ORACLE_PACK_SHARDS_GREEDY,
         "cap_per_source": _ORACLE_CAP_PER_SOURCE,
         "curate_corpus": _ORACLE_CURATE_CORPUS,
         "curate_funnel": _ORACLE_CURATE_FUNNEL,

@@ -538,7 +538,10 @@ def pack_shards(documents: DataFrame, budget: int,
     prefix sum): away from oversized documents every shard's token total
     reaches the budget (only the stratum's last falls short), while a
     shard immediately after an oversized document can be smaller.
-    Reproducibility is independent of parallelism.
+    Reproducibility is independent of parallelism. Consumers needing
+    exact budget isolation (no shard over budget; an oversized doc sits
+    alone) use :func:`pack_shards_greedy`, the sequential
+    applyInPandas twin.
 
     ``sub_strata > 1`` splits each stratum into that many deterministic
     hash sub-streams (shard_id becomes per-(stratum, sub-stream)) so a
@@ -571,3 +574,45 @@ def pack_shards(documents: DataFrame, budget: int,
          - 1).cast("long"))
     return out.select(key_col, stratum_col, "n_tok", "shard_id",
                       *(["sub"] if sub_strata > 1 else []))
+
+
+def pack_shards_greedy(documents: DataFrame, budget: int,
+                       stratum_col: str = "lang", key_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """STRICT greedy bin packing twin of :func:`pack_shards`
+    → (key_col, stratum_col, n_tok, shard_id).
+
+    Guarantee the prefix-sum variant cannot give: a shard's token total
+    NEVER exceeds ``budget`` unless the shard contains exactly one
+    oversized document (which then sits alone — exact budget isolation).
+    The running total resets at each boundary, which is inherently
+    sequential within a stratum, so this runs as ``applyInPandas`` per
+    stratum — parallel ACROSS strata, sequential within (the trade is
+    structural: strict greedy is a carried-state recurrence, not a prefix
+    sum; use :func:`pack_shards` (+``sub_strata``) when a dominant
+    stratum would serialize and boundary-straddling is acceptable).
+    Deterministic: documents are packed in ``key_col`` order.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    d = documents.select(
+        key_col, stratum_col,
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long").alias("n_tok"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values(key_col, kind="mergesort").copy()
+        ids, shard, acc = [], 0, 0
+        for t in pdf["n_tok"]:
+            if acc > 0 and acc + t > budget:
+                shard, acc = shard + 1, 0
+            ids.append(shard)
+            acc += t
+        pdf["shard_id"] = ids
+        return pdf
+
+    types = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+    schema = (f"{key_col} {types[key_col]}, "
+              f"{stratum_col} {types[stratum_col]}, "
+              "n_tok long, shard_id long")
+    return d.groupBy(stratum_col).applyInPandas(pack, schema=schema)

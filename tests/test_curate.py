@@ -371,3 +371,37 @@ def test_substring_dedup_fully_duplicated_doc_collapses_intervals(spark):
     out = {r["doc_id"]: r for r in substring_dedup(d, k=20).collect()}
     assert out["a"]["n_kept"] == 300              # first copy intact
     assert (out["b"]["n_kept"], out["b"]["text_clean"]) == (0, "")
+
+
+def test_pack_shards_greedy_budget_isolation(spark):
+    """Round-4 verdict item 6: strict greedy never overfills a shard
+    (except an oversized doc alone), unlike the prefix-sum variant where
+    an oversized doc straddles boundaries."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.curate import (
+        pack_shards, pack_shards_greedy)
+    rows = [("d0", "en", "a " * 40), ("d1", "en", "b " * 40),
+            ("d2", "en", "c " * 250),          # oversized (budget 100)
+            ("d3", "en", "d " * 40), ("d4", "en", "e " * 40),
+            ("d5", "de", "f " * 90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards_greedy(docs, budget=100).collect()}
+    # d0+d1 = 80 <= 100; d2 (250) must open ITS OWN shard; d3+d4 share
+    assert out["d0"] == out["d1"]
+    assert out["d2"] not in (out["d1"], out["d3"])
+    assert out["d3"] == out["d4"] and out["d3"] != out["d2"]
+    assert out["d5"] == 0  # separate stratum restarts ids
+    # per-shard totals: only the oversized doc's shard exceeds budget
+    got = pack_shards_greedy(docs, budget=100)
+    tot = {(r["lang"], r["shard_id"]): (r["n"], r["tok"])
+           for r in got.groupBy("lang", "shard_id")
+           .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+           .collect()}
+    for (lang, sid), (n, tok) in tot.items():
+        assert tok <= 100 or n == 1
+    # contrast: the prefix-sum variant has no such guarantee here
+    ps = pack_shards(docs, budget=100)
+    ps_tot = [r["tok"] for r in ps.groupBy("lang", "shard_id")
+              .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+              .where(F.col("n") > 1).collect()]
+    assert any(t > 100 for t in ps_tot)
