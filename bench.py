@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "tpch_q5_shape",
     "tpch_q18_shape",
+    # round 5 additions
+    "html_extract",
+    "entity_linking_disambig",
+    "pack_shards_greedy",
 ]
 
 

@@ -155,10 +155,19 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
 
     # --- context disambiguation tier ------------------------------------
     # candidates fan out per (doc, mention): score stays mention-keyed
-    # (no extra Python), support is doc-keyed
+    # (no extra Python), support is doc-keyed. The exact/unlinked/cand
+    # frames each feed MULTIPLE branches below (context set + output
+    # union; support join + rank join) — materialize them once or the
+    # executed plan re-runs the whole mention pipeline (and the pandas
+    # scorer) per branch, the curate_corpus lesson (plan audit showed 82
+    # exchanges without these, 15 with).
+    exact = exact.localCheckpoint(eager=False)
+    unlinked = unlinked.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
     occ = unlinked.select(doc_col, "norm_mention").dropDuplicates()
-    occ_cand = occ.join(cand.select("norm_mention", "entity_id", "score"),
-                        "norm_mention")
+    occ_cand = (occ.join(cand.select("norm_mention", "entity_id", "score"),
+                         "norm_mention")
+                .localCheckpoint(eager=False))
     ctx = (exact.select(doc_col, F.col("entity_id").alias("ctx_id"))
            .dropDuplicates())
     e = relationships.select(
