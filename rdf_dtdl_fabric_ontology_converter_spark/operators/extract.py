@@ -111,8 +111,24 @@ def sniff_format(text: str) -> str:
     return "turtle"
 
 
-def _parse_span(text: str):
+def _parse_span(text: str, extra: tuple = ()):
     """Returns (fmt, rows, error). rows are 7-tuples from the span parsers.
+
+    ``extra``: third-party FormatPlugin snapshot (``plugins.py``) —
+    custom sniffers run FIRST, in registration order, so a plugin can
+    claim content the built-ins would misroute; a plugin parser that
+    raises degrades to a parse-error skip row like any built-in."""
+    for p in extra:
+        try:
+            if p.sniffer(text):
+                return p.name, p.parser(text), None
+        except Exception as e:  # noqa: BLE001
+            return p.name, [], f"plugin {p.name}: {type(e).__name__}: {e}"
+    return _parse_span_builtin(text)
+
+
+def _parse_span_builtin(text: str):
+    """Built-in format dispatch (see _parse_span).
 
     ``error`` with non-empty ``rows`` means a PARTIAL skip (N3-only
     statements degraded to a skip record while the plain triples were
@@ -177,7 +193,15 @@ def extract_triples(documents: DataFrame) -> DataFrame:
     arrays directly is ~5× cheaper than materializing a pandas DataFrame of
     Python tuples per batch, which otherwise dominates extraction time at
     high core counts.
+
+    Third-party format plugins (``plugins.register_format`` /
+    ``plugins.discover_plugins``) registered at PLAN BUILD TIME are
+    snapshotted here and shipped to executors inside the UDF closure —
+    module-level registry state on the driver is not otherwise visible
+    to executor processes (see plugins.py).
     """
+    from ..plugins import registered_formats
+    extra = registered_formats()
 
     def run(batches):
         from itertools import chain
@@ -196,7 +220,7 @@ def extract_triples(documents: DataFrame) -> DataFrame:
                 for idx, span in enumerate(spans):
                     if span["kind"] != "text" or not span["text"]:
                         continue
-                    fmt, rows, err = _parse_span(span["text"])
+                    fmt, rows, err = _parse_span(span["text"], extra)
                     if err is not None:
                         # error-or-skip row; with rows alongside it this is
                         # a PARTIAL skip (N3 rules dropped, triples kept)

@@ -88,7 +88,7 @@ def n_exchanges(df) -> int:
 
 CURATE_QUERIES = ["chunk_dedup", "substring_dedup", "score_linear",
                   "decontaminate", "sample_stratified",
-                  "pack_shards", "curate_corpus"]
+                  "pack_shards", "pack_shards_greedy", "curate_corpus"]
 EMB_QUERIES = ["semantic_dedup", "emb_near_dup", "ann_lsh_buckets",
                "ann_ivf_topk"]
 
