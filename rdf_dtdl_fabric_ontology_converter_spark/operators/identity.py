@@ -154,9 +154,13 @@ def topo_depth(classes_with_parent: DataFrame,
                      F.col("base_entity_type_id").alias("parent_id")))
     depth = classes_with_parent.select(
         F.col("entity_id"), F.lit(0).alias("depth"))
-    cur = edges
+    # one driver action per round: the count() below both materializes the
+    # lazy checkpoint and is the loop guard (the old eager checkpoint +
+    # isEmpty() pair cost two jobs per round for the same information)
+    cur = edges.localCheckpoint(eager=False)
+    n_cur = cur.count()
     for d in range(1, max_depth + 1):
-        if cur.isEmpty():
+        if n_cur == 0:
             break
         depth = (depth.join(cur.select(F.col("child_id").alias("entity_id"))
                             .withColumn("d2", F.lit(d)),
@@ -170,5 +174,6 @@ def topo_depth(classes_with_parent: DataFrame,
                .select(F.col("a.child_id").alias("child_id"),
                        F.col("b.parent_id").alias("parent_id"))
                .dropDuplicates()
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
+        n_cur = cur.count()
     return depth

@@ -85,13 +85,8 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
     visited = frontier
     results_parts = [direct]
 
-    for _ in range(max_depth):
-        # IRIs in the node frontier are resolved classes (dedup at the end)
-        results_parts.append(
-            frontier.where((F.col("tag") == "n") &
-                           ~F.col("node").startswith("_:"))
-            .select(*keys, F.col("node").alias("class_uri")))
-
+    def expand(frontier: DataFrame) -> DataFrame:
+        """One expansion step: frontier → next frontier (lazy)."""
         expandable = frontier.where(
             (F.col("tag") == "l") | F.col("node").startswith("_:"))
         joined = expandable.join(F.broadcast(expr).hint("broadcast"),
@@ -105,19 +100,40 @@ def resolve_class_targets(roots: DataFrame, expr: DataFrame,
         is_first = (F.col("tag") == "l") & (F.col("pred") == RDF_FIRST)
         is_rest = ((F.col("tag") == "l") & (F.col("pred") == RDF_REST) &
                    (F.col("obj") != RDF_NIL))
-        frontier = (joined
-                    .where(is_head | is_comp | is_first | is_rest)
-                    .select(*keys,
-                            F.when(is_comp | is_first, F.lit("n"))
-                            .otherwise(F.lit("l")).alias("tag"),
-                            F.col("obj").alias("node"))
-                    .dropDuplicates()
-                    .join(visited, keys + ["tag", "node"], "left_anti")
-                    .localCheckpoint(eager=False))
-        n_frontier = frontier.count()
+        return (joined
+                .where(is_head | is_comp | is_first | is_rest)
+                .select(*keys,
+                        F.when(is_comp | is_first, F.lit("n"))
+                        .otherwise(F.lit("l")).alias("tag"),
+                        F.col("obj").alias("node"))
+                .dropDuplicates())
+
+    # TWO expansion steps per driver round-trip: the first step stays lazy
+    # (lineage depth between checkpoints is bounded at 2 broadcast joins,
+    # and its recompute cost is one schema-bounded broadcast join), only the
+    # second is checkpointed + counted. A single convergence check covers
+    # both steps — an empty first frontier just makes the second join a
+    # no-op inside the same job. Halves the fixed per-run job count of the
+    # dominant list-walk chains (rdf:first/rdf:rest alternation means real
+    # inputs need ~2 steps per list element anyway).
+    for _ in range((max_depth + 1) // 2):
+        step1 = (expand(frontier)
+                 .join(visited, keys + ["tag", "node"], "left_anti"))
+        visited1 = visited.unionByName(step1)
+        step2 = (expand(step1)
+                 .join(visited1, keys + ["tag", "node"], "left_anti")
+                 .localCheckpoint(eager=False))
+        # harvest resolved IRIs from BOTH step frontiers
+        for f in (step1, step2):
+            results_parts.append(
+                f.where((F.col("tag") == "n") &
+                        ~F.col("node").startswith("_:"))
+                .select(*keys, F.col("node").alias("class_uri")))
+        n_frontier = step2.count()
         if n_frontier == 0:
             break
-        visited = visited.unionByName(frontier)
+        visited = visited1.unionByName(step2)
+        frontier = step2
 
     out = results_parts[0]
     for part in results_parts[1:]:
