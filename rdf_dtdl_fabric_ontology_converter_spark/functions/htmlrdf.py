@@ -19,11 +19,16 @@ initial context's default prefixes (dc, foaf, schema, og, …) are
 predefined, locally-declared prefixes winning; @about/@resource follow
 the SafeCURIEorCURIEorIRI grammar (safe-CURIE brackets, no @vocab
 application, relative IRIs resolved against <base href>), and bare
-@href/@src resolve against <base href> too. @inlist collects
-property/rel values into rdf:first/rdf:rest chains (one list per
-(subject, predicate), document order; disjoint list scopes for the same
-pair merge — documented deviation). xmlns:foo prefix declarations are
-honored for RDFa 1.0 back-compat.
+@href/@src resolve against <base href> too; an element carrying only
+@href/@src establishes the new subject (completing ancestor incomplete
+triples). @inlist collects property/rel values into rdf:first/rdf:rest
+chains (one list per (subject, predicate), document order; disjoint list
+scopes for the same pair merge — documented deviation), including
+object-less @rel+@inlist whose list fills from descendant link targets.
+@vocab additionally asserts rdfa:usesVocabulary on the document IRI when
+<base href> makes it known (documented deviation: standalone spans have
+no URL otherwise). xmlns:foo prefix declarations are honored for
+RDFa 1.0 back-compat.
 
 Microdata (WHATWG + microdata-to-RDF conventions): ``itemscope`` /
 ``itemtype`` / ``itemid`` (resolved against ``<base href>``) /
@@ -32,10 +37,13 @@ crawled from id-referenced subtrees per WHATWG §5.2.4, forward or
 backward references, cycle-safe — evaluated over a one-pass DOM tree
 because a reference can point anywhere in the document); value
 extraction per element kind (a/link/area → href,
-img/audio/video/embed/iframe/source → src, meta → content, time →
-datetime, data/meter → value, nested itemscope → the nested item, else
-text content). Property IRIs resolve against the itemtype's vocabulary
-(last path segment replaced — the schema.org convention).
+img/audio/video/embed/iframe/source → src, object → data, meta →
+content, time → datetime with the datatype sniffed from the lexical
+form, data/meter → value, nested itemscope → the nested item, else text
+content). Plain literals carry the language of the nearest ancestor
+``lang`` attribute per the microdata-to-RDF note. Property IRIs resolve
+against the itemtype's vocabulary (last path segment replaced — the
+schema.org convention).
 
 Both return the shared 7-tuple shape
 ``(subj, pred, obj, obj_kind, obj_datatype, lang, graph_ctx)``; blank
@@ -51,6 +59,7 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+RDFA_USES_VOCABULARY = "http://www.w3.org/ns/rdfa#usesVocabulary"
 _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -257,6 +266,14 @@ class _RdfaParser(HTMLParser):
                  "incomplete": incoming, "_depth": self.depth, "_tag": tag}
         if "vocab" in a and a["vocab"]:
             scope["vocab"] = a["vocab"]
+            # RDFa 1.1 Core step 2: @vocab emits
+            # (base rdfa:usesVocabulary vocab). Only possible when the
+            # document IRI is known — for these standalone spans that means
+            # an explicit <base href> (documented deviation: a browser
+            # processor always knows the document URL).
+            if self.base:
+                self.triples.append((self.base, RDFA_USES_VOCABULARY,
+                                     a["vocab"], "iri", None, None, None))
         if "prefix" in a and a["prefix"]:
             toks = a["prefix"].split()
             pfx = dict(parent["prefixes"])
@@ -322,10 +339,13 @@ class _RdfaParser(HTMLParser):
                 scope["incomplete"] = []
             else:
                 # no object here: incomplete triples, completed by each
-                # descendant element that establishes a new subject
+                # descendant element that establishes a new subject;
+                # @inlist routes forward completions into the list
+                # accumulator instead ("list incomplete triples")
                 scope["incomplete"] = (
-                    [("fwd", p, self_subject) for p in rel_preds] +
-                    [("rev", p, self_subject) for p in rev_preds])
+                    [("fwd", p, self_subject, "inlist" in a)
+                     for p in rel_preds] +
+                    [("rev", p, self_subject, False) for p in rev_preds])
 
         # @property admits a whitespace-separated list of terms; terms
         # that resolve to nothing (bare term without vocab, undeclared
@@ -398,14 +418,24 @@ class _RdfaParser(HTMLParser):
                                if resource else self._bnode())
             elif new_subject is None and resource is not None:
                 new_subject = self._resolve_iri_attr(resource, scope)
+            elif new_subject is None and obj_iri is not None:
+                # RDFa 1.1 step 5: with no @rel/@rev/@property, a bare
+                # @href/@src establishes the new subject (this is what
+                # completes an ancestor's incomplete triples with the
+                # link target, e.g. @inlist-of-resources markup)
+                new_subject = obj_iri
 
         # complete the nearest ancestor's pending @rel/@rev triples
         if new_subject is not None and incoming:
-            for direction, p, s in incoming:
+            for direction, p, s, in_list in incoming:
                 if direction == "fwd":
-                    self.triples.append((s, p, new_subject,
-                                         self._kind(new_subject),
-                                         None, None, None))
+                    if in_list:
+                        self._inlist_add(s, p, new_subject,
+                                         self._kind(new_subject))
+                    else:
+                        self.triples.append((s, p, new_subject,
+                                             self._kind(new_subject),
+                                             None, None, None))
                 else:
                     self.triples.append((new_subject, p, s,
                                          self._kind(s), None, None, None))
@@ -657,6 +687,7 @@ class _MicrodataEvaluator:
                        vocab: str | None,
                        item_id: dict[int, str]) -> None:
         a = e.attrs
+        dt = None
         if "itemscope" in a:
             val = item_id[id(e)]
             kind = "bnode" if val.startswith("_:") else "iri"
@@ -667,17 +698,36 @@ class _MicrodataEvaluator:
             elif e.tag in ("img", "audio", "video", "embed", "iframe",
                            "source", "track") and "src" in a:
                 val, kind = _resolve_base(self.base, a["src"]), "iri"
+            elif e.tag == "object" and "data" in a:
+                val, kind = _resolve_base(self.base, a["data"]), "iri"
             elif e.tag == "meta":
                 val = a.get("content", "")
             elif e.tag == "time":
                 val = a.get("datetime") or None
+                if val is not None:
+                    # microdata-to-RDF §4.3: time values carry a datatype
+                    # determined by the lexical form
+                    dt = _sniff_time_datatype(val)
             elif e.tag in ("data", "meter") and "value" in a:
                 val = a["value"]
             if val is None:
                 val = _text_content(e) if e.tag not in _VOID else ""
+        # microdata-to-RDF §4.3: a plain literal carries the language of
+        # the nearest ancestor lang attribute (typed literals don't)
+        lang = self._lang_of(e) if kind == "literal" and dt is None else None
         for pn in prop.split():
             self.triples.append((subj, self._pred(pn, vocab), val, kind,
-                                 None, None, None))
+                                 dt, lang, None))
+
+    @staticmethod
+    def _lang_of(e: _Node) -> str | None:
+        n = e
+        while n is not None:
+            lang = n.attrs.get("lang") or n.attrs.get("xml:lang")
+            if lang:
+                return lang
+            n = n.parent
+        return None
 
 
 def parse_microdata(text: str) -> list[tuple]:

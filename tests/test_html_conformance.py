@@ -218,6 +218,51 @@ RDFA_CASES = [
      f'<div about="{EX}s"><div about="{EX}t">'
      f'<span property="{EX}p">v</span></div></div>',
      {(f"{EX}t", f"{EX}p", "v")}, None),
+
+    # round-5 additions: harder processing-sequence corners
+    ("r33_typed_resource_object",
+     f'<div about="{EX}s"><span property="{EX}p" typeof="{EX}T" '
+     f'resource="{EX}o">x</span></div>',
+     {(f"{EX}s", f"{EX}p", f"{EX}o"),
+      (f"{EX}o", f"{RDF}type", f"{EX}T")}, None),
+
+    ("r34_datatype_curie_content",
+     # xsd: comes from the RDFa 1.1 initial context
+     f'<span about="{EX}s" property="{EX}p" datatype="xsd:integer" '
+     'content="42">forty-two</span>',
+     {(f"{EX}s", f"{EX}p", "42")}, (f"{EX}p", f"{XSD}integer", None)),
+
+    ("r35_inlist_rel_resources",
+     # @inlist on @rel: descendant link targets collected into ONE rdf:List
+     f'<div about="{EX}s" rel="schema:item" inlist="">'
+     f'<a href="{EX}o1">1</a><a href="{EX}o2">2</a></div>',
+     {(f"{EX}s", f"{S}item", "_:b0"),
+      ("_:b0", f"{RDF}first", f"{EX}o1"), ("_:b0", f"{RDF}rest", "_:b1"),
+      ("_:b1", f"{RDF}first", f"{EX}o2"),
+      ("_:b1", f"{RDF}rest", f"{RDF}nil")}, None),
+
+    ("r36_empty_about_is_base",
+     f'<html><head><base href="{DOC}"></head><body>'
+     f'<span about="" property="{EX}p">v</span></body></html>',
+     {(DOC, f"{EX}p", "v")}, None),
+
+    ("r37_safe_curie_resource",
+     f'<div prefix="ex: {EX}" about="{EX}s">'
+     f'<span property="{EX}p" resource="[ex:o]">x</span></div>',
+     {(f"{EX}s", f"{EX}p", f"{EX}o")}, None),
+
+    ("r38_uses_vocabulary",
+     # RDFa 1.1 Core step 2: @vocab asserts rdfa:usesVocabulary on the
+     # document IRI (here known via <base href>)
+     f'<html><head><base href="{DOC}"></head><body vocab="{S}">'
+     f'<span about="{EX}s" property="name">n</span></body></html>',
+     {(DOC, "http://www.w3.org/ns/rdfa#usesVocabulary", S),
+      (f"{EX}s", f"{S}name", "n")}, None),
+
+    ("r39_content_inherits_lang",
+     f'<div lang="fr" about="{EX}s">'
+     f'<span property="{EX}p" content="chat">cat</span></div>',
+     {(f"{EX}s", f"{EX}p", "chat")}, (f"{EX}p", None, "fr")),
 ]
 
 # Parser output observed to match the spec-expected triples; a case
@@ -236,6 +281,10 @@ PINNED_PASS_RDFA = {
     "r25_property_typeof_bnode_chain", "r26_xmlns_backcompat",
     "r28_empty_datatype_plain", "r30_term_without_vocab_ignored",
     "r31_time_datetime_content", "r32_about_overrides_inherited_subject",
+    "r33_typed_resource_object", "r34_datatype_curie_content",
+    "r35_inlist_rel_resources", "r36_empty_about_is_base",
+    "r37_safe_curie_resource", "r38_uses_vocabulary",
+    "r39_content_inherits_lang",
 }
 
 # ---------------------------------------------------------------------------
@@ -345,6 +394,52 @@ MD_CASES = [
      'itemref="x"><span itemprop="name">C</span></div></div>',
      {("_:b0", f"{RDF}type", f"{S}Person"),
       ("_:b0", f"{S}name", "C")}, None),
+
+    # round-5 additions
+    ("m17_link_href_value",
+     f'<div itemscope itemtype="{S}Person">'
+     f'<link itemprop="url" href="{EX}a"></div>',
+     {("_:b0", f"{RDF}type", f"{S}Person"),
+      ("_:b0", f"{S}url", f"{EX}a")}, None),
+
+    ("m18_literal_language",
+     # microdata-to-RDF §4.3: plain literals carry the in-scope language
+     f'<div lang="fr" itemscope itemtype="{S}Person">'
+     '<span itemprop="name">Alice</span></div>',
+     {("_:b0", f"{RDF}type", f"{S}Person"),
+      ("_:b0", f"{S}name", "Alice")}, (f"{S}name", None, "fr")),
+
+    ("m19_itemref_shared_between_items",
+     '<p id="sh"><span itemprop="name">N</span></p>'
+     f'<div itemscope itemtype="{S}Person" itemref="sh"></div>'
+     f'<div itemscope itemtype="{S}Author" itemref="sh"></div>',
+     {("_:b0", f"{RDF}type", f"{S}Person"), ("_:b0", f"{S}name", "N"),
+      ("_:b1", f"{RDF}type", f"{S}Author"),
+      ("_:b1", f"{S}name", "N")}, None),
+
+    ("m20_object_data_value",
+     f'<div itemscope itemtype="{S}Product">'
+     f'<object itemprop="spec" data="{EX}spec.pdf"></object></div>',
+     {("_:b0", f"{RDF}type", f"{S}Product"),
+      ("_:b0", f"{S}spec", f"{EX}spec.pdf")}, None),
+
+    ("m21_time_datatype_sniffed",
+     # microdata-to-RDF §4.3: time values are typed by lexical form
+     f'<div itemscope itemtype="{S}Event">'
+     '<time itemprop="startDate" datetime="2026-01-01">jan</time></div>',
+     {("_:b0", f"{RDF}type", f"{S}Event"),
+      ("_:b0", f"{S}startDate", "2026-01-01")},
+     (f"{S}startDate", f"{XSD}date", None)),
+
+    ("m22_nested_itemid_object",
+     f'<div itemscope itemtype="{S}Person">'
+     f'<div itemprop="address" itemscope itemtype="{S}PostalAddress" '
+     f'itemid="{EX}addr1"><span itemprop="addressLocality">T</span>'
+     '</div></div>',
+     {("_:b0", f"{RDF}type", f"{S}Person"),
+      ("_:b0", f"{S}address", f"{EX}addr1"),
+      (f"{EX}addr1", f"{RDF}type", f"{S}PostalAddress"),
+      (f"{EX}addr1", f"{S}addressLocality", "T")}, None),
 ]
 
 PINNED_PASS_MD = {
@@ -353,7 +448,10 @@ PINNED_PASS_MD = {
     "m07_itemid", "m08_itemref_backward", "m09_itemref_forward",
     "m10_multi_itemprop", "m11_multi_itemtype", "m12_base_itemid",
     "m13_data_value", "m14_absolute_itemprop", "m15_hash_vocab",
-    "m16_itemref_cycle_safe",
+    "m16_itemref_cycle_safe", "m17_link_href_value",
+    "m18_literal_language", "m19_itemref_shared_between_items",
+    "m20_object_data_value", "m21_time_datatype_sniffed",
+    "m22_nested_itemid_object",
 }
 
 # conformance floor over the whole corpus: regressions below this fail
