@@ -87,12 +87,21 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     prev = closure.count()
     if prev == 0:
         return closure
-    for _ in range(max_rounds):
-        grown = (closure.alias("a")
-                 .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
-                 .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
-        new_closure = (closure.unionByName(grown).dropDuplicates()
-                       .localCheckpoint(eager=False))
+
+    def double(c: DataFrame) -> DataFrame:
+        grown = (c.alias("a")
+                 .join(c.alias("b"), F.col("a.dst") == F.col("b.src"))
+                 .select(F.col("a.src").alias("src"),
+                         F.col("b.dst").alias("dst")))
+        return c.unionByName(grown).dropDuplicates()
+
+    # TWO doubling steps per driver round-trip (4x reachable depth per
+    # count). The intermediate closure stays lazy inside the same job;
+    # both sides of the second self-join share its identical subplan, so
+    # Spark's ReusedExchange computes the intermediate dedup shuffle once.
+    # A converged first step just makes the second a no-op in the same job.
+    for _ in range((max_rounds + 1) // 2):
+        new_closure = double(double(closure)).localCheckpoint(eager=False)
         n = new_closure.count()
         if n == prev:
             return new_closure
