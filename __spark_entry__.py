@@ -116,6 +116,92 @@ def _oracle_kg_triples() -> str:
     """
 
 
+def q_sparql_bgp(spark, sf_dir):
+    """Conjunctive BGP over extracted triples: object properties with their
+    domain class, range class, and the domain's label — a 4-pattern join
+    (operators/bgp.py; reference does this as nested graph.triples loops,
+    property_extractor.py:72-77)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    out = match_bgp(clean, [
+        ("?p", RDF_TYPE, "http://www.w3.org/2002/07/owl#ObjectProperty"),
+        ("?p", "http://www.w3.org/2000/01/rdf-schema#domain", "?n"),
+        ("?p", "http://www.w3.org/2000/01/rdf-schema#range", "?r"),
+        ("?n", RDFS_LABEL, "?label"),
+    ], select=["n", "r", "label"])
+    return out.orderBy("n")
+
+
+def _oracle_sparql_bgp() -> str:
+    t, dom, rng = (f"'{RDF_TYPE}'",
+                   "'http://www.w3.org/2000/01/rdf-schema#domain'",
+                   "'http://www.w3.org/2000/01/rdf-schema#range'")
+    return f"""
+    WITH t AS ({_oracle_kg_triples()})
+    SELECT DISTINCT t2.obj AS n, t3.obj AS r, t4.obj AS label
+    FROM t t1
+    JOIN t t2 ON t2.subj = t1.subj AND t2.pred = {dom}
+    JOIN t t3 ON t3.subj = t1.subj AND t3.pred = {rng}
+    JOIN t t4 ON t4.subj = t2.obj AND t4.pred = '{RDFS_LABEL}'
+    WHERE t1.pred = {t}
+      AND t1.obj = 'http://www.w3.org/2002/07/owl#ObjectProperty'
+    ORDER BY n
+    """
+
+
+def _nation_chain_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle doc per nation forming a deep rdfs:subClassOf chain:
+    N0 ⊑ Root, Nk ⊑ N(k-1) — depth ~25 so the p+ path genuinely needs the
+    path-doubling closure, not a bounded unroll."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    parent = F.when(F.col("n_nationkey") == 0, F.lit("Root")) \
+        .otherwise(F.concat(F.lit("N"), F.col("n_nationkey") - 1))
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(" rdfs:subClassOf ex:"), parent, F.lit(" .\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("chain_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_sparql_path(spark, sf_dir):
+    """SPARQL 1.1 one-or-more property path: the full subClassOf+ closure
+    of a ~25-deep chain (oracle: recursive CTE), via the shared
+    path-doubling transitive closure."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(
+        extract_triples(_nation_chain_ttl_docs(spark, sf_dir)))
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    out = match_bgp(clean, [("?x", sub + "+", "?y")])
+    return out.orderBy("x", "y")
+
+
+_ORACLE_SPARQL_PATH = """
+WITH RECURSIVE edges AS (
+  SELECT 'http://example.org/N'||n_nationkey AS src,
+         CASE WHEN n_nationkey = 0 THEN 'http://example.org/Root'
+              ELSE 'http://example.org/N'||(n_nationkey - 1) END AS dst
+  FROM nation
+), closure AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+)
+SELECT DISTINCT src AS x, dst AS y FROM closure ORDER BY x, y
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -2407,6 +2493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shape": q_tpch_q3_shape,
         "tpch_q5_shape": q_tpch_q5_shape,
         "tpch_q18_shape": q_tpch_q18_shape,
+        # round 5: SPARQL-style BGP layer over the triples table
+        "sparql_bgp": q_sparql_bgp,
+        "sparql_path": q_sparql_path,
     }
 
 
@@ -2472,4 +2561,6 @@ def oracle_sql() -> dict[str, str]:
         "dtdl_relationship_types": _oracle_dtdl_relationships(),
         "cdm_entity_types": _oracle_cdm_entities(),
         "cdm_relationship_types": _oracle_cdm_relationships(),
+        "sparql_bgp": _oracle_sparql_bgp(),
+        "sparql_path": _ORACLE_SPARQL_PATH,
     }

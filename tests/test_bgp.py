@@ -1,0 +1,105 @@
+"""Basic-graph-pattern matching (operators/bgp.py).
+
+Mirrors the reference's nested triple-pattern loops
+(property_extractor.py:72-77, class_resolver.py:98-123) as declarative
+conjunctive queries, plus the SPARQL 1.1 ``p+`` property path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+CLS = "http://www.w3.org/2002/07/owl#Class"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("ex:A", RDF_TYPE, CLS),
+        ("ex:B", RDF_TYPE, CLS),
+        ("ex:C", RDF_TYPE, CLS),
+        ("ex:B", SUB, "ex:A"),
+        ("ex:C", SUB, "ex:B"),
+        ("ex:D", SUB, "ex:C"),
+        ("ex:A", LABEL, "alpha"),
+        ("ex:B", LABEL, "beta"),
+        ("ex:self", "ex:loves", "ex:self"),
+        ("ex:x", "ex:loves", "ex:self"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_single_pattern_constant_predicate(triples):
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)])
+    assert out.columns == ["c"]
+    assert {r.c for r in out.collect()} == {"ex:A", "ex:B", "ex:C"}
+
+
+def test_conjunction_joins_on_shared_variable(triples):
+    # typed classes that have a label AND a declared superclass
+    out = match_bgp(triples, [
+        ("?c", RDF_TYPE, CLS),
+        ("?c", SUB, "?p"),
+        ("?c", LABEL, "?l"),
+    ], select=["c", "p", "l"])
+    assert [tuple(r) for r in out.collect()] == [("ex:B", "ex:A", "beta")]
+
+
+def test_repeated_variable_within_pattern(triples):
+    out = match_bgp(triples, [("?x", "ex:loves", "?x")])
+    assert [r.x for r in out.collect()] == ["ex:self"]
+
+
+def test_filter_expr(triples):
+    out = match_bgp(triples, [("?c", LABEL, "?l")],
+                    filter_expr="l LIKE 'a%'", select=["c"])
+    assert [r.c for r in out.collect()] == ["ex:A"]
+
+
+def test_property_path_one_or_more(triples):
+    # D -> C -> B -> A needs a genuine multi-hop closure
+    out = match_bgp(triples, [("?x", SUB + "+", "ex:A")])
+    assert {r.x for r in out.collect()} == {"ex:B", "ex:C", "ex:D"}
+    pairs = match_bgp(triples, [("?x", SUB + "+", "?y")])
+    assert pairs.count() == 3 + 2 + 1  # full chain closure
+
+
+def test_path_composes_with_plain_patterns(triples):
+    # ancestors of D that are typed classes (D itself is untyped)
+    out = match_bgp(triples, [
+        ("ex:D", SUB + "+", "?a"),
+        ("?a", RDF_TYPE, CLS),
+    ])
+    assert {r.a for r in out.collect()} == {"ex:A", "ex:B", "ex:C"}
+
+
+def test_disconnected_patterns_raise_without_opt_in(triples):
+    with pytest.raises(ValueError, match="Cartesian"):
+        match_bgp(triples, [("?a", LABEL, "?l1"), ("?b", RDF_TYPE, "?t")])
+    out = match_bgp(triples, [("?a", LABEL, "?l1"), ("?b", RDF_TYPE, "?t")],
+                    allow_product=True)
+    assert out.count() == 2 * 3
+
+
+def test_fully_constant_pattern_raises_in_conjunction(triples):
+    with pytest.raises(ValueError, match="fully-constant"):
+        match_bgp(triples, [("ex:A", RDF_TYPE, CLS), ("?c", SUB, "?p")])
+
+
+def test_unbound_select_raises(triples):
+    with pytest.raises(ValueError, match="not.*bound|not bound"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)], select=["nope"])
+
+
+def test_multiset_semantics_without_distinct(triples):
+    # two subjects love ex:self -> projecting only the object keeps both
+    out = match_bgp(triples, [("?who", "ex:loves", "?whom")],
+                    select=["whom"], distinct=False)
+    assert [r.whom for r in out.collect()] == ["ex:self", "ex:self"]
+    assert match_bgp(triples, [("?who", "ex:loves", "?whom")],
+                     select=["whom"]).count() == 1
