@@ -130,22 +130,10 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
                 "feature": [v / tot for v in hist], "decode_error": None}
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        import zlib
-        if len(payload) < 24:
-            raise ValueError("PNG: truncated before IHDR")
-        width, height = struct.unpack_from(">II", payload, 16)
-        idat, pos = b"", 8
-        while pos + 8 <= len(payload):
-            ln, typ = struct.unpack_from(">I4s", payload, pos)
-            if typ == b"IDAT":
-                idat += payload[pos + 8:pos + 8 + ln]
-            if typ == b"IEND":
-                break
-            pos += 12 + ln
-        raw = zlib.decompress(idat) if idat else b""
+        width, height, gray = _png_gray_pixels(payload)
         hist = [0] * 8
-        for b in raw:
-            hist[b >> 5] += 1
+        for g in gray:
+            hist[g >> 5] += 1
         tot = max(sum(hist), 1)
         return {"media_type": "image", "width": int(width),
                 "height": int(height), "duration_ms": None,
@@ -159,6 +147,111 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
         return _decode_mp4_meta(payload)
 
     raise ValueError(f"unsupported container (magic={payload[:4]!r})")
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, list[tuple]]:
+    """FULL PNG pixel decode with the stdlib only (zlib + struct).
+
+    Returns ``(width, height, n_channels, pixels)`` where ``pixels`` is a
+    row-major list of per-pixel channel tuples (grayscale ``(g,)``, RGB
+    ``(r,g,b)``, RGBA ``(r,g,b,a)``, ...). Supports the PNG §4.1.1 static
+    image core: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette via
+    PLTE), 4 (gray+alpha), 6 (RGBA), interlace 0, with all five §9.2
+    scanline filters (None/Sub/Up/Average/Paeth) reversed exactly per
+    spec. Adam7 interlace and 1/2/4/16-bit depths raise (decode_error
+    row, never a task failure). The reference never decodes pixels at all
+    (media refs pass through opaque); this closes the round-4 "filtered-
+    scanline space, not pixel space" caveat for PNG.
+    """
+    import struct as _s
+    import zlib
+    if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 33:
+        raise ValueError("PNG: bad signature or truncated")
+    width, height = _s.unpack_from(">II", payload, 16)
+    depth, ctype, comp, filt, ilace = _s.unpack_from(">BBBBB", payload, 24)
+    if depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {depth} (8 only)")
+    if ilace != 0:
+        raise ValueError("PNG: Adam7 interlace unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: nonstandard compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG: unsupported color type {ctype}")
+    idat, plte, pos = b"", None, 8
+    while pos + 8 <= len(payload):
+        ln, typ = _s.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IDAT":
+            idat += body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    row_bytes = width * channels
+    if len(raw) != height * (row_bytes + 1):
+        raise ValueError("PNG: IDAT stream length mismatch")
+    # reverse the per-scanline filters (PNG §9.2); bpp = bytes per pixel
+    bpp = channels
+    out = bytearray()
+    prev = bytearray(row_bytes)
+    p = 0
+    for _ in range(height):
+        ft = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + row_bytes])
+        p += 1 + row_bytes
+        if ft == 1:    # Sub: left neighbour
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up: previous scanline
+            for i in range(row_bytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average: floor((left+up)/2)
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG: invalid filter type {ft}")
+        out += line
+        prev = line
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE chunk")
+        pixels = []
+        for idx in out:
+            o = idx * 3
+            if o + 3 > len(plte):
+                raise ValueError(f"PNG: palette index {idx} out of range")
+            pixels.append((plte[o], plte[o + 1], plte[o + 2]))
+        return int(width), int(height), 3, pixels
+    pixels = [tuple(out[i:i + channels])
+              for i in range(0, len(out), channels)]
+    return int(width), int(height), channels, pixels
+
+
+def _png_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """PNG → (width, height, row-major grayscale pixels 0-255); same
+    luma weights as the BMP branch so features are comparable."""
+    width, height, nch, pixels = png_decode(payload)
+    if nch == 1:
+        gray = [px[0] for px in pixels]
+    elif nch == 2:   # gray+alpha: luma is the gray channel
+        gray = [px[0] for px in pixels]
+    else:            # RGB / RGBA
+        gray = [(px[0] * 299 + px[1] * 587 + px[2] * 114) // 1000
+                for px in pixels]
+    return width, height, gray
 
 
 # SOF markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded)
