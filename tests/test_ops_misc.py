@@ -897,3 +897,79 @@ def test_png_full_pixel_decode():
         png_decode(adam7)
     with _pytest.raises(ValueError, match="PLTE"):
         png_decode(png(1, 1, 3, [bytes([0, 0])]))  # palette, no PLTE chunk
+
+
+def test_mp4_sample_table_and_frame_sampling(spark):
+    """REAL ISO-BMFF demux: stts/stsc/stsz/stco composition must yield
+    exact per-sample byte ranges + timestamps, and frame_sample must slice
+    the true encoded access units out of mdat."""
+    import struct
+
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        frame_sample, mp4_extract_frames, mp4_sample_table)
+
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    # 5 samples: ts = 0,500,1000,1500,2500 (timescale 1000)
+    frames = [bytes([0x40 + i]) * (4 + i) for i in range(5)]
+    stts = box(b"stts", struct.pack(">II", 0, 2) +
+               struct.pack(">II", 3, 500) + struct.pack(">II", 2, 1000))
+    # chunks: #1 = s0+s1, #2 = s2+s3, #3 = s4
+    stsc = box(b"stsc", struct.pack(">II", 0, 2) +
+               struct.pack(">III", 1, 2, 1) + struct.pack(">III", 3, 1, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, 5) +
+               struct.pack(">5I", *[len(f) for f in frames]))
+
+    def build(stco_offsets):
+        stco = box(b"stco", struct.pack(">II", 0, 3) +
+                   struct.pack(">3I", *stco_offsets))
+        stbl = box(b"stbl", stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 13)
+        mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000, 2500))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = box(b"tkhd", struct.pack(">II", 0, 0) + b"\x00" * 72 +
+                   struct.pack(">II", 320 << 16, 240 << 16))
+        trak = box(b"trak", tkhd + mdia)
+        mvhd = box(b"mvhd", struct.pack(">II", 0, 0) + b"\x00" * 8 +
+                   struct.pack(">II", 1000, 2500) + b"\x00" * 80)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        mdat = box(b"mdat", b"".join(frames))
+        return ftyp + moov + mdat
+
+    # two-pass: sizes are stable, so compute mdat body start then refill stco
+    draft = build([0, 0, 0])
+    mdat_body = draft.index(b"mdat") + 4
+    c1 = mdat_body
+    c2 = c1 + len(frames[0]) + len(frames[1])
+    c3 = c2 + len(frames[2]) + len(frames[3])
+    mp4 = build([c1, c2, c3])
+
+    tracks = mp4_sample_table(mp4)
+    assert len(tracks) == 1 and tracks[0]["handler"] == "vide"
+    samples = tracks[0]["samples"]
+    assert [(si, ts) for si, ts, _, _ in samples] == \
+        [(0, 0), (1, 500), (2, 1000), (3, 1500), (4, 2500)]
+    for (si, _, off, size), f in zip(samples, frames):
+        assert mp4[off:off + size] == f
+
+    # 1 Hz sampling: latest sample at-or-before each tick, bytes exact
+    out = mp4_extract_frames(mp4, every_ms=1000)
+    assert [(ts, si) for ts, si, _ in out] == [(0, 0), (1000, 2), (1500, 3)]
+    assert [d for _, _, d in out] == [frames[0], frames[2], frames[3]]
+
+    # Spark batch path: real frames + a non-MP4 error row, never a failure
+    refs = spark.createDataFrame(
+        [("d1", 0, "v.mp4", bytearray(mp4)),
+         ("d1", 1, "b.bin", bytearray(b"not a container"))],
+        "doc_id string, span_idx int, media_ref string, payload binary")
+    rows = frame_sample(refs, every_ms=1000).collect()
+    good = sorted([r for r in rows if r["media_ref"] == "v.mp4"],
+                  key=lambda r: r["frame_ts_ms"])
+    assert [(r["frame_ts_ms"], r["sample_idx"], bytes(r["frame_bytes"]))
+            for r in good] == [(0, 0, frames[0]), (1000, 2, frames[2]),
+                               (1500, 3, frames[3])]
+    bad = [r for r in rows if r["media_ref"] == "b.bin"]
+    assert len(bad) == 1 and bad[0]["sample_error"] is not None
