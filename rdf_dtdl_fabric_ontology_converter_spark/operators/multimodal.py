@@ -140,8 +140,29 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
                 "orientation": None,
                 "feature": [v / tot for v in hist], "decode_error": None}
 
-    if payload[:2] == b"\xff\xd8":  # JPEG SOI — metadata-level decode
-        return _decode_jpeg_meta(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG
+        meta = _decode_jpeg_meta(payload)
+        # baseline frames get a REAL pixel decode (operators/jpeg.py);
+        # progressive/truncated payloads keep the metadata-level result
+        # (feature = entropy-stream histogram) instead of erroring out
+        try:
+            from .jpeg import jpeg_decode
+            w, h, nch, px = jpeg_decode(payload)
+        except Exception:  # noqa: BLE001 — documented fallback tier
+            return meta
+        if nch == 3:
+            gray = (px[..., 0].astype(int) * 299 +
+                    px[..., 1].astype(int) * 587 +
+                    px[..., 2].astype(int) * 114) // 1000
+        else:
+            gray = px[..., 0].astype(int)
+        hist = [0] * 8
+        for g in gray.ravel():
+            hist[int(g) >> 5] += 1
+        tot = max(sum(hist), 1)
+        meta["width"], meta["height"] = int(w), int(h)
+        meta["feature"] = [v / tot for v in hist]
+        return meta
 
     if len(payload) >= 12 and payload[4:8] == b"ftyp":  # MP4/ISO-BMFF
         return _decode_mp4_meta(payload)
