@@ -109,12 +109,20 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
 
 
 def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
+              optional: list[list[Pattern]] | None = None,
               select: list[str] | None = None,
               filter_expr: str | None = None,
               distinct: bool = True,
               allow_product: bool = False) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query over the triples frame.
 
+    ``optional`` is a list of OPTIONAL pattern groups (SPARQL 1.1 §18.3
+    LeftJoin): each group is evaluated as its own conjunction and
+    left-joined onto the required solution on the shared variables —
+    solutions without a compatible optional match keep NULL for the
+    group's unmatched variables, exactly the relational reading of
+    OPTIONAL. Each group must share ≥1 variable with the required
+    patterns (an unshared OPTIONAL is a product; not offered).
     ``select`` projects named variables (no ``?``); default = all.
     ``filter_expr`` is a SQL expression over the variable columns applied
     after the joins (SPARQL ``FILTER``). See module docstring for
@@ -148,6 +156,17 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         shared = sorted(vs & bound)
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         bound |= vs
+    for group in (optional or []):
+        sub = match_bgp(triples, group, distinct=False,
+                        allow_product=allow_product)
+        gvars = set(sub.columns)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                f"match_bgp: OPTIONAL group {group} shares no variable "
+                "with the required patterns (unbounded product)")
+        acc = acc.join(sub, on=shared, how="left")
+        bound |= gvars
     if filter_expr:
         acc = acc.where(F.expr(filter_expr))
     if select:

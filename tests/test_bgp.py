@@ -103,3 +103,27 @@ def test_multiset_semantics_without_distinct(triples):
     assert [r.whom for r in out.collect()] == ["ex:self", "ex:self"]
     assert match_bgp(triples, [("?who", "ex:loves", "?whom")],
                      select=["whom"]).count() == 1
+
+
+def test_optional_left_join_semantics(triples):
+    # every typed class, optionally with its label: C has no label row
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    optional=[[("?c", LABEL, "?l")]])
+    got = {r.c: r.l for r in out.collect()}
+    assert got == {"ex:A": "alpha", "ex:B": "beta", "ex:C": None}
+
+
+def test_optional_group_conjunction(triples):
+    # optional group with TWO patterns: superclass that is itself typed
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    optional=[[("?c", SUB, "?p"),
+                               ("?p", RDF_TYPE, CLS)]])
+    got = {r.c: r.p for r in out.collect()}
+    # B ⊑ A (A typed) matches; C ⊑ B (B typed) matches; A has no parent
+    assert got == {"ex:A": None, "ex:B": "ex:A", "ex:C": "ex:B"}
+
+
+def test_optional_must_share_a_variable(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                  optional=[[("?z", "ex:loves", "?w")]])
