@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "html_extract",
     "entity_linking_disambig",
     "pack_shards_greedy",
+    "sparql_bgp",
+    "sparql_path",
 ]
 
 

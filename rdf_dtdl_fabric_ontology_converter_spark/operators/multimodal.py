@@ -6,11 +6,16 @@ frame-sample as Arrow-batched mapInPandas stages:
 
 - schemas and batch shapes are real and tested;
 - ``DECODERS`` selects the codec tier: ``stdlib`` REALLY decodes WAV
-  (wave module), BMP (struct), PNG headers+IDAT (zlib), JPEG frame
-  headers + EXIF orientation (marker walk) and MP4 duration/track dims
-  (ISO-BMFF box walk) with zero external deps; ``fake`` is the
-  deterministic stand-in; ``real`` is the NotImplementedError integration
-  point for full pixel/sample codecs (pillow/torchaudio/pyav).
+  (wave module), BMP (struct), PNG full pixels (zlib inflate + all five
+  scanline filters reversed — ``png_decode``), baseline JPEG full pixels
+  (T.81 sequential: Huffman + dequant + IDCT + chroma upsample —
+  ``operators/jpeg.py``; progressive falls back to SOF-dims + EXIF
+  metadata) and MP4 metadata + REAL sample demux
+  (stts/stsc/stsz/stco → per-access-unit byte ranges,
+  ``mp4_sample_table`` / ``frame_sample``), all with stdlib+numpy only;
+  ``fake`` is the deterministic stand-in; ``real`` is the integration
+  point for the codecs that genuinely need external libs (H.264/VP9
+  bitstreams, Opus/MP3 audio).
 
 Scale shape: media payload fetch+decode is the bandwidth hog, so it runs
 as a narrow mapInPandas over a repartitioned ref table (no shuffle of the
@@ -595,15 +600,17 @@ def frame_sample(media_refs: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def real_decoder(ref: str, payload: bytes | None) -> dict:
-    """Integration point for full production codecs (pillow / pyav /
-    soundfile — JPEG, MP4, Opus, ...). Not available in this container;
-    ``stdlib_decoder`` really decodes WAV/BMP/PNG with the stdlib, and the
-    surrounding Spark plumbing (schema, partitioning, batching) is shared.
-    """
+    """Integration point for the codecs that genuinely require external
+    libraries: H.264/VP9/AV1 video bitstreams and Opus/MP3/AAC audio
+    (pyav / soundfile). Everything else is REALLY decoded by the stdlib
+    tier: WAV/BMP/PNG/baseline-JPEG to pixels/samples, MP4 to demuxed
+    access units; the Spark plumbing (schema, partitioning, batching) is
+    shared across tiers."""
     raise NotImplementedError(
-        "full media codecs not available in this environment; use "
-        "'stdlib' (real WAV/BMP/PNG decode + JPEG/MP4 metadata) or "
-        "'fake', or install pillow/pyav and implement here")
+        "compressed A/V bitstream codecs not available in this "
+        "environment; use 'stdlib' (real WAV/BMP/PNG/baseline-JPEG pixel "
+        "decode + MP4 demux) or 'fake', or install pyav and implement "
+        "here")
 
 
 DECODERS: dict[str, Callable[[str, bytes | None], dict]] = {
