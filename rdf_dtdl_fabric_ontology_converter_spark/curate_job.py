@@ -1,6 +1,6 @@
 """spark-submit entry point for the corpus-curation funnel.
 
-    spark-submit --py-files engine.zip -m rdf_dtdl_fabric_ontology_converter_spark.curate_job \
+    spark-submit --py-files engine.zip run_job.py curate \
         --input  <documents table path (parquet)> \
         --eval   <benchmark/eval documents path (parquet)> \
         --output <output root> \

@@ -1,6 +1,10 @@
 """spark-submit entry point (SURVEY §3.1 lifecycle equivalent).
 
-    spark-submit --py-files engine.zip -m rdf_dtdl_fabric_ontology_converter_spark.job \
+Launched through the repo-root ``run_job.py`` primary script (spark-submit
+runs a script, not a module; see run_job.py), with the package shipped via
+--py-files:
+
+    spark-submit --py-files engine.zip run_job.py kg \
         [--config <config.json>]     JSON config file; flags override it
         --input  <documents table path (parquet|iceberg)> \
         --output <output root> \

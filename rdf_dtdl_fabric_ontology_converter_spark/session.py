@@ -25,6 +25,18 @@ def build_session(app: str = "fabric-ontology-spark", master: str | None = None,
          .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                  "false")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # PySpark 4's DataFrame debugging context (enabled by default)
+         # walks the Python stack AND makes two extra py4j round-trips on
+         # EVERY DataFrame/Column API call to record the user call site
+         # for error messages. The KG pipeline builds plans with ~2,600
+         # API calls per run (cProfile: 5,215 py4j sends), so on a busy
+         # driver host the bookkeeping amplifies badly — measured 3.3×
+         # on the entity pipeline under full CPU contention (55.6→16.9 s
+         # cold) — while on a quiet host it is within noise. A shared
+         # cluster driver is the busy case, so default off. Errors keep
+         # the full JVM-side query context; only the Python source-line
+         # annotation is dropped. Re-enable via `extra` for debugging.
+         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
