@@ -202,6 +202,44 @@ SELECT DISTINCT src AS x, dst AS y FROM closure ORDER BY x, y
 """
 
 
+def q_sparql_alt_inverse(spark, sf_dir):
+    """SPARQL 1.1 path operators beyond p+: InversePath + AlternativePath
+    + the single-variable VALUES clause (operators/bgp.py). For every term
+    ``?c`` that some property points AT via ``^rdfs:domain|^rdfs:range``,
+    keep the (c, property) pairs whose property type survives
+    ``VALUES ?ty { owl:ObjectProperty }`` — i.e. classes as seen from
+    their object properties, the inverse of the reference's
+    domain-walking loop (property_extractor.py:72-77)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rng = "http://www.w3.org/2000/01/rdf-schema#range"
+    out = match_bgp(clean, [
+        ("?c", f"^{dom}|^{rng}", "?p"),
+        ("?p", RDF_TYPE, "?ty"),
+    ], values={"ty": ["http://www.w3.org/2002/07/owl#ObjectProperty"]},
+        select=["c", "p"])
+    return out.orderBy("c", "p")
+
+
+def _oracle_sparql_alt_inverse() -> str:
+    return f"""
+    WITH t AS ({_oracle_kg_triples()}),
+    alt AS (
+      SELECT obj AS c, subj AS p FROM t
+      WHERE pred IN ('http://www.w3.org/2000/01/rdf-schema#domain',
+                     'http://www.w3.org/2000/01/rdf-schema#range')
+    )
+    SELECT DISTINCT a.c AS c, a.p AS p
+    FROM alt a
+    JOIN t ty ON ty.subj = a.p AND ty.pred = '{RDF_TYPE}'
+    WHERE ty.obj = 'http://www.w3.org/2002/07/owl#ObjectProperty'
+    ORDER BY c, p
+    """
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -2496,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: SPARQL-style BGP layer over the triples table
         "sparql_bgp": q_sparql_bgp,
         "sparql_path": q_sparql_path,
+        "sparql_alt_inverse": q_sparql_alt_inverse,
     }
 
 
@@ -2563,4 +2602,5 @@ def oracle_sql() -> dict[str, str]:
         "cdm_relationship_types": _oracle_cdm_relationships(),
         "sparql_bgp": _oracle_sparql_bgp(),
         "sparql_path": _ORACLE_SPARQL_PATH,
+        "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
     }

@@ -127,3 +127,55 @@ def test_optional_must_share_a_variable(triples):
     with pytest.raises(ValueError, match="OPTIONAL"):
         match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                   optional=[[("?z", "ex:loves", "?w")]])
+
+
+def test_inverse_path(triples):
+    # ^subClassOf flips the edge: direct subclasses of A
+    out = match_bgp(triples, [("ex:A", "^" + SUB, "?sub")])
+    assert {r.sub for r in out.collect()} == {"ex:B"}
+    # inverse in a conjunction: superclass-of pattern joins like any other
+    out = match_bgp(triples, [("?c", "^" + SUB, "?sub"),
+                              ("?sub", LABEL, "?l")], select=["c", "l"])
+    assert [tuple(r) for r in out.collect()] == [("ex:A", "beta")]
+
+
+def test_inverse_path_closure(triples):
+    # (^subClassOf)+ = all descendants; closure-of-inverse == inverse-of-closure
+    out = match_bgp(triples, [("ex:A", "^" + SUB + "+", "?d")])
+    assert {r.d for r in out.collect()} == {"ex:B", "ex:C", "ex:D"}
+
+
+def test_alternation_path(triples):
+    # label|subClassOf from B: one value per branch
+    out = match_bgp(triples, [("ex:B", LABEL + "|" + SUB, "?v")])
+    assert {r.v for r in out.collect()} == {"beta", "ex:A"}
+
+
+def test_alternation_closure_unions_before_closing(triples, spark):
+    # two-relation chain A -equiv-> B -sub-> C: neither predicate alone
+    # reaches C from A, the closed UNION does ((sub|equiv)+ semantics)
+    extra = spark.createDataFrame(
+        [("ex:A2", "ex:equiv", "ex:B2"), ("ex:B2", SUB, "ex:C2")],
+        ["subj", "pred", "obj"])
+    out = match_bgp(triples.unionByName(extra),
+                    [("ex:A2", SUB + "|ex:equiv+", "?y")])
+    assert {r.y for r in out.collect()} == {"ex:B2", "ex:C2"}
+    for pred in (SUB, "ex:equiv"):
+        assert match_bgp(triples.unionByName(extra),
+                         [("ex:A2", pred + "+", "?y")]).count() <= 1
+
+
+def test_bad_path_atom_raises(triples):
+    # "a^b" alone is NOT here: without a leading ^, a |, or a trailing +
+    # nothing triggers path parsing, so it stays a plain constant
+    for bad in ("a|", "^", "a|^", "a|x^y", "a|?v"):
+        with pytest.raises(ValueError, match="bad path atom"):
+            match_bgp(triples, [("?x", bad, "?y")])
+
+
+def test_values_clause(triples):
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    values={"c": ["ex:A", "ex:C", "ex:nope"]})
+    assert {r.c for r in out.collect()} == {"ex:A", "ex:C"}
+    with pytest.raises(ValueError, match="VALUES"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)], values={"z": ["x"]})
