@@ -202,6 +202,97 @@ SELECT DISTINCT src AS x, dst AS y FROM closure ORDER BY x, y
 """
 
 
+def _nation_instance_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle doc per nation carrying INSTANCE data over the deep class
+    chain: an individual typed with its nation class (chain: Nk ⊑ N(k-1) ⊑
+    … ⊑ Root), an object-property statement with declared domain/range, a
+    two-level subPropertyOf hierarchy, and a literal comment — every RDFS
+    rule family has work to do."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    parent = F.when(F.col("n_nationkey") == 0, F.lit("Root")) \
+        .otherwise(F.concat(F.lit("N"), F.col("n_nationkey") - 1))
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:n"), F.col("n_nationkey"), F.lit(" a ex:N"),
+        F.col("n_nationkey"), F.lit(" .\n"),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(" rdfs:subClassOf ex:"), parent, F.lit(" .\n"),
+        F.lit("ex:n"), F.col("n_nationkey"), F.lit(" ex:inRegion ex:r"),
+        F.col("n_regionkey"), F.lit(" .\n"),
+        F.lit("ex:inRegion rdfs:domain ex:Place .\n"),
+        F.lit("ex:inRegion rdfs:range ex:Region .\n"),
+        F.lit("ex:hasComment rdfs:subPropertyOf ex:hasNote .\n"),
+        F.lit("ex:hasNote rdfs:subPropertyOf ex:annotation .\n"),
+        F.lit("ex:n"), F.col("n_nationkey"), F.lit(' ex:hasComment "c'),
+        F.col("n_nationkey"), F.lit('" .\n'),
+    )
+    return nation.select(
+        F.concat(F.lit("inst_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_rdfs_entailment(spark, sf_dir):
+    """RDFS entailment materialization (operators/entailment.py): the
+    inferred-only triples of the instance corpus — rdfs5/7 property
+    inheritance, rdfs2/3 domain/range typing (literals excluded), and
+    rdfs9/11 over a ~25-deep subClassOf chain (oracle: recursive CTE).
+    The reference applies these semantics procedurally
+    (class_resolver.py:98-123, property_extractor.py:72-77)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        rdfs_entailment)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(
+        extract_triples(_nation_instance_ttl_docs(spark, sf_dir)))
+    return rdfs_entailment(clean).orderBy("subj", "pred", "obj")
+
+
+def _oracle_rdfs_entailment() -> str:
+    ex = "http://example.org/"
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    subp = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT '{ex}N'||n_nationkey AS src,
+             CASE WHEN n_nationkey = 0 THEN '{ex}Root'
+                  ELSE '{ex}N'||(n_nationkey - 1) END AS dst
+      FROM nation
+    ), closure AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+    ), inferred AS (
+      -- rdfs5: two-level subPropertyOf closed
+      SELECT '{ex}hasComment' AS subj, '{subp}' AS pred,
+             '{ex}annotation' AS obj
+      UNION ALL  -- rdfs7: comment statements inherited up both levels
+      SELECT '{ex}n'||n_nationkey, '{ex}hasNote', 'c'||n_nationkey
+      FROM nation
+      UNION ALL
+      SELECT '{ex}n'||n_nationkey, '{ex}annotation', 'c'||n_nationkey
+      FROM nation
+      UNION ALL  -- rdfs2: domain typing of instances
+      SELECT '{ex}n'||n_nationkey, '{RDF_TYPE}', '{ex}Place' FROM nation
+      UNION ALL  -- rdfs3: range typing of region IRIs (literals excluded)
+      SELECT DISTINCT '{ex}r'||n_regionkey, '{RDF_TYPE}', '{ex}Region'
+      FROM nation
+      UNION ALL  -- rdfs11: closure minus the asserted single steps
+      SELECT src, '{sub}', dst FROM (
+        SELECT src, dst FROM closure EXCEPT SELECT src, dst FROM edges)
+      UNION ALL  -- rdfs9: instances typed with every chain ancestor
+      SELECT '{ex}n'||n_nationkey, '{RDF_TYPE}', c.dst
+      FROM nation JOIN closure c ON c.src = '{ex}N'||n_nationkey
+    )
+    SELECT DISTINCT subj, pred, obj FROM inferred
+    ORDER BY subj, pred, obj
+    """
+
+
 def q_sparql_alt_inverse(spark, sf_dir):
     """SPARQL 1.1 path operators beyond p+: InversePath + AlternativePath
     + the single-variable VALUES clause (operators/bgp.py). For every term
@@ -2535,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bgp": q_sparql_bgp,
         "sparql_path": q_sparql_path,
         "sparql_alt_inverse": q_sparql_alt_inverse,
+        "rdfs_entailment": q_rdfs_entailment,
     }
 
 
@@ -2603,4 +2695,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bgp": _oracle_sparql_bgp(),
         "sparql_path": _ORACLE_SPARQL_PATH,
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
+        "rdfs_entailment": _oracle_rdfs_entailment(),
     }

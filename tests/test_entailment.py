@@ -1,0 +1,143 @@
+"""RDFS entailment materialization + SPARQL CONSTRUCT (operators/entailment.py).
+
+The reference applies these semantics procedurally during conversion
+(class_resolver.py subClassOf walks, property_extractor.py domain/range
+reads); here they materialize as triples so any downstream operator sees
+the inferred graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+    RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+    construct, rdfs_entailment)
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    def iri(s, p, o):
+        return (EX + s, p if p.startswith("http") else EX + p,
+                o if o.startswith("http") else EX + o, "iri")
+
+    rows = [
+        # property hierarchy: hasDog ⊑ hasPet ⊑ hasAnimal
+        iri("hasDog", RDFS_SUBPROP, "hasPet"),
+        iri("hasPet", RDFS_SUBPROP, "hasAnimal"),
+        iri("hasPet", RDFS_DOMAIN, "PetOwner"),
+        iri("hasPet", RDFS_RANGE, "Pet"),
+        # class hierarchy: Dog ⊑ Mammal ⊑ Animal
+        iri("Dog", RDFS_SUBCLASS, "Mammal"),
+        iri("Mammal", RDFS_SUBCLASS, "Animal"),
+        # instances
+        iri("alice", "hasDog", "rex"),
+        iri("rex", RDF_TYPE, "Dog"),
+        iri("bob", RDF_TYPE, "Mammal"),
+        # a literal-valued statement whose predicate has a range:
+        # rdfs3 must NOT type the literal
+        iri("name", RDFS_RANGE, "Label"),
+        (EX + "alice", EX + "name", "Alice", "literal"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj", "obj_kind"])
+
+
+def _spo_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_full_entailment(triples):
+    got = _spo_set(rdfs_entailment(triples))
+    expected = {
+        # rdfs5: two-hop subPropertyOf closure
+        (EX + "hasDog", RDFS_SUBPROP, EX + "hasAnimal"),
+        # rdfs7: inherited statements (both levels)
+        (EX + "alice", EX + "hasPet", EX + "rex"),
+        (EX + "alice", EX + "hasAnimal", EX + "rex"),
+        # rdfs2 via the INHERITED hasPet statement
+        (EX + "alice", RDF_TYPE, EX + "PetOwner"),
+        # rdfs3 via the inherited statement (rex is an IRI object)
+        (EX + "rex", RDF_TYPE, EX + "Pet"),
+        # rdfs11: two-hop subClassOf closure
+        (EX + "Dog", RDFS_SUBCLASS, EX + "Animal"),
+        # rdfs9: asserted types up the closed hierarchy
+        (EX + "rex", RDF_TYPE, EX + "Mammal"),
+        (EX + "rex", RDF_TYPE, EX + "Animal"),
+        (EX + "bob", RDF_TYPE, EX + "Animal"),
+    }
+    assert got == expected
+
+
+def test_literal_object_never_typed_by_rdfs3(triples):
+    got = _spo_set(rdfs_entailment(triples, rules=("rdfs3",)))
+    assert got == set()  # the only ranged statement with a match is literal
+
+
+def test_rule_subset_and_include_input(triples):
+    got = _spo_set(rdfs_entailment(triples, rules=("rdfs9", "rdfs11")))
+    assert got == {
+        (EX + "Dog", RDFS_SUBCLASS, EX + "Animal"),
+        (EX + "rex", RDF_TYPE, EX + "Mammal"),
+        (EX + "rex", RDF_TYPE, EX + "Animal"),
+        (EX + "bob", RDF_TYPE, EX + "Animal"),
+    }
+    full = rdfs_entailment(triples, include_input=True)
+    base = {(r.subj, r.pred, r.obj)
+            for r in triples.select("subj", "pred", "obj").collect()}
+    assert _spo_set(full) == base | _spo_set(rdfs_entailment(triples))
+
+
+def test_inferred_excludes_asserted(triples, spark):
+    # asserting one of the inferences removes it from the inferred-only set
+    extra = spark.createDataFrame(
+        [(EX + "rex", RDF_TYPE, EX + "Mammal", "iri")],
+        ["subj", "pred", "obj", "obj_kind"])
+    got = _spo_set(rdfs_entailment(triples.unionByName(extra)))
+    assert (EX + "rex", RDF_TYPE, EX + "Mammal") not in got
+    assert (EX + "rex", RDF_TYPE, EX + "Animal") in got
+
+
+def test_unknown_rule_raises(triples):
+    with pytest.raises(ValueError, match="unknown rules"):
+        rdfs_entailment(triples, rules=("rdfs2", "owl_sameas"))
+
+
+def test_no_obj_kind_falls_back_to_scheme_shape(spark):
+    rows = [
+        ("p", RDFS_RANGE, "http://example.org/C"),
+        ("s", "p", "http://example.org/thing"),
+        ("s2", "p", "just a literal"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = _spo_set(rdfs_entailment(t, rules=("rdfs3",)))
+    assert got == {("http://example.org/thing", RDF_TYPE,
+                    "http://example.org/C")}
+
+
+def test_construct_from_bgp(triples, spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    sol = match_bgp(triples.select("subj", "pred", "obj"),
+                    [("?x", RDF_TYPE, EX + "Dog")])
+    out = construct(sol, [("?x", RDF_TYPE, EX + "Pet"),
+                          (EX + "zoo", EX + "houses", "?x")])
+    assert _spo_set(out) == {
+        (EX + "rex", RDF_TYPE, EX + "Pet"),
+        (EX + "zoo", EX + "houses", EX + "rex"),
+    }
+
+
+def test_construct_drops_null_bindings(spark):
+    bindings = spark.createDataFrame(
+        [("a", "l1"), ("b", None)], ["c", "l"])
+    out = construct(bindings, [("?c", EX + "label", "?l")])
+    assert _spo_set(out) == {("a", EX + "label", "l1")}
+
+
+def test_construct_unknown_variable_raises(spark):
+    bindings = spark.createDataFrame([("a",)], ["c"])
+    with pytest.raises(ValueError, match="template variable"):
+        construct(bindings, [("?c", EX + "p", "?missing")])
+    with pytest.raises(ValueError, match="empty template"):
+        construct(bindings, [])
