@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "pack_shards_greedy",
     "sparql_bgp",
     "sparql_path",
+    "sparql_alt_inverse",
+    "rdfs_entailment",
 ]
 
 

@@ -29,7 +29,13 @@ near-linear evidence; superlinear growth or extra exchanges at 10x would
 flag a plan that does not survive scale-up.
 
 Usage: python tools/scale10_bench.py [reps] [out_dir] [family]
-       family in {dedup (default), curate, emb, kg, hotunit}
+       family in {dedup (default), curate, emb, kg, hotunit, linking,
+                  graph}
+
+- graph (family "graph"): BGP matching + RDFS entailment over a synthetic
+  triples frame whose instance side scales 10x while the schema (closure
+  depth, broadcast frames) stays constant — the 100-TB shape for graph
+  queries.
 """
 
 from __future__ import annotations
@@ -320,6 +326,100 @@ def run_hotunit_family(spark, reps: int) -> dict:
     return result
 
 
+def build_graph_triples(spark, n_inst: int, depth: int = 50):
+    """Synthetic triples frame whose INSTANCE side scales with n_inst while
+    the schema stays ontology-bounded (the 100-TB shape): a depth-``depth``
+    subClassOf chain C0 ⊑ … ⊑ C{depth}, one property with domain/range +
+    a subPropertyOf parent, n_inst typed subjects round-robined over the
+    chain classes, and a ring of rel statements. Generated distributed
+    (spark.range), no collect."""
+    import pyspark.sql.functions as F
+    EX = "http://example.org/"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    inst = spark.range(n_inst).repartition(64)
+    subj = F.concat(F.lit(EX + "s"), F.col("id"))
+    types = inst.select(
+        subj.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+        F.concat(F.lit(EX + "C"), F.col("id") % depth).alias("obj"),
+        F.lit("iri").alias("obj_kind"))
+    rels = inst.select(
+        subj.alias("subj"), F.lit(EX + "rel").alias("pred"),
+        F.concat(F.lit(EX + "s"), (F.col("id") + 1) % n_inst).alias("obj"),
+        F.lit("iri").alias("obj_kind"))
+    chain = spark.range(depth).select(
+        F.concat(F.lit(EX + "C"), F.col("id")).alias("subj"),
+        F.lit(RDFS + "subClassOf").alias("pred"),
+        F.concat(F.lit(EX + "C"), F.col("id") + 1).alias("obj"),
+        F.lit("iri").alias("obj_kind"))
+    fixed = spark.createDataFrame([
+        (EX + "rel", RDFS + "domain", EX + "DomC", "iri"),
+        (EX + "rel", RDFS + "range", EX + "RngC", "iri"),
+        (EX + "rel", RDFS + "subPropertyOf", EX + "related", "iri"),
+    ], ["subj", "pred", "obj", "obj_kind"])
+    return types.unionByName(rels).unionByName(chain).unionByName(fixed)
+
+
+def run_graph_family(spark, reps: int, n01: int = 50_000) -> dict:
+    """BGP matching + RDFS entailment at 1x vs 10x instance-triple volume.
+    The schema (closures, broadcast frames) is constant; only the
+    instance side grows — ratio ~10 with constant exchange counts is the
+    plan-survives-scale-up evidence. Entailment OUTPUT grows ~(depth/2)x
+    the typed instances (every subject gains its chain ancestors), so its
+    cost is linear in rows written, not in joins performed."""
+    import pyspark.sql.functions as F  # noqa: F401
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        rdfs_entailment)
+    EX = "http://example.org/"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    DEPTH = 20  # entailment output ~ (DEPTH/2 + 3) x typed instances
+
+    def graph(n):
+        return build_graph_triples(spark, n, DEPTH).localCheckpoint()
+
+    graphs = {"sf01": graph(n01), "sf1eq": graph(n01 * 10)}
+    queries = {
+        "bgp_3pattern": lambda t: match_bgp(t, [
+            ("?s", RDF_TYPE, "?c"),
+            ("?s", EX + "rel", "?o"),
+            ("?o", RDF_TYPE, "?c2"),
+        ], distinct=False),
+        "bgp_path_join": lambda t: match_bgp(t, [
+            ("?s", RDF_TYPE, "?c"),
+            ("?c", SUB + "+", EX + f"C{DEPTH}"),
+        ]),
+        "rdfs_entailment": lambda t: rdfs_entailment(t),
+    }
+    queries["bgp_3pattern"](graphs["sf01"]).write.format("noop") \
+        .mode("overwrite").save()  # warm
+    times = {q: {"sf01": [], "sf1eq": []} for q in queries}
+    for rep in range(reps):
+        for sf_name in ("sf01", "sf1eq"):
+            for q, fn in queries.items():
+                t0 = time.time()
+                fn(graphs[sf_name]).write.format("noop") \
+                    .mode("overwrite").save()
+                times[q][sf_name].append(round(time.time() - t0, 2))
+                print(f"rep{rep} {sf_name} {q}: {times[q][sf_name][-1]}s",
+                      file=sys.stderr)
+    result = {"queries": {}, "reps": reps,
+              "instances": {"sf01": n01, "sf1eq": n01 * 10},
+              "chain_depth": DEPTH}
+    for q, fn in queries.items():
+        m01 = statistics.median(times[q]["sf01"])
+        m10 = statistics.median(times[q]["sf1eq"])
+        result["queries"][q] = {
+            "sf01_med": m01, "sf1eq_med": m10,
+            "ratio": round(m10 / m01, 2) if m01 else None,
+            "sf01_all": times[q]["sf01"], "sf1eq_all": times[q]["sf1eq"],
+            "exchanges_sf01": n_exchanges(fn(graphs["sf01"])),
+            "exchanges_sf1eq": n_exchanges(fn(graphs["sf1eq"])),
+        }
+    return result
+
+
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1eq"
@@ -329,7 +429,7 @@ def main():
         QUERIES = CURATE_QUERIES
     elif family == "emb":
         QUERIES = EMB_QUERIES
-    if family in ("kg", "hotunit", "linking"):
+    if family in ("kg", "hotunit", "linking", "graph"):
         spark = build_session(app="scale10", master="local[32]",
                               shuffle_partitions=64,
                               extra={"spark.ui.enabled": "false",
@@ -338,6 +438,8 @@ def main():
             result = run_kg_family(spark, reps)
         elif family == "hotunit":
             result = run_hotunit_family(spark, reps)
+        elif family == "graph":
+            result = run_graph_family(spark, reps)
         else:
             result = run_linking_family(spark, reps, build_corpus(out_dir))
         result["family"] = family
