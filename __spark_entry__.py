@@ -293,6 +293,89 @@ def _oracle_rdfs_entailment() -> str:
     """
 
 
+def _nation_owl_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle doc per nation exercising every OWL property rule: a
+    symmetric+transitive connectedTo chain (n0–n24), a contains/within
+    inverseOf pair, and a two-value functional-property conflict."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    chain_line = F.when(
+        F.col("n_nationkey") < 24,
+        F.concat(F.lit("ex:n"), F.col("n_nationkey"),
+                 F.lit(" ex:connectedTo ex:n"), F.col("n_nationkey") + 1,
+                 F.lit(" .\n"))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit(header),
+        chain_line,
+        F.lit("ex:connectedTo a owl:TransitiveProperty .\n"),
+        F.lit("ex:connectedTo a owl:SymmetricProperty .\n"),
+        F.lit("ex:r"), F.col("n_regionkey"), F.lit(" ex:contains ex:n"),
+        F.col("n_nationkey"), F.lit(" .\n"),
+        F.lit("ex:contains owl:inverseOf ex:within .\n"),
+        F.lit("ex:capital a owl:FunctionalProperty .\n"),
+        F.lit("ex:n"), F.col("n_nationkey"), F.lit(" ex:capital ex:cityA"),
+        F.col("n_nationkey"), F.lit(" .\n"),
+        F.lit("ex:n"), F.col("n_nationkey"), F.lit(" ex:capital ex:cityB"),
+        F.col("n_nationkey"), F.lit(" .\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("owl_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_owl_entailment(spark, sf_dir):
+    """OWL 2 RL property entailment (operators/entailment.py): inverseOf
+    flips, symmetric mirror, per-predicate transitive closure AFTER
+    symmetrization (undirected reachability over the 25-node chain incl.
+    self-loops), and functional-property conflicts as owl:sameAs pairs
+    (both orders) — inferred-only triples vs a recursive-CTE oracle."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        owl_entailment)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(
+        extract_triples(_nation_owl_ttl_docs(spark, sf_dir)))
+    return owl_entailment(clean).orderBy("subj", "pred", "obj")
+
+
+def _oracle_owl_entailment() -> str:
+    ex = "http://example.org/"
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    return f"""
+    WITH RECURSIVE edges AS (
+      -- the symmetrized chain (symmetric rule feeds the transitive rule)
+      SELECT n_nationkey AS s, n_nationkey + 1 AS d FROM nation
+      WHERE n_nationkey < 24
+      UNION ALL
+      SELECT n_nationkey + 1, n_nationkey FROM nation WHERE n_nationkey < 24
+    ), reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), inferred AS (
+      -- transitive over symmetrized edges, minus the asserted direction
+      SELECT '{ex}n'||s AS subj, '{ex}connectedTo' AS pred,
+             '{ex}n'||d AS obj
+      FROM reach WHERE NOT (d = s + 1)
+      UNION ALL  -- inverseOf: contains -> within
+      SELECT '{ex}n'||n_nationkey, '{ex}within', '{ex}r'||n_regionkey
+      FROM nation
+      UNION ALL  -- functional conflict -> sameAs, both orders
+      SELECT '{ex}cityA'||n_nationkey, '{sameas}', '{ex}cityB'||n_nationkey
+      FROM nation
+      UNION ALL
+      SELECT '{ex}cityB'||n_nationkey, '{sameas}', '{ex}cityA'||n_nationkey
+      FROM nation
+    )
+    SELECT DISTINCT subj, pred, obj FROM inferred
+    ORDER BY subj, pred, obj
+    """
+
+
 def q_sparql_alt_inverse(spark, sf_dir):
     """SPARQL 1.1 path operators beyond p+: InversePath + AlternativePath
     + the single-variable VALUES clause (operators/bgp.py). For every term
@@ -2627,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_alt_inverse": q_sparql_alt_inverse,
         "rdfs_entailment": q_rdfs_entailment,
+        "owl_entailment": q_owl_entailment,
     }
 
 
@@ -2696,4 +2780,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path": _ORACLE_SPARQL_PATH,
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
+        "owl_entailment": _oracle_owl_entailment(),
     }

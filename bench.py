@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sparql_path",
     "sparql_alt_inverse",
     "rdfs_entailment",
+    "owl_entailment",
 ]
 
 

@@ -164,6 +164,163 @@ def rdfs_entailment(triples: DataFrame,
     return inferred
 
 
+OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+OWL_FUNCTIONAL = "http://www.w3.org/2002/07/owl#FunctionalProperty"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+_OWL_RULES = ("inverse", "symmetric", "transitive", "functional_sameas")
+
+
+def _closure_by_pred(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Per-predicate transitive closure of a (pred, src, dst) edge frame.
+
+    The pred-keyed twin of ``classes.transitive_closure`` (same
+    path-doubling shape, two doubling steps per driver action, lazy
+    localCheckpoint per round): one distributed job closes EVERY
+    transitive predicate at once — no per-predicate driver loop, so the
+    number of declared transitive properties never multiplies job count.
+    """
+    closure = edges.select("pred", "src", "dst").localCheckpoint(eager=False)
+    prev = closure.count()
+    if prev == 0:
+        return closure
+
+    def double(c: DataFrame) -> DataFrame:
+        grown = (c.alias("a")
+                 .join(c.alias("b"),
+                       (F.col("a.dst") == F.col("b.src")) &
+                       (F.col("a.pred") == F.col("b.pred")))
+                 .select(F.col("a.pred").alias("pred"),
+                         F.col("a.src").alias("src"),
+                         F.col("b.dst").alias("dst")))
+        return c.unionByName(grown).dropDuplicates()
+
+    for _ in range((max_rounds + 1) // 2):
+        new_closure = double(double(closure)).localCheckpoint(eager=False)
+        n = new_closure.count()
+        if n == prev:
+            return new_closure
+        closure, prev = new_closure, n
+    return closure
+
+
+def owl_entailment(triples: DataFrame,
+                   rules: tuple[str, ...] = _OWL_RULES,
+                   include_input: bool = False) -> DataFrame:
+    """Materialize OWL property-level entailments of ``triples``.
+
+    Rules (OWL 2 RL property semantics — W3C OWL 2 Profiles §4.3,
+    prp-inv1/2, prp-symp, prp-trp, prp-fp):
+
+    - **inverse**: (p owl:inverseOf q) ∧ (s p o) → (o q s), and the
+      declaration read in both directions ((s q o) → (o p s));
+    - **symmetric**: (p a owl:SymmetricProperty) ∧ (s p o) → (o p s);
+    - **transitive**: (p a owl:TransitiveProperty) → the per-predicate
+      transitive closure of p's statement set, computed AFTER
+      inverse/symmetric augmentation (so a symmetric transitive
+      predicate closes over the symmetrized edges — undirected
+      reachability, which IS that combination's fixpoint);
+    - **functional_sameas**: (p a owl:FunctionalProperty) ∧ (s p o1) ∧
+      (s p o2), o1 ≠ o2, both IRIs → (o1 owl:sameAs o2) in both orders.
+      Literal-valued functional conflicts entail literal equality, not
+      resource identity — excluded, like rdfs3's literal guard. The
+      self-join is keyed on (subj, pred) of DECLARED-functional
+      statements only; per-key width is the violation count per subject
+      (legitimately ~1-2 — a subject with thousands of values for a
+      functional property is broken data the caller should preflight).
+
+    The sameAs output is exactly what ``canon.sameas_components`` /
+    ``rewrite_canonical`` consume — functional-property conflict
+    resolution composes with the north-rule canonicalization. For
+    RDFS+OWL graphs, run this FIRST and feed the augmented graph to
+    ``rdfs_entailment`` (OWL property rules create instance statements;
+    RDFS rules only consume them — the same stratification argument as
+    rdfs_entailment's docstring).
+
+    Returns inferred-only triples (asserted subtracted), or the full
+    graph with ``include_input=True``. Scale shape mirrors
+    ``rdfs_entailment``: declaration frames are ontology-bounded
+    (broadcast), the instance side is filtered/joined narrowly, and the
+    one materialization of the projected input covers every branch.
+    """
+    unknown = set(rules) - set(_OWL_RULES)
+    if unknown:
+        raise ValueError(f"owl_entailment: unknown rules {sorted(unknown)}")
+    if "obj_kind" in triples.columns:
+        is_iri: Column = F.col("obj_kind") == "iri"
+    else:
+        is_iri = F.col("obj").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    triples = triples.select(*_SPO, is_iri.alias("obj_is_iri")) \
+        .localCheckpoint(eager=False)
+    base = triples.select(*_SPO)
+
+    def declared(cls: str) -> DataFrame:
+        return (triples.where((F.col("pred") == RDF_TYPE) &
+                              (F.col("obj") == cls))
+                .select(F.col("subj").alias("dp")).dropDuplicates())
+
+    out: list[DataFrame] = []
+    stmts = triples
+    if "inverse" in rules:
+        inv = (triples.where(F.col("pred") == OWL_INVERSE)
+               .select(F.col("subj").alias("ip"), F.col("obj").alias("iq")))
+        inv = inv.unionByName(inv.select(F.col("iq").alias("ip"),
+                                         F.col("ip").alias("iq"))) \
+            .dropDuplicates()
+        flipped = (stmts.join(inv, stmts["pred"] == inv["ip"])
+                   .where(F.col("obj_is_iri"))
+                   .select(F.col("obj").alias("subj"),
+                           F.col("iq").alias("pred"),
+                           F.col("subj").alias("obj"),
+                           F.lit(True).alias("obj_is_iri")))
+        out.append(flipped.select(*_SPO))
+        stmts = stmts.unionByName(flipped)
+    if "symmetric" in rules:
+        sym = declared(OWL_SYMMETRIC)
+        mirrored = (stmts.join(sym, stmts["pred"] == sym["dp"])
+                    .where(F.col("obj_is_iri"))
+                    .select(F.col("obj").alias("subj"), "pred",
+                            F.col("subj").alias("obj"),
+                            F.lit(True).alias("obj_is_iri")))
+        out.append(mirrored.select(*_SPO))
+        stmts = stmts.unionByName(mirrored)
+    if "transitive" in rules:
+        trans = declared(OWL_TRANSITIVE)
+        edges = (stmts.join(trans, stmts["pred"] == trans["dp"])
+                 .where(F.col("obj_is_iri"))
+                 .select("pred", F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        closed = _closure_by_pred(edges)
+        out.append(closed.select(F.col("src").alias("subj"), "pred",
+                                 F.col("dst").alias("obj")))
+    if "functional_sameas" in rules:
+        func = declared(OWL_FUNCTIONAL)
+        fstmts = (stmts.join(func, stmts["pred"] == func["dp"])
+                  .where(F.col("obj_is_iri"))
+                  .select("subj", "pred", "obj").dropDuplicates())
+        pairs = (fstmts.alias("a")
+                 .join(fstmts.alias("b"), ["subj", "pred"])
+                 .where(F.col("a.obj") != F.col("b.obj"))
+                 .select(F.col("a.obj").alias("subj"),
+                         F.lit(OWL_SAMEAS).alias("pred"),
+                         F.col("b.obj").alias("obj")))
+        out.append(pairs)
+
+    if not out:
+        inferred = base.limit(0)
+    else:
+        inferred = out[0]
+        for df in out[1:]:
+            inferred = inferred.unionByName(df)
+        inferred = (inferred.dropDuplicates()
+                    .join(base.dropDuplicates(), on=_SPO, how="left_anti"))
+    if include_input:
+        return base.dropDuplicates().unionByName(inferred)
+    return inferred
+
+
 def construct(bindings: DataFrame,
               template: list[tuple[str, str, str]]) -> DataFrame:
     """SPARQL ``CONSTRUCT``: build triples from BGP solution bindings.

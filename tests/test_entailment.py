@@ -116,6 +116,77 @@ def test_no_obj_kind_falls_back_to_scheme_shape(spark):
                     "http://example.org/C")}
 
 
+@pytest.fixture(scope="module")
+def owl_triples(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        OWL_FUNCTIONAL, OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE)
+    rows = [
+        # hasPart inverseOf partOf; one statement in each direction
+        (EX + "hasPart", OWL_INVERSE, EX + "partOf", "iri"),
+        (EX + "car", EX + "hasPart", EX + "wheel", "iri"),
+        (EX + "engine", EX + "partOf", EX + "car", "iri"),
+        # knows: symmetric AND transitive — chain a-b-c must become
+        # full undirected reachability incl. self-loops
+        (EX + "knows", RDF_TYPE, OWL_SYMMETRIC, "iri"),
+        (EX + "knows", RDF_TYPE, OWL_TRANSITIVE, "iri"),
+        (EX + "a", EX + "knows", EX + "b", "iri"),
+        (EX + "b", EX + "knows", EX + "c", "iri"),
+        # functional property with a two-value conflict (IRIs) and a
+        # literal-valued conflict that must NOT produce sameAs
+        (EX + "capital", RDF_TYPE, OWL_FUNCTIONAL, "iri"),
+        (EX + "fr", EX + "capital", EX + "paris1", "iri"),
+        (EX + "fr", EX + "capital", EX + "paris2", "iri"),
+        (EX + "motto", RDF_TYPE, OWL_FUNCTIONAL, "iri"),
+        (EX + "fr", EX + "motto", "liberte", "literal"),
+        (EX + "fr", EX + "motto", "egalite", "literal"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj", "obj_kind"])
+
+
+def test_owl_entailment(owl_triples):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        OWL_SAMEAS, owl_entailment)
+    got = _spo_set(owl_entailment(owl_triples))
+    people = [EX + x for x in "abc"]
+    knows_closure = {(s, EX + "knows", o) for s in people for o in people}
+    knows_closure -= {(EX + "a", EX + "knows", EX + "b"),
+                      (EX + "b", EX + "knows", EX + "c")}  # asserted
+    expected = knows_closure | {
+        # inverse, both declaration directions
+        (EX + "wheel", EX + "partOf", EX + "car"),
+        (EX + "car", EX + "hasPart", EX + "engine"),
+        # functional conflict -> sameAs both orders; literal conflict: none
+        (EX + "paris1", OWL_SAMEAS, EX + "paris2"),
+        (EX + "paris2", OWL_SAMEAS, EX + "paris1"),
+    }
+    assert got == expected
+
+
+def test_owl_rule_subsets(owl_triples):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        owl_entailment)
+    # transitive WITHOUT symmetric: only the directed a->c hop appears
+    got = _spo_set(owl_entailment(owl_triples, rules=("transitive",)))
+    assert got == {(EX + "a", EX + "knows", EX + "c")}
+    with pytest.raises(ValueError, match="unknown rules"):
+        owl_entailment(owl_triples, rules=("prp-trp",))
+
+
+def test_owl_feeds_sameas_canonicalization(owl_triples):
+    """The functional-property sameAs pairs drive the north-rule
+    canonicalization: both capital IRIs collapse to one canonical id."""
+    from pyspark.sql import functions as F
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import (
+        sameas_components)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.entailment import (
+        owl_entailment)
+    inferred = owl_entailment(owl_triples, rules=("functional_sameas",)) \
+        .withColumn("obj_kind", F.lit("iri"))
+    canon = {r.member: r.canonical
+             for r in sameas_components(inferred).collect()}
+    assert canon[EX + "paris1"] == canon[EX + "paris2"]
+
+
 def test_construct_from_bgp(triples, spark):
     from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
     sol = match_bgp(triples.select("subj", "pred", "obj"),
