@@ -212,3 +212,88 @@ def test_construct_unknown_variable_raises(spark):
         construct(bindings, [("?c", EX + "p", "?missing")])
     with pytest.raises(ValueError, match="empty template"):
         construct(bindings, [])
+
+
+# --- property-based: stratified pass == naive fixpoint -------------------
+#
+# The one subtle claim in rdfs_entailment is that its SINGLE stratified
+# pass reaches the naive iterate-until-fixpoint result (for non-meta
+# schemas, i.e. the reserved RDFS predicates never appear as objects of
+# subPropertyOf — the generator respects that, as the docstring requires).
+
+def _naive_rdfs_fixpoint(rows):
+    """Reference implementation: apply all six rules until nothing new."""
+    facts = {(s, p, o, k) for s, p, o, k in rows}
+
+    def spo(fs):
+        return {(s, p, o) for s, p, o, _ in fs}
+
+    while True:
+        new = set()
+        subp = {(s, o) for s, p, o, _ in facts if p == RDFS_SUBPROP}
+        sub = {(s, o) for s, p, o, _ in facts if p == RDFS_SUBCLASS}
+        dom = {(s, o) for s, p, o, _ in facts if p == RDFS_DOMAIN}
+        rng = {(s, o) for s, p, o, _ in facts if p == RDFS_RANGE}
+        for a, b in subp:
+            for b2, c in subp:
+                if b == b2:
+                    new.add((a, RDFS_SUBPROP, c, "iri"))       # rdfs5
+        for s, p, o, k in facts:
+            for p1, q in subp:
+                if p == p1:
+                    new.add((s, q, o, k))                       # rdfs7
+            for p1, c in dom:
+                if p == p1:
+                    new.add((s, RDF_TYPE, c, "iri"))            # rdfs2
+            for p1, c in rng:
+                if p == p1 and k == "iri":
+                    new.add((o, RDF_TYPE, c, "iri"))            # rdfs3
+            for a, b in sub:
+                if p == RDF_TYPE and o == a:
+                    new.add((s, RDF_TYPE, b, "iri"))            # rdfs9
+        for a, b in sub:
+            for b2, c in sub:
+                if b == b2:
+                    new.add((a, RDFS_SUBCLASS, c, "iri"))       # rdfs11
+        if spo(new) <= spo(facts):
+            return spo(facts)
+        facts |= new
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _props = st.sampled_from([EX + p for p in ("p1", "p2", "p3")])
+    _classes = st.sampled_from([EX + c for c in ("K1", "K2", "K3", "K4")])
+    _ents = st.sampled_from([EX + e for e in ("e1", "e2", "e3")])
+
+    _triple = st.one_of(
+        st.tuples(_props, st.just(RDFS_SUBPROP), _props, st.just("iri")),
+        st.tuples(_classes, st.just(RDFS_SUBCLASS), _classes,
+                  st.just("iri")),
+        st.tuples(_props, st.just(RDFS_DOMAIN), _classes, st.just("iri")),
+        st.tuples(_props, st.just(RDFS_RANGE), _classes, st.just("iri")),
+        st.tuples(_ents, _props, _ents, st.just("iri")),
+        st.tuples(_ents, _props, st.just("some literal"),
+                  st.just("literal")),
+        st.tuples(_ents, st.just(RDF_TYPE), _classes, st.just("iri")),
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(_triple, min_size=1, max_size=12, unique=True))
+    def test_stratified_pass_equals_naive_fixpoint(spark_session_keeper,
+                                                   rows):
+        spark = spark_session_keeper
+        t = spark.createDataFrame(rows, ["subj", "pred", "obj", "obj_kind"])
+        got = _spo_set(rdfs_entailment(t, include_input=True))
+        assert got == _naive_rdfs_fixpoint(rows)
+
+    @pytest.fixture(scope="module")
+    def spark_session_keeper(spark):
+        return spark

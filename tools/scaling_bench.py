@@ -33,7 +33,10 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def run_single(cores: int, n_docs: int) -> None:
-    sys.path.insert(0, str(ROOT))
+    try:  # under spark-submit the package resolves from the --py-files zip
+        import rdf_dtdl_fabric_ontology_converter_spark  # noqa: F401
+    except ImportError:  # plain-python fallback: repo-root import
+        sys.path.insert(0, str(ROOT))
     from rdf_dtdl_fabric_ontology_converter_spark.operators.canon import dedup_triples
     from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
         extract_triples, split_errors)
@@ -60,10 +63,44 @@ def run_single(cores: int, n_docs: int) -> None:
                       "wall_sec": round(wall, 3)}))
 
 
+def _spark_submit() -> str | None:
+    import shutil
+    return shutil.which("spark-submit") or (
+        "/opt/spark/bin/spark-submit"
+        if Path("/opt/spark/bin/spark-submit").exists() else None)
+
+
+def _engine_zip() -> str:
+    sys.path.insert(0, str(ROOT / "tools"))
+    try:
+        from make_pyfiles_zip import build
+    finally:
+        sys.path.pop(0)
+    return build("/tmp/scaling_engine.zip")
+
+
 def spawn(cores: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--single", str(cores), str(n_docs)],
-        capture_output=True, text=True, cwd=str(ROOT))
+    """One (level, rep) in its own driver JVM. Launched through the REAL
+    ``spark-submit --py-files engine.zip`` path (the north rule's launch
+    mode) with PYTHONPATH scrubbed, so the package resolves from the zip
+    exactly as on a cluster; falls back to a plain python subprocess only
+    when the binary is absent."""
+    import os
+    submit = _spark_submit()
+    if submit:
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        cmd = [submit, "--master", f"local[{cores}]",
+               "--driver-memory", "24g",
+               "--conf", "spark.ui.enabled=false",
+               "--py-files", _engine_zip(),
+               str(Path(__file__).resolve()),
+               "--single", str(cores), str(n_docs)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd="/tmp", env=env)
+    else:
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", str(cores), str(n_docs)],
+            capture_output=True, text=True, cwd=str(ROOT))
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
