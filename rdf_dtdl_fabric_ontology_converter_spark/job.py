@@ -12,6 +12,7 @@ runs a script, not a module; see run_job.py), with the package shipped via
         [--dtdl-component skip|flatten|separate]
         [--dtdl-command skip|property]
         [--scaled-decimal json_string|structured|calculated]
+        [--entailment rdfs|owl|owl,rdfs]  materialize reasoning layers
         [--definition-json <path>]   driver-side Fabric definition file
 
 The config file mirrors the reference's config.sample.json sections
@@ -39,6 +40,7 @@ _DEFAULTS = {
     "dtdl_command": "skip", "scaled_decimal": "json_string",
     "definition_json": None, "dtmi_mapping": False, "ontology_name": None,
     "cdm_flatten_inheritance": True, "shuffle_partitions": 200,
+    "entailment": "",
 }
 
 # (config section, config key) → arg name; sections/keys follow the
@@ -55,6 +57,7 @@ _CONFIG_KEYS = {
     ("dtdl", "scaled_decimal_mode"): "scaled_decimal",
     ("ontology", "name"): "ontology_name",
     ("cdm", "flatten_inheritance"): "cdm_flatten_inheritance",
+    ("reasoning", "entailment"): "entailment",
     ("spark", "shuffle_partitions"): "shuffle_partitions",
 }
 
@@ -96,6 +99,10 @@ def main(argv=None) -> int:
     p.add_argument("--ontology-name", default=None,
                    help="definition display name (default: first "
                         "owl:Ontology label in the corpus)")
+    p.add_argument("--entailment", default=None,
+                   help="comma-set of reasoning layers to materialize "
+                        "over the RDF triples before graph building: "
+                        "'rdfs', 'owl', or 'owl,rdfs' (default: none)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     cli = p.parse_args(argv)
 
@@ -130,8 +137,11 @@ def main(argv=None) -> int:
                       command=args.dtdl_command,
                       scaled_decimal=args.scaled_decimal)
 
+    layers = tuple(x.strip() for x in str(args.entailment).split(",")
+                   if x.strip())
     uni = run_unified(spark, docs, modes,
-                      cdm_flatten_inheritance=args.cdm_flatten_inheritance)
+                      cdm_flatten_inheritance=args.cdm_flatten_inheritance,
+                      entailment=layers)
     triples = uni.rdf.triples
     if args.checkpoint_root:
         from .plans.checkpoint import CheckpointManager

@@ -321,6 +321,66 @@ def owl_entailment(triples: DataFrame,
     return inferred
 
 
+def augment_with_entailment(triples_prov: DataFrame,
+                            layers: tuple[str, ...] = ("owl", "rdfs"),
+                            ) -> DataFrame:
+    """Union the provenance-schema triples with their OWL/RDFS inferences.
+
+    The KG-pipeline integration point (``plans.unified.run_unified`` /
+    ``job.py --entailment``): takes the extraction output (full
+    TRIPLES_SCHEMA minus parse_error) and appends the inferred triples
+    lifted to the same schema, so stages B–D (typing, properties,
+    relationships) see the entailed graph. Stratification: OWL property
+    rules run first (they create instance statements), RDFS rules run
+    over the OWL-augmented graph (they only consume them) — the same
+    argument as the two functions' docstrings.
+
+    Provenance of inferred rows: ``doc_id='_entailed:<layer>'``,
+    ``span_idx=-1``, ``fmt='entailment'`` — downstream lineage can both
+    trace and filter them. ``obj_kind`` is recovered by a distinct
+    (obj → kind) lookup against the asserted graph (every inferred
+    object VALUE occurs in the input — rule outputs only rearrange
+    existing terms; ties take the lexicographically first kind, and
+    never-seen values default to 'iri').
+    """
+    unknown = set(layers) - {"owl", "rdfs"}
+    if unknown:
+        raise ValueError(
+            f"augment_with_entailment: unknown layers {sorted(unknown)}")
+    triples_prov = triples_prov.localCheckpoint(eager=False)
+    spo_kind = triples_prov.select(*_SPO, "obj_kind")
+    inferred_parts: list[tuple[str, DataFrame]] = []
+    graph = spo_kind
+    kind_map = (spo_kind.groupBy("obj")
+                .agg(F.min("obj_kind").alias("kind_")))
+
+    def with_kind(inf: DataFrame) -> DataFrame:
+        return (inf.join(kind_map, on="obj", how="left")
+                .select(*_SPO, F.coalesce("kind_", F.lit("iri"))
+                        .alias("obj_kind")))
+
+    if "owl" in layers:
+        owl_inf = owl_entailment(graph)
+        inferred_parts.append(("owl", owl_inf))
+        # rdfs must see the owl-augmented graph WITH kinds
+        graph = spo_kind.unionByName(with_kind(owl_inf))
+    if "rdfs" in layers:
+        inferred_parts.append(("rdfs", rdfs_entailment(graph)))
+    out = triples_prov
+    prov_cols = triples_prov.columns
+    for layer, inf in inferred_parts:
+        lifted = (with_kind(inf)
+                  .select("subj", "pred", "obj", "obj_kind",
+                          F.lit(None).cast("string").alias("obj_datatype"),
+                          F.lit(None).cast("string").alias("lang"),
+                          F.lit(None).cast("string").alias("graph_ctx"),
+                          F.lit("entailment").alias("fmt"),
+                          F.lit(f"_entailed:{layer}").alias("doc_id"),
+                          F.lit(-1).alias("span_idx")))
+        out = out.unionByName(lifted.select(*prov_cols))
+    return out
+
+
 def construct(bindings: DataFrame,
               template: list[tuple[str, str, str]]) -> DataFrame:
     """SPARQL ``CONSTRUCT``: build triples from BGP solution bindings.

@@ -33,13 +33,24 @@ class UnifiedResult:
 def run_unified(spark: SparkSession, documents: DataFrame,
                 dtdl_modes: DtdlModes | None = None,
                 cdm_flatten_inheritance: bool = True,
-                registry=None) -> UnifiedResult:
+                registry=None,
+                entailment: tuple[str, ...] = ()) -> UnifiedResult:
     """``registry`` is an optional functions.typemaps.TypeMappingRegistry —
-    user type overrides applied per format ('rdf', 'dtdl', 'cdm')."""
+    user type overrides applied per format ('rdf', 'dtdl', 'cdm').
+    ``entailment``: optional reasoning layers ('owl', 'rdfs') materialized
+    over the extracted RDF triples BEFORE graph building, so stages B–D
+    (typing, properties, relationships) see the inferred graph — e.g. a
+    class whose rdf:type owl:Class arrives only via an rdfs9 chain still
+    becomes an entity. Inferred rows carry ``doc_id='_entailed:<layer>'``
+    lineage (``operators.entailment.augment_with_entailment``)."""
     documents = documents.localCheckpoint(eager=False)
 
     # RDF-family spans → triples → graph
     triples_prov, parse_skips = triples_from_documents(documents)
+    if entailment:
+        from ..operators.entailment import augment_with_entailment
+        triples_prov = augment_with_entailment(triples_prov,
+                                               layers=entailment)
     rdf = build_graph(spark, triples_prov, parse_skips, registry=registry)
 
     # DTDL spans — build a NEW DtdlModes rather than mutating the caller's

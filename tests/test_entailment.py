@@ -214,6 +214,37 @@ def test_construct_unknown_variable_raises(spark):
         construct(bindings, [])
 
 
+def test_job_cli_entailment_layer_creates_inferred_entity(spark, tmp_path):
+    """--entailment rdfs makes an entity that exists ONLY via inference:
+    X's rdf:type owl:Class arrives through an rdfs9 hop (X a MetaA,
+    MetaA ⊑ owl:Class). Without the flag X is not an entity."""
+    import json
+
+    from rdf_dtdl_fabric_ontology_converter_spark.job import main as job_main
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        docs_from_payloads)
+    ttl = ("@prefix ex: <http://example.org/> .\n"
+           "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+           "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+           "ex:MetaA rdfs:subClassOf owl:Class .\n"
+           "ex:X a ex:MetaA .\n"
+           'ex:X rdfs:label "ex x" .\n')
+    docs = docs_from_payloads(spark, {"m": ttl})
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+
+    def run(out_name, extra_flags):
+        out = str(tmp_path / out_name)
+        assert job_main(["--input", in_path, "--output", out,
+                         "--shuffle-partitions", "4"] + extra_flags) == 0
+        return {r["name"]
+                for r in spark.read.parquet(f"{out}/entity_types").collect()}
+
+    assert "X" not in run("out_plain", [])
+    with_inference = run("out_entailed", ["--entailment", "rdfs"])
+    assert "X" in with_inference
+
+
 # --- property-based: stratified pass == naive fixpoint -------------------
 #
 # The one subtle claim in rdfs_entailment is that its SINGLE stratified
