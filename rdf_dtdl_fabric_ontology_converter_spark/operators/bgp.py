@@ -239,3 +239,20 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
                              f"bound by the patterns (bound: {sorted(bound)})")
         acc = acc.select(*select)
     return acc.dropDuplicates() if distinct else acc
+
+
+def ask(triples: DataFrame, patterns: list[Pattern], **kwargs) -> bool:
+    """SPARQL ``ASK``: does at least one solution exist?
+
+    Driver-side boolean by construction (ASK returns a boolean, not a
+    frame). ``limit(1)`` stops the scan at the first match — with a
+    selective first pattern Spark reads only until one solution
+    materializes, so an ASK over 10^12 triples costs one partial scan,
+    not a full evaluation. Accepts every ``match_bgp`` keyword except
+    ``distinct``/``select`` (meaningless for existence).
+    """
+    for bad in ("distinct", "select"):
+        if bad in kwargs:
+            raise ValueError(f"ask: {bad!r} has no meaning for ASK")
+    sol = match_bgp(triples, patterns, distinct=False, **kwargs)
+    return bool(sol.limit(1).take(1))

@@ -56,10 +56,18 @@ class IncrementalKG:
     SKIP_STAGE = "skipped_items"
 
     def __init__(self, spark: SparkSession, root: str,
-                 documents_path: str):
+                 documents_path: str,
+                 entailment: tuple[str, ...] = ()):
         self.spark = spark
         self.root = str(root).rstrip("/")
         self.documents_path = documents_path
+        #: reasoning layers ('owl', 'rdfs') materialized over the full
+        #: triple log before every rebuild — same semantics as
+        #: run_unified(entailment=...); inferred rows are derived from
+        #: the log, never written to it, so the append-only log stays
+        #: pure provenance and each snapshot re-infers from scratch
+        #: (retracted documents can't leave orphaned inferences).
+        self.entailment = tuple(entailment)
         self.triples_path = f"{self.root}/triples"
         self.stream_ckpt = f"{self.root}/stream_ckpt"
         self.snapshots = CheckpointManager(spark, f"{self.root}/snapshots")
@@ -100,6 +108,9 @@ class IncrementalKG:
         raw = (self.spark.read.schema(TRIPLES_SCHEMA)
                .parquet(self.triples_path))
         clean, skips = split_errors(raw)
+        if self.entailment:
+            from ..operators.entailment import augment_with_entailment
+            clean = augment_with_entailment(clean, layers=self.entailment)
         return build_graph(self.spark, clean, skips)
 
     # -- time travel / rollback pass-throughs (Iceberg verbs) -------------

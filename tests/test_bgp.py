@@ -173,6 +173,14 @@ def test_bad_path_atom_raises(triples):
             match_bgp(triples, [("?x", bad, "?y")])
 
 
+def test_ask(triples):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import ask
+    assert ask(triples, [("?x", SUB + "+", "ex:A")]) is True
+    assert ask(triples, [("ex:A", SUB, "?p")]) is False  # A has no parent
+    with pytest.raises(ValueError, match="no meaning"):
+        ask(triples, [("?x", SUB, "?y")], select=["x"])
+
+
 def test_values_clause(triples):
     out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                     values={"c": ["ex:A", "ex:C", "ex:nope"]})

@@ -84,3 +84,30 @@ def test_incremental_kg_two_batches(spark, tmp_path):
     # lineage recorded a commit per stage per ingest
     lin = kg.snapshots.lineage()
     assert lin.select("snapshot_id").distinct().count() >= 6
+
+
+def test_incremental_kg_with_entailment(spark, tmp_path):
+    """entailment=('rdfs',) re-infers from the full triple log at every
+    snapshot: a class typed owl:Class only via an rdfs9 hop becomes a
+    vertex, in both the first and (unchanged-content) second ingest."""
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        docs_from_payloads)
+    ttl = ("@prefix ex: <http://example.org/> .\n"
+           "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+           "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+           "ex:MetaA rdfs:subClassOf owl:Class .\n"
+           "ex:X a ex:MetaA .\n")
+    docs = docs_from_payloads(spark, {"m": ttl})
+    docs_path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    kg = IncrementalKG(spark, str(tmp_path / "kg"), docs_path,
+                       entailment=("rdfs",))
+    kg.ingest()
+    names = {r["name"] for r in kg.read_vertices().collect()}
+    assert "X" in names
+
+    # plain instance (no entailment) over the same log: X is NOT a vertex
+    plain = IncrementalKG(spark, str(tmp_path / "kg2"), docs_path)
+    plain.ingest()
+    assert "X" not in {r["name"] for r in plain.read_vertices().collect()}
