@@ -414,6 +414,55 @@ def _oracle_sparql_alt_inverse() -> str:
     """
 
 
+def q_sparql_union_minus(spark, sf_dir):
+    """SPARQL 1.1 UNION + MINUS group operators (operators/bgp.py):
+    { object properties with their range } UNION { datatype properties }
+    (the datatype branch never binds ?r — outer-union NULL fill), MINUS
+    properties whose rdfs:domain is ex:N3 — the MINUS strikes one
+    property from EACH branch, and the anti-join's non-null-safe
+    equality keeps disjoint-domain solutions per §18.5."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rng = "http://www.w3.org/2000/01/rdf-schema#range"
+    out = match_bgp(clean, [
+        ("?p", RDF_TYPE, "http://www.w3.org/2002/07/owl#ObjectProperty"),
+        ("?p", rng, "?r"),
+    ], union=[[("?p", RDF_TYPE,
+                "http://www.w3.org/2002/07/owl#DatatypeProperty")]],
+        minus=[[("?p", dom, "http://example.org/N3")]])
+    return out.orderBy("p", "r")
+
+
+def _oracle_sparql_union_minus() -> str:
+    dom, rng = ("'http://www.w3.org/2000/01/rdf-schema#domain'",
+                "'http://www.w3.org/2000/01/rdf-schema#range'")
+    return f"""
+    WITH t AS ({_oracle_kg_triples()}),
+    req AS (
+      SELECT t1.subj AS p, t2.obj AS r
+      FROM t t1 JOIN t t2 ON t2.subj = t1.subj AND t2.pred = {rng}
+      WHERE t1.pred = '{RDF_TYPE}'
+        AND t1.obj = 'http://www.w3.org/2002/07/owl#ObjectProperty'
+    ),
+    uni AS (
+      SELECT subj AS p, CAST(NULL AS VARCHAR) AS r FROM t
+      WHERE pred = '{RDF_TYPE}'
+        AND obj = 'http://www.w3.org/2002/07/owl#DatatypeProperty'
+    ),
+    sols AS (SELECT * FROM req UNION ALL SELECT * FROM uni),
+    mins AS (
+      SELECT subj AS p FROM t
+      WHERE pred = {dom} AND obj = 'http://example.org/N3'
+    )
+    SELECT DISTINCT p, r FROM sols
+    WHERE p NOT IN (SELECT p FROM mins)
+    ORDER BY p, r
+    """
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -2709,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bgp": q_sparql_bgp,
         "sparql_path": q_sparql_path,
         "sparql_alt_inverse": q_sparql_alt_inverse,
+        "sparql_union_minus": q_sparql_union_minus,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
     }
@@ -2779,6 +2829,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_bgp": _oracle_sparql_bgp(),
         "sparql_path": _ORACLE_SPARQL_PATH,
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
+        "sparql_union_minus": _oracle_sparql_union_minus(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),
     }

@@ -157,6 +157,8 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
 
 def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
               optional: list[list[Pattern]] | None = None,
+              union: list[list[Pattern]] | None = None,
+              minus: list[list[Pattern]] | None = None,
               values: dict[str, list[str]] | None = None,
               select: list[str] | None = None,
               filter_expr: str | None = None,
@@ -171,6 +173,21 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     group's unmatched variables, exactly the relational reading of
     OPTIONAL. Each group must share ≥1 variable with the required
     patterns (an unshared OPTIONAL is a product; not offered).
+    ``union`` is a list of UNION alternate groups (SPARQL §18.3 Union):
+    each group is evaluated as its own conjunction and its solution
+    multiset is unioned with the required group's — variables bound in
+    only one branch stay NULL (unbound) in the other branch's solutions,
+    the standard outer-union reading. Each branch is a plain conjunction;
+    branches needing their own OPTIONAL/MINUS compose as two
+    ``match_bgp`` calls plus ``unionByName(allowMissingColumns=True)``.
+    ``minus`` is a list of MINUS pattern groups (SPARQL §18.5): a
+    solution is removed when a minus-group solution agrees with it on the
+    shared variables. A solution whose shared variables are all NULL
+    (unbound, e.g. from a UNION branch that never binds them) is KEPT —
+    Spark's non-null-safe anti-join equality reproduces the SPARQL
+    disjoint-domain rule exactly. A minus group sharing no variable at
+    all would be a universal no-op per §18.5, so it raises as a likely
+    query bug.
     ``values`` is the single-variable SPARQL ``VALUES`` form: per
     variable, an allow-list of constants inner-joined onto the solution
     (``VALUES ?v { ... }`` ≡ ``FILTER(?v IN (...))``). The list frame is
@@ -181,8 +198,10 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     entries. Multi-variable VALUES rows (with UNDEF) are not offered.
     ``select`` projects named variables (no ``?``); default = all.
     ``filter_expr`` is a SQL expression over the variable columns applied
-    after the joins (SPARQL ``FILTER``). See module docstring for
-    semantics and the join-order / pushdown scale story.
+    after the joins (SPARQL ``FILTER``). Algebra order (SPARQL §18.2
+    group translation): required joins → OPTIONAL left-joins → UNION →
+    MINUS → VALUES → FILTER → projection → DISTINCT. See module
+    docstring for semantics and the join-order / pushdown scale story.
     """
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
@@ -223,6 +242,25 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
                 "with the required patterns (unbounded product)")
         acc = acc.join(sub, on=shared, how="left")
         bound |= gvars
+    for group in (union or []):
+        sub = match_bgp(triples, group, distinct=False,
+                        allow_product=allow_product)
+        # outer union: variables missing on either side surface as NULL
+        acc = acc.unionByName(sub, allowMissingColumns=True)
+        bound |= set(sub.columns)
+    for group in (minus or []):
+        sub = match_bgp(triples, group, distinct=True,
+                        allow_product=allow_product)
+        shared = sorted(set(sub.columns) & bound)
+        if not shared:
+            raise ValueError(
+                f"match_bgp: MINUS group {group} shares no variable with "
+                "the solution — a universal no-op per SPARQL 1.1 §18.5, "
+                "almost certainly a query bug")
+        # non-null-safe anti-join: NULL shared vars never match, so
+        # disjoint-domain solutions survive — the §18.5 compatibility rule
+        acc = acc.join(sub.select(*shared).dropDuplicates(),
+                       on=shared, how="left_anti")
     for var, consts in (values or {}).items():
         if var not in bound:
             raise ValueError(f"match_bgp: VALUES variable {var!r} not "

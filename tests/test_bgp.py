@@ -181,6 +181,68 @@ def test_ask(triples):
         ask(triples, [("?x", SUB, "?y")], select=["x"])
 
 
+def test_union_same_variables(triples):
+    # { ?c subClassOf ex:A } UNION { ?c rdf:type owl:Class }
+    out = match_bgp(triples, [("?c", SUB, "ex:A")],
+                    union=[[("?c", RDF_TYPE, CLS)]])
+    assert {r.c for r in out.collect()} == {"ex:A", "ex:B", "ex:C"}
+
+
+def test_union_disjoint_variables_null_fill(triples):
+    # branches binding different variables: NULLs on the missing side
+    out = match_bgp(triples, [("?c", LABEL, "?l")],
+                    union=[[("?x", "ex:loves", "ex:self")]],
+                    distinct=False)
+    rows = {(r.c, r.l, r.x) for r in out.collect()}
+    assert ("ex:A", "alpha", None) in rows
+    assert (None, None, "ex:x") in rows and (None, None, "ex:self") in rows
+    assert len(rows) == 4
+
+
+def test_union_multiset_and_distinct(triples):
+    # same solution from both branches: multiset keeps 2, DISTINCT keeps 1
+    dup = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    union=[[("?c", RDF_TYPE, CLS)]], distinct=False)
+    assert dup.count() == 6
+    assert match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                     union=[[("?c", RDF_TYPE, CLS)]]).count() == 3
+
+
+def test_minus_removes_compatible_solutions(triples):
+    # typed classes MINUS those with a label -> only C survives
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    minus=[[("?c", LABEL, "?l")]])
+    assert {r.c for r in out.collect()} == {"ex:C"}
+
+
+def test_minus_null_shared_var_is_kept(triples):
+    # SPARQL §18.5 disjoint-domain rule: a solution whose shared variable
+    # is unbound (NULL from the union branch) is NOT removed by MINUS
+    out = match_bgp(triples, [("?c", LABEL, "?l")],
+                    union=[[("?x", "ex:loves", "ex:self")]],
+                    minus=[[("?c", RDF_TYPE, CLS)]],
+                    distinct=False)
+    rows = {(r.c, r.x) for r in out.collect()}
+    # both labeled-class solutions removed (A and B are typed classes);
+    # the union branch's c=NULL solutions survive the anti-join
+    assert rows == {(None, "ex:x"), (None, "ex:self")}
+
+
+def test_minus_requires_shared_variable(triples):
+    with pytest.raises(ValueError, match="MINUS"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                  minus=[[("?z", "ex:loves", "?w")]])
+
+
+def test_minus_after_optional(triples):
+    # OPTIONAL binds l (NULL for C), MINUS then removes labeled ones by c
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    optional=[[("?c", LABEL, "?l")]],
+                    minus=[[("?c", SUB, "?p")]])
+    got = {(r.c, r.l) for r in out.collect()}
+    assert got == {("ex:A", "alpha")}  # B and C both have superclasses
+
+
 def test_values_clause(triples):
     out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                     values={"c": ["ex:A", "ex:C", "ex:nope"]})
