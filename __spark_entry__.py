@@ -463,6 +463,63 @@ def _oracle_sparql_union_minus() -> str:
     """
 
 
+def _nation_trig_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One TriG document per nation: label in the default graph, the
+    region membership + region typing inside a per-region NAMED graph,
+    and a decoy graph whose membership triple has no region typing —
+    the deterministic quad corpus for the GRAPH-pattern query."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(' rdfs:label "'), F.col("n_name"), F.lit('" .\n'),
+        F.lit("ex:gR"), F.col("n_regionkey"), F.lit(" {\n  ex:N"),
+        F.col("n_nationkey"), F.lit(" ex:inRegion ex:R"),
+        F.col("n_regionkey"), F.lit(" .\n  ex:R"), F.col("n_regionkey"),
+        F.lit(" a owl:Class .\n}\n"),
+        F.lit("ex:gBad {\n  ex:N"), F.col("n_nationkey"),
+        F.lit(" ex:inRegion ex:Rbad .\n}\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("nation_trig_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH patterns over TriG-extracted quads (operators/bgp.py
+    quad form; quad contexts from functions/turtle.py TriG blocks, the
+    reference's ConjunctiveGraph contexts, rdf_parser.py:362-371). Two
+    patterns share the graph VARIABLE — the membership and the region
+    typing must sit in the SAME named graph, so the decoy ex:gBad
+    membership (untyped range) drops out — joined with a default-graph
+    label via a plain triple pattern."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_trig_docs(spark, sf_dir)))
+    out = match_bgp(clean, [
+        ("?n", f"{EX}inRegion", "?r", "?g"),
+        ("?r", RDF_TYPE, OWL_CLASS, "?g"),
+        ("?n", RDFS_LABEL, "?l"),
+    ], select=["n", "r", "g", "l"])
+    return out.orderBy("n")
+
+
+def _oracle_sparql_graph() -> str:
+    return """
+    SELECT 'http://example.org/N'||n_nationkey AS n,
+           'http://example.org/R'||n_regionkey AS r,
+           'http://example.org/gR'||n_regionkey AS g,
+           n_name AS l
+    FROM nation ORDER BY n
+    """
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -2759,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path": q_sparql_path,
         "sparql_alt_inverse": q_sparql_alt_inverse,
         "sparql_union_minus": q_sparql_union_minus,
+        "sparql_graph": q_sparql_graph,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
     }
@@ -2830,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path": _ORACLE_SPARQL_PATH,
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
         "sparql_union_minus": _oracle_sparql_union_minus(),
+        "sparql_graph": _oracle_sparql_graph(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),
     }

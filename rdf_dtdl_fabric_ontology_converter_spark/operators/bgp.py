@@ -13,10 +13,14 @@ variables — the standard SPARQL-BGP-to-relational translation.
 
 Semantics (SPARQL 1.1 §18.3, BGP evaluation):
 
-- a *pattern* is a ``(s, p, o)`` tuple; terms starting with ``?`` are
-  variables, everything else is a constant matched against the column
-  verbatim (IRIs and literals share the ``obj`` column in our triple
-  schema, exactly as the reference's rdflib terms do);
+- a *pattern* is a ``(s, p, o)`` tuple — or a ``(s, p, o, g)`` QUAD
+  (SPARQL ``GRAPH``), whose 4th term matches the ``graph_ctx`` column
+  (see ``_pattern_frame`` for the named-graph semantics); terms starting
+  with ``?`` are variables, everything else is a constant matched
+  against the column verbatim (IRIs and literals share the ``obj``
+  column in our triple schema, exactly as the reference's rdflib terms
+  do); a triple pattern matches ALL rows regardless of graph (the
+  union-default-graph reading every quad store offers);
 - a variable repeated WITHIN a pattern constrains equality (``(?x, p,
   ?x)`` → ``subj = obj``);
 - patterns joined on their shared variables produce the solution
@@ -69,7 +73,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-Pattern = tuple[str, str, str]
+# (s, p, o) or the quad form (s, p, o, g): the 4th term matches the
+# ``graph_ctx`` column the quad formats populate (TriG blocks, N-Quads
+# 4th terms — functions/turtle.py:426-434; reference keeps the same
+# context on its ConjunctiveGraph, rdf_parser.py:362-371).
+Pattern = tuple[str, str, str] | tuple[str, str, str, str]
 
 _POS_COLS = ("subj", "pred", "obj")
 
@@ -78,10 +86,18 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _is_path_expr(p: str) -> bool:
+    return (not _is_var(p) and
+            (p.startswith("^") or "|" in p or
+             (p.endswith("+") and len(p) > 1)))
+
+
 def _selectivity(pat: Pattern) -> tuple[int, int, int, int]:
     """Greedy join-order rank: more constants first; among equal counts a
-    constant predicate beats a constant object beats a constant subject."""
-    s, p, o = pat
+    constant predicate beats a constant object beats a constant subject.
+    A quad pattern's constant graph term counts toward the constant total
+    (a named-graph filter prunes like any other constant)."""
+    s, p, o = pat[0], pat[1], pat[2]
     consts = sum(not _is_var(t) for t in pat)
     return (consts, int(not _is_var(p)), int(not _is_var(o)),
             int(not _is_var(s)))
@@ -129,22 +145,48 @@ def _path_edges(triples: DataFrame, pexpr: str) -> DataFrame | None:
 
 
 def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str]]:
-    """One pattern → (projection keyed by its variables, variable set)."""
-    s, p, o = pat
-    df = triples.select(*_POS_COLS)
+    """One pattern → (projection keyed by its variables, variable set).
+
+    Quad patterns (SPARQL ``GRAPH``): a constant 4th term becomes a
+    ``graph_ctx`` filter applied BEFORE everything else (it reaches the
+    scan, and a path closure computed under it stays inside that named
+    graph — the SPARQL reading, where path evaluation is per-graph). A
+    variable 4th term binds ``graph_ctx`` and ranges over NAMED graphs
+    only (``graph_ctx IS NOT NULL`` — default-graph triples have no name
+    to bind, SPARQL 1.1 §13.3); combining a graph VARIABLE with a path
+    expression raises, because a closure that crosses graph boundaries
+    has no per-graph name to bind (evaluate per constant graph instead).
+    """
+    if len(pat) == 4:
+        s, p, o, g = pat
+    else:
+        (s, p, o), g = pat, None
+    base = triples
+    if g is not None and not _is_var(g):
+        base = base.where(F.col("graph_ctx") == F.lit(g))
+        g = None  # consumed as a pushed-down filter
+    if g is not None and _is_path_expr(p):
+        raise ValueError(
+            f"match_bgp: pattern {pat} combines a graph variable with a "
+            "path expression; a closure has no single graph to bind — "
+            "use a constant graph term")
+    cols = list(_POS_COLS) + (["graph_ctx"] if g is not None else [])
+    if g is not None:
+        base = base.where(F.col("graph_ctx").isNotNull())
+    df = base.select(*cols)
+    terms = [s, p, o] + ([g] if g is not None else [])
     if not _is_var(p):
-        path = _path_edges(triples, p)
+        path = _path_edges(base, p)
         if path is not None:
             df = path.select("subj", F.lit(p).alias("pred"), "obj")
-            p = "?__path_pred__"  # predicate position consumed by the path
-            pat = (s, p, o)
+            terms[1] = "?__path_pred__"  # predicate consumed by the path
     # constant filters first (these reach the scan)
-    for term, col in zip(pat, _POS_COLS):
+    for term, col in zip(terms, cols):
         if not _is_var(term):
             df = df.where(F.col(col) == F.lit(term))
     # repeated-variable equality within the pattern
     seen: dict[str, str] = {}
-    for term, col in zip(pat, _POS_COLS):
+    for term, col in zip(terms, cols):
         if _is_var(term):
             if term in seen:
                 df = df.where(F.col(seen[term]) == F.col(col))

@@ -181,6 +181,55 @@ def test_ask(triples):
         ask(triples, [("?x", SUB, "?y")], select=["x"])
 
 
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("ex:a", "ex:p", "ex:b", "ex:g1"),
+        ("ex:b", "ex:p", "ex:c", "ex:g1"),
+        ("ex:a", "ex:p", "ex:z", "ex:g2"),
+        ("ex:a", "ex:q", "ex:b", None),  # default graph
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj", "graph_ctx"])
+
+
+def test_quad_constant_graph_filters(quads):
+    out = match_bgp(quads, [("?s", "ex:p", "?o", "ex:g2")])
+    assert [(r.s, r.o) for r in out.collect()] == [("ex:a", "ex:z")]
+
+
+def test_quad_graph_variable_binds_named_graphs_only(quads):
+    out = match_bgp(quads, [("ex:a", "?p", "?o", "?g")])
+    got = {(r.p, r.o, r.g) for r in out.collect()}
+    # the default-graph row (graph_ctx NULL) must NOT bind ?g
+    assert got == {("ex:p", "ex:b", "ex:g1"), ("ex:p", "ex:z", "ex:g2")}
+
+
+def test_quad_triple_pattern_spans_all_graphs(quads):
+    # plain triple pattern = union default graph: all 3 ex:p rows + none lost
+    out = match_bgp(quads, [("ex:a", "?p", "?o")])
+    assert out.count() == 3
+
+
+def test_quad_graph_variable_joins_across_patterns(quads):
+    # both patterns inside the SAME named graph: the g1 2-hop chain only
+    # (a->b->c in g1; a->z in g2 has no second hop)
+    out = match_bgp(quads, [("?x", "ex:p", "?y", "?g"),
+                            ("?y", "ex:p", "?z", "?g")])
+    assert [tuple(r) for r in out.select("x", "y", "z", "g").collect()] == \
+        [("ex:a", "ex:b", "ex:c", "ex:g1")]
+
+
+def test_quad_closure_inside_constant_graph(quads):
+    # p+ under GRAPH ex:g1 stays inside g1: a reaches b and c, not z
+    out = match_bgp(quads, [("ex:a", "ex:p+", "?y", "ex:g1")])
+    assert {r.y for r in out.collect()} == {"ex:b", "ex:c"}
+
+
+def test_quad_graph_variable_with_path_raises(quads):
+    with pytest.raises(ValueError, match="graph variable"):
+        match_bgp(quads, [("ex:a", "ex:p+", "?y", "?g")])
+
+
 def test_union_same_variables(triples):
     # { ?c subClassOf ex:A } UNION { ?c rdf:type owl:Class }
     out = match_bgp(triples, [("?c", SUB, "ex:A")],
