@@ -520,6 +520,55 @@ def _oracle_sparql_graph() -> str:
     """
 
 
+def q_shacl_validate(spark, sf_dir):
+    """SHACL-lite shape validation report (operators/shacl.py — the
+    declarative twin of the reference's validator families,
+    src/core/validators/). Three node shapes over the nation KG: classes
+    need exactly one Literal label matching the name grammar (every
+    region class has none → minCount rows); object properties' domains
+    must be typed ObjectProperty (they are classes → one class-violation
+    row per nation, value bound); datatype ranges sit in an allow-list
+    (conforming — exercised, not firing)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.shacl import (
+        validate_shapes)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rng = "http://www.w3.org/2000/01/rdf-schema#range"
+    obj_p = "http://www.w3.org/2002/07/owl#ObjectProperty"
+    dt_p = "http://www.w3.org/2002/07/owl#DatatypeProperty"
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    shapes = [
+        {"shape_id": "ClassShape", "target_class": OWL_CLASS,
+         "properties": [{"path": RDFS_LABEL, "min_count": 1,
+                         "max_count": 1, "node_kind": "Literal",
+                         "pattern": "^[A-Z_0-9 ]+$"}]},
+        {"shape_id": "ObjPropShape", "target_class": obj_p,
+         "properties": [{"path": rng, "class": OWL_CLASS, "min_count": 1},
+                        {"path": dom, "class": obj_p}]},
+        {"shape_id": "DtPropShape", "target_class": dt_p,
+         "properties": [{"path": rng, "in": [xsd_s]}]},
+    ]
+    return validate_shapes(clean, shapes).orderBy("focus", "constraint")
+
+
+def _oracle_shacl_validate() -> str:
+    return f"""
+    SELECT 'http://example.org/R'||n_regionkey AS focus,
+           'ClassShape' AS shape_id, '{RDFS_LABEL}' AS path,
+           'minCount:1' AS "constraint", CAST(NULL AS VARCHAR) AS value
+    FROM (SELECT DISTINCT n_regionkey FROM nation)
+    UNION ALL
+    SELECT 'http://example.org/N'||n_nationkey||'_inRegion',
+           'ObjPropShape', 'http://www.w3.org/2000/01/rdf-schema#domain',
+           'class:http://www.w3.org/2002/07/owl#ObjectProperty',
+           'http://example.org/N'||n_nationkey
+    FROM nation
+    ORDER BY focus, "constraint"
+    """
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -2817,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_alt_inverse": q_sparql_alt_inverse,
         "sparql_union_minus": q_sparql_union_minus,
         "sparql_graph": q_sparql_graph,
+        "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
     }
@@ -2889,6 +2939,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
         "sparql_union_minus": _oracle_sparql_union_minus(),
         "sparql_graph": _oracle_sparql_graph(),
+        "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),
     }

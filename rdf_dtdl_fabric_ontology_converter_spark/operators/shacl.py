@@ -1,0 +1,213 @@
+"""SHACL-lite shape validation over the triples table.
+
+The reference validates its parsed graphs with hand-coded per-family
+checks (``src/core/validators/`` — naming, limits, reference integrity;
+see ``operators/validate.py`` for our port of those 11 families). SHACL
+(W3C Shapes Constraint Language) is the standard way a KG-construction
+pipeline states the SAME kind of contract declaratively — "every Nation
+has exactly one label, which is a string literal" — so this module adds
+the workhorse SHACL core subset as one distributed operator: node shapes
+targeted by class, property constraints on direct predicate paths.
+
+Supported constraint components (SHACL core §4, the counting/value
+subset that covers the reference's validator families):
+
+- ``min_count`` / ``max_count``  (sh:minCount / sh:maxCount)
+- ``datatype``                   (sh:datatype — plain literals count as
+                                  xsd:string per RDF 1.1 semantics)
+- ``node_kind``                  (sh:nodeKind — "IRI" | "Literal" |
+                                  "BlankNode", matching our ``obj_kind``)
+- ``class``                      (sh:class — value must be rdf:type'd to
+                                  the class; optional rdfs:subClassOf
+                                  closure via ``subclass_closure=True``)
+- ``in``                         (sh:in — driver-supplied allow-list)
+- ``pattern``                    (sh:pattern — Java regex via ``rlike``)
+- ``min_length`` / ``max_length`` (sh:minLength / sh:maxLength)
+
+Shapes are driver-supplied dicts (the shapes graph of a real pipeline is
+ontology-sized — hundreds of shapes, like the reference's ≤500-type
+Fabric limit — so a driver loop that UNIONs per-shape plans is bounded
+and keeps every check a declarative frame):
+
+    {"shape_id": "NationShape",
+     "target_class": "http://example.org/Nation",
+     "properties": [
+        {"path": "http://www.w3.org/2000/01/rdf-schema#label",
+         "min_count": 1, "max_count": 1, "node_kind": "Literal",
+         "datatype": "http://www.w3.org/2001/XMLSchema#string"},
+     ]}
+
+Output is a validation-report frame (sh:ValidationReport flattened):
+``(focus, shape_id, path, constraint, value)`` — one row per violation,
+``value`` NULL for counting violations (they are about the whole value
+set, not one value). ``conforms`` is the driver-side boolean twin
+(ASK-style ``limit(1)`` short-circuit).
+
+Scale notes:
+
+- focus sets and value sets are instance-scale; each is a pushed-down
+  predicate filter (``pred = rdf:type AND obj = <class>`` /
+  ``pred = <path>``) that reaches the parquet scan before any join;
+- counting constraints aggregate ``(focus)`` with map-side partial
+  aggregation, then the min_count check LEFT-joins the focus set so
+  zero-valued focuses surface (a groupBy alone never sees them);
+- value constraints are narrow filters on the joined value frame — no
+  extra shuffle beyond the focus⋈value equi-join on ``subj``;
+- ``sh:class`` joins values against the typed-subjects frame on the
+  value key — the one genuinely instance×instance join, same shape as
+  the pipeline's resolver joins; the optional subClassOf closure is
+  schema-bounded (path-doubling, ``classes.transitive_closure``);
+- the per-shape loop UNIONs plans, not data pulls: one action evaluates
+  all shapes, and Spark shares the scan across branches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+_NODE_KINDS = {"IRI": "iri", "Literal": "literal", "BlankNode": "bnode"}
+
+_REPORT_COLS = ("focus", "shape_id", "path", "constraint", "value")
+
+
+def _violation(df: DataFrame, shape_id: str, path: str, constraint: str,
+               value=None) -> DataFrame:
+    v = value if value is not None else F.lit(None).cast("string")
+    return df.select(
+        F.col("focus"),
+        F.lit(shape_id).alias("shape_id"),
+        F.lit(path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        v.alias("value"))
+
+
+def _shape_violations(triples: DataFrame, shape: dict, *,
+                      typed: DataFrame,
+                      subclass_closure: bool) -> list[DataFrame]:
+    shape_id = shape["shape_id"]
+    target = shape["target_class"]
+    focus = (typed.where(F.col("cls") == target)
+             .select(F.col("node").alias("focus")).dropDuplicates())
+    out: list[DataFrame] = []
+    for prop in shape.get("properties", []):
+        path = prop["path"]
+        vals = (triples.where(F.col("pred") == path)
+                .join(focus, triples["subj"] == focus["focus"])
+                .select("focus", F.col("obj").alias("value"),
+                        "obj_kind", "obj_datatype")
+                # an RDF graph is a SET of triples: the same statement
+                # extracted from two documents is one value. Terms equal
+                # lexically but differing in kind/datatype stay distinct
+                # (they ARE different RDF terms), hence the full key.
+                .dropDuplicates(["focus", "value", "obj_kind",
+                                 "obj_datatype"]))
+        min_c, max_c = prop.get("min_count"), prop.get("max_count")
+        if min_c is not None or max_c is not None:
+            counts = vals.groupBy("focus").agg(F.count("*").alias("n"))
+            if min_c is not None:
+                # LEFT join so focuses with ZERO values violate too
+                have = focus.join(counts, on="focus", how="left").select(
+                    "focus", F.coalesce("n", F.lit(0)).alias("n"))
+                out.append(_violation(have.where(F.col("n") < min_c),
+                                      shape_id, path, f"minCount:{min_c}"))
+            if max_c is not None:
+                out.append(_violation(counts.where(F.col("n") > max_c),
+                                      shape_id, path, f"maxCount:{max_c}"))
+        nk = prop.get("node_kind")
+        if nk is not None:
+            if nk not in _NODE_KINDS:
+                raise ValueError(f"shacl: bad node_kind {nk!r} "
+                                 f"(one of {sorted(_NODE_KINDS)})")
+            out.append(_violation(
+                vals.where(F.col("obj_kind") != _NODE_KINDS[nk]),
+                shape_id, path, f"nodeKind:{nk}", F.col("value")))
+        dt = prop.get("datatype")
+        if dt is not None:
+            # a plain literal IS xsd:string (RDF 1.1 §3.3); non-literals
+            # always violate sh:datatype
+            eff = F.coalesce("obj_datatype", F.lit(XSD_STRING))
+            bad = vals.where((F.col("obj_kind") != "literal") | (eff != dt))
+            out.append(_violation(bad, shape_id, path, f"datatype:{dt}",
+                                  F.col("value")))
+        cls = prop.get("class")
+        if cls is not None:
+            typed_ok = typed.where(F.col("cls") == cls)
+            if subclass_closure:
+                from .classes import transitive_closure
+                sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+                edges = (triples.where(F.col("pred") == sub)
+                         .select(F.col("subj").alias("child"),
+                                 F.col("obj").alias("parent")))
+                subs = (transitive_closure(edges)
+                        .where(F.col("dst") == cls)
+                        .select(F.col("src").alias("cls")))
+                # schema-bounded frame (class hierarchy) — union with the
+                # direct class, then membership by a cls equi-join
+                typed_ok = typed_ok.unionByName(typed.join(subs, on="cls"))
+            members = typed_ok.select(F.col("node").alias("value")) \
+                              .dropDuplicates()
+            bad = vals.join(members, on="value", how="left_anti")
+            out.append(_violation(bad, shape_id, path, f"class:{cls}",
+                                  F.col("value")))
+        allow = prop.get("in")
+        if allow is not None:
+            out.append(_violation(
+                vals.where(~F.col("value").isin(list(allow))),
+                shape_id, path, "in", F.col("value")))
+        pat = prop.get("pattern")
+        if pat is not None:
+            out.append(_violation(
+                vals.where(~F.col("value").rlike(pat)),
+                shape_id, path, f"pattern:{pat}", F.col("value")))
+        for key, op in (("min_length", "<"), ("max_length", ">")):
+            lim = prop.get(key)
+            if lim is not None:
+                cond = (F.length("value") < lim if op == "<"
+                        else F.length("value") > lim)
+                out.append(_violation(
+                    vals.where(cond), shape_id, path,
+                    f"{'minLength' if op == '<' else 'maxLength'}:{lim}",
+                    F.col("value")))
+    return out
+
+
+def validate_shapes(triples: DataFrame, shapes: list[dict], *,
+                    subclass_closure: bool = False) -> DataFrame:
+    """Validate the triples frame against SHACL-lite node shapes.
+
+    Returns the flattened validation report: one row per violation,
+    columns ``(focus, shape_id, path, constraint, value)``. Empty frame
+    ⇔ sh:conforms. ``subclass_closure=True`` widens ``sh:class`` (and
+    target selection is always DIRECT rdf:type, matching sh:targetClass
+    on graphs without entailment — run the entailment materializer first
+    for the RDFS reading, operators/entailment.py).
+    """
+    if not shapes:
+        raise ValueError("validate_shapes: empty shape list")
+    seen = set()
+    for s in shapes:
+        if s["shape_id"] in seen:
+            raise ValueError(f"validate_shapes: duplicate shape_id "
+                             f"{s['shape_id']!r}")
+        seen.add(s["shape_id"])
+    typed = (triples.where(F.col("pred") == RDF_TYPE)
+             .select(F.col("subj").alias("node"), F.col("obj").alias("cls")))
+    frames: list[DataFrame] = []
+    for shape in shapes:
+        frames.extend(_shape_violations(triples, shape, typed=typed,
+                                        subclass_closure=subclass_closure))
+    report = frames[0]
+    for f in frames[1:]:
+        report = report.unionByName(f)
+    return report.select(*_REPORT_COLS)
+
+
+def conforms(triples: DataFrame, shapes: list[dict], **kwargs) -> bool:
+    """Driver-side sh:conforms boolean — short-circuits at the first
+    violation (``limit(1)``), the ASK pattern from ``bgp.ask``."""
+    rep = validate_shapes(triples, shapes, **kwargs)
+    return not rep.limit(1).take(1)

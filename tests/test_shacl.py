@@ -1,0 +1,151 @@
+"""SHACL-lite shape validation (operators/shacl.py).
+
+Declarative twin of the reference's hand-coded validator families
+(src/core/validators/ → operators/validate.py): node shapes targeted by
+class, counting + value constraints, flattened validation report.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dtdl_fabric_ontology_converter_spark.operators.shacl import (
+    RDF_TYPE, XSD_STRING, conforms, validate_shapes)
+
+EX = "http://example.org/"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _triples(spark, rows):
+    full = [(s, p, o, k, dt, None, None) for (s, p, o, k, dt) in rows]
+    return spark.createDataFrame(
+        full, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, lang string, graph_ctx string")
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = [
+        # three nations; n1 fine, n2 has two labels, n3 has none
+        (f"{EX}n1", RDF_TYPE, f"{EX}Nation", "iri", None),
+        (f"{EX}n2", RDF_TYPE, f"{EX}Nation", "iri", None),
+        (f"{EX}n3", RDF_TYPE, f"{EX}Nation", "iri", None),
+        (f"{EX}n1", LABEL, "one", "literal", None),
+        (f"{EX}n2", LABEL, "two", "literal", None),
+        (f"{EX}n2", LABEL, "deux", "literal", None),
+        # region links: n1 -> typed region, n2 -> untyped thing
+        (f"{EX}n1", f"{EX}inRegion", f"{EX}r1", "iri", None),
+        (f"{EX}n2", f"{EX}inRegion", f"{EX}zzz", "iri", None),
+        (f"{EX}r1", RDF_TYPE, f"{EX}Region", "iri", None),
+        # population: literal int on n1, NON-literal on n3
+        (f"{EX}n1", f"{EX}pop", "41", "literal", XSD_INT),
+        (f"{EX}n3", f"{EX}pop", f"{EX}oops", "iri", None),
+        # subclass data for the closure variant
+        (f"{EX}MicroRegion", SUB, f"{EX}Region", "iri", None),
+        (f"{EX}m1", RDF_TYPE, f"{EX}MicroRegion", "iri", None),
+        (f"{EX}n3", f"{EX}inRegion", f"{EX}m1", "iri", None),
+    ]
+    return _triples(spark, rows)
+
+
+NATION_SHAPE = {
+    "shape_id": "NationShape",
+    "target_class": f"{EX}Nation",
+    "properties": [
+        {"path": LABEL, "min_count": 1, "max_count": 1,
+         "node_kind": "Literal", "datatype": XSD_STRING},
+    ],
+}
+
+
+def _report(kg, shapes, **kw):
+    rows = validate_shapes(kg, shapes, **kw).collect()
+    return {(r.focus, r.constraint, r.value) for r in rows}
+
+
+def test_min_and_max_count(kg):
+    got = _report(kg, [NATION_SHAPE])
+    assert (f"{EX}n3", "minCount:1", None) in got       # zero labels
+    assert (f"{EX}n2", "maxCount:1", None) in got       # two labels
+    assert not any(f == f"{EX}n1" for (f, _, _) in got)  # n1 conforms
+
+
+def test_datatype_plain_literal_is_string(kg):
+    # plain literals satisfy xsd:string; the IRI value on n3.pop violates
+    shape = {"shape_id": "PopShape", "target_class": f"{EX}Nation",
+             "properties": [{"path": f"{EX}pop", "datatype": XSD_INT}]}
+    got = _report(kg, [shape])
+    assert got == {(f"{EX}n3", f"datatype:{XSD_INT}", f"{EX}oops")}
+
+
+def test_node_kind(kg):
+    shape = {"shape_id": "K", "target_class": f"{EX}Nation",
+             "properties": [{"path": f"{EX}pop", "node_kind": "Literal"}]}
+    got = _report(kg, [shape])
+    assert got == {(f"{EX}n3", "nodeKind:Literal", f"{EX}oops")}
+    with pytest.raises(ValueError, match="node_kind"):
+        validate_shapes(kg, [{"shape_id": "B", "target_class": f"{EX}Nation",
+                              "properties": [{"path": f"{EX}pop",
+                                              "node_kind": "Uri"}]}])
+
+
+def test_class_constraint_direct_and_closure(kg):
+    shape = {"shape_id": "R", "target_class": f"{EX}Nation",
+             "properties": [{"path": f"{EX}inRegion",
+                             "class": f"{EX}Region"}]}
+    got = _report(kg, [shape])
+    # zzz untyped, m1 typed only as MicroRegion -> both violate directly
+    assert got == {(f"{EX}n2", f"class:{EX}Region", f"{EX}zzz"),
+                   (f"{EX}n3", f"class:{EX}Region", f"{EX}m1")}
+    # with the rdfs:subClassOf closure, MicroRegion counts as Region
+    got2 = _report(kg, [shape], subclass_closure=True)
+    assert got2 == {(f"{EX}n2", f"class:{EX}Region", f"{EX}zzz")}
+
+
+def test_in_pattern_and_length(kg):
+    shape = {"shape_id": "L", "target_class": f"{EX}Nation",
+             "properties": [
+                 {"path": LABEL, "in": ["one", "two"],
+                  "pattern": "^[a-z]+$", "min_length": 3, "max_length": 3},
+             ]}
+    got = _report(kg, [shape])
+    assert (f"{EX}n2", "in", "deux") in got
+    assert (f"{EX}n2", "maxLength:3", "deux") in got
+    # all labels match the pattern and min_length
+    assert not any(c.startswith("pattern") or c.startswith("minLength")
+                   for (_, c, _) in got)
+
+
+def test_set_semantics_duplicate_triples_count_once(spark):
+    rows = [
+        (f"{EX}a", RDF_TYPE, f"{EX}T", "iri", None),
+        (f"{EX}a", LABEL, "x", "literal", None),
+        (f"{EX}a", LABEL, "x", "literal", None),  # same statement twice
+    ]
+    kg = _triples(spark, rows)
+    shape = {"shape_id": "S", "target_class": f"{EX}T",
+             "properties": [{"path": LABEL, "max_count": 1}]}
+    assert validate_shapes(kg, [shape]).count() == 0
+
+
+def test_conforms_and_errors(kg):
+    assert conforms(kg, [NATION_SHAPE]) is False
+    ok = {"shape_id": "OK", "target_class": f"{EX}Nation",
+          "properties": [{"path": LABEL, "max_count": 5}]}
+    assert conforms(kg, [ok]) is True
+    with pytest.raises(ValueError, match="empty"):
+        validate_shapes(kg, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_shapes(kg, [ok, ok])
+
+
+def test_multiple_shapes_union(kg):
+    shapes = [NATION_SHAPE,
+              {"shape_id": "RegionShape", "target_class": f"{EX}Region",
+               "properties": [{"path": LABEL, "min_count": 1}]}]
+    got = _report(kg, shapes)
+    # r1 has no label -> RegionShape violation alongside NationShape's
+    assert (f"{EX}r1", "minCount:1", None) in got
+    assert (f"{EX}n3", "minCount:1", None) in got
