@@ -520,6 +520,35 @@ def _oracle_sparql_graph() -> str:
     """
 
 
+def q_sparql_not_exists_agg(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS + §11 aggregates (operators/bgp.py):
+    classes that are nobody's rdfs:domain (the region classes — a
+    left_anti on the shared variable), folded to one row by a global
+    aggregate SELECT: COUNT(*) + deterministic sorted GROUP_CONCAT."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        aggregate_solutions, match_bgp)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    sol = match_bgp(clean, [("?c", RDF_TYPE, OWL_CLASS)],
+                    not_exists=[[("?x", dom, "?c")]])
+    return aggregate_solutions(sol, [], {
+        "n_orphan": ("COUNT", "*"),
+        "classes": ("GROUP_CONCAT", "c")})
+
+
+def _oracle_sparql_not_exists_agg() -> str:
+    return """
+    WITH orphans AS (
+      SELECT DISTINCT 'http://example.org/R'||n_regionkey AS c FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan,
+           string_agg(c, '|' ORDER BY c) AS classes
+    FROM orphans
+    """
+
+
 def q_shacl_validate(spark, sf_dir):
     """SHACL-lite shape validation report (operators/shacl.py — the
     declarative twin of the reference's validator families,
@@ -2866,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_alt_inverse": q_sparql_alt_inverse,
         "sparql_union_minus": q_sparql_union_minus,
         "sparql_graph": q_sparql_graph,
+        "sparql_not_exists_agg": q_sparql_not_exists_agg,
         "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
@@ -2939,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_alt_inverse": _oracle_sparql_alt_inverse(),
         "sparql_union_minus": _oracle_sparql_union_minus(),
         "sparql_graph": _oracle_sparql_graph(),
+        "sparql_not_exists_agg": _oracle_sparql_not_exists_agg(),
         "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),

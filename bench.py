@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "sparql_alt_inverse",
     "rdfs_entailment",
     "owl_entailment",
+    "sparql_union_minus",
+    "sparql_graph",
+    "shacl_validate",
 ]
 
 

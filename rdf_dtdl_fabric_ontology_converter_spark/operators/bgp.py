@@ -201,6 +201,8 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
               optional: list[list[Pattern]] | None = None,
               union: list[list[Pattern]] | None = None,
               minus: list[list[Pattern]] | None = None,
+              exists: list[list[Pattern]] | None = None,
+              not_exists: list[list[Pattern]] | None = None,
               values: dict[str, list[str]] | None = None,
               select: list[str] | None = None,
               filter_expr: str | None = None,
@@ -230,6 +232,18 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     disjoint-domain rule exactly. A minus group sharing no variable at
     all would be a universal no-op per §18.5, so it raises as a likely
     query bug.
+    ``exists`` / ``not_exists`` are FILTER (NOT) EXISTS groups (SPARQL
+    §8.1): a solution passes EXISTS when substituting its bindings into
+    the group yields ≥1 match — a left-semi join on the shared variables
+    (anti for NOT EXISTS). Unlike MINUS, a group sharing NO variable is
+    legal and means a plain existence gate over the whole solution set
+    (all-or-nothing; compiled as a lazy ``limit(1)`` probe joined on a
+    constant key — never a driver action). The SPARQL substitution
+    semantics on an UNBOUND shared variable (NULL from OPTIONAL/UNION)
+    would need a null-matches-anything join, which is a non-equi nested
+    loop at scale — such queries raise with guidance to restructure
+    (filter the nullable variable first, or use MINUS, whose NULL
+    semantics the anti-join gives for free).
     ``values`` is the single-variable SPARQL ``VALUES`` form: per
     variable, an allow-list of constants inner-joined onto the solution
     (``VALUES ?v { ... }`` ≡ ``FILTER(?v IN (...))``). The list frame is
@@ -242,7 +256,8 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     ``filter_expr`` is a SQL expression over the variable columns applied
     after the joins (SPARQL ``FILTER``). Algebra order (SPARQL §18.2
     group translation): required joins → OPTIONAL left-joins → UNION →
-    MINUS → VALUES → FILTER → projection → DISTINCT. See module
+    MINUS → VALUES → EXISTS/NOT EXISTS → FILTER → projection →
+    DISTINCT. See module
     docstring for semantics and the join-order / pushdown scale story.
     """
     if not patterns:
@@ -273,6 +288,7 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         shared = sorted(vs & bound)
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         bound |= vs
+    nullable: set[str] = set()  # vars that may be NULL (OPTIONAL/UNION)
     for group in (optional or []):
         sub = match_bgp(triples, group, distinct=False,
                         allow_product=allow_product)
@@ -283,11 +299,13 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
                 f"match_bgp: OPTIONAL group {group} shares no variable "
                 "with the required patterns (unbounded product)")
         acc = acc.join(sub, on=shared, how="left")
+        nullable |= gvars - bound
         bound |= gvars
     for group in (union or []):
         sub = match_bgp(triples, group, distinct=False,
                         allow_product=allow_product)
         # outer union: variables missing on either side surface as NULL
+        nullable |= bound.symmetric_difference(sub.columns)
         acc = acc.unionByName(sub, allowMissingColumns=True)
         bound |= set(sub.columns)
     for group in (minus or []):
@@ -310,6 +328,30 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         vals = triples.sparkSession.createDataFrame(
             [(c,) for c in consts], f"`{var}` string").dropDuplicates()
         acc = acc.join(F.broadcast(vals), on=var)
+    for groups, how in ((exists, "left_semi"), (not_exists, "left_anti")):
+        kind = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        for group in (groups or []):
+            sub = match_bgp(triples, group, distinct=True,
+                            allow_product=allow_product)
+            shared = sorted(set(sub.columns) & bound)
+            bad = set(shared) & nullable
+            if bad:
+                raise ValueError(
+                    f"match_bgp: {kind} group {group} joins on "
+                    f"possibly-unbound variables {sorted(bad)} "
+                    "(OPTIONAL/UNION-introduced); the SPARQL substitution "
+                    "semantics there is a non-equi join — filter the "
+                    "variable first or use MINUS")
+            if shared:
+                acc = acc.join(sub.select(*shared).dropDuplicates(),
+                               on=shared, how=how)
+            else:
+                # whole-group existence gate: lazy 1-row probe on a
+                # constant key (all-or-nothing, the §8.1 reading)
+                probe = sub.limit(1).select(F.lit(1).alias("__probe__"))
+                acc = acc.withColumn("__probe__", F.lit(1)) \
+                         .join(probe, on="__probe__", how=how) \
+                         .drop("__probe__")
     if filter_expr:
         acc = acc.where(F.expr(filter_expr))
     if select:
@@ -319,6 +361,55 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
                              f"bound by the patterns (bound: {sorted(bound)})")
         acc = acc.select(*select)
     return acc.dropDuplicates() if distinct else acc
+
+
+_AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
+            "AVG": F.avg}
+
+
+def aggregate_solutions(solutions: DataFrame,
+                        group_by: list[str],
+                        aggs: dict[str, tuple[str, str]],
+                        *, having: str | None = None,
+                        distinct_count: bool = False) -> DataFrame:
+    """SPARQL 1.1 §11 aggregate SELECT over a solution frame.
+
+    ``solutions`` is a ``match_bgp(..., distinct=False)`` result (SPARQL
+    aggregates group the solution MULTISET — pass distinct=False or the
+    counts collapse). ``aggs`` maps output column → (FN, var) with FN in
+    COUNT / SUM / MIN / MAX / AVG / SAMPLE / GROUP_CONCAT; ``("COUNT",
+    "*")`` counts solutions. Two deliberate determinism choices, both
+    documented deviations any oracle can reproduce: SAMPLE (which SPARQL
+    leaves implementation-defined) is pinned to MIN, and GROUP_CONCAT
+    sorts its operands before joining with ``|`` (SPARQL leaves the
+    order undefined; an unsorted collect_list is partition-order-
+    dependent and would never survive a correctness gate). ``having``
+    is a SQL predicate over the output columns (SPARQL HAVING). Numeric
+    aggregates cast the lexical ``obj`` values to double first —
+    literals live in a string column, exactly as in the reference's
+    rdflib terms. All of this is one groupBy: map-side partial
+    aggregation, one shuffle on the grouping key.
+    """
+    exprs = []
+    for out, (fn, var) in aggs.items():
+        fn = fn.upper()
+        if fn == "COUNT":
+            col = (F.count("*") if var == "*" else
+                   F.count_distinct(F.col(var)) if distinct_count else
+                   F.count(F.col(var)))
+        elif fn in ("SUM", "AVG"):
+            col = _AGG_FNS[fn](F.col(var).cast("double"))
+        elif fn in ("MIN", "MAX", "SAMPLE"):
+            col = (F.min if fn != "MAX" else F.max)(F.col(var))
+        elif fn == "GROUP_CONCAT":
+            col = F.array_join(F.array_sort(F.collect_list(var)), "|")
+        else:
+            raise ValueError(f"aggregate_solutions: unknown aggregate "
+                             f"{fn!r} (one of {sorted(_AGG_FNS) + ['SAMPLE', 'GROUP_CONCAT']})")
+        exprs.append(col.alias(out))
+    out_df = (solutions.groupBy(*group_by).agg(*exprs) if group_by
+              else solutions.agg(*exprs))
+    return out_df.where(F.expr(having)) if having else out_df
 
 
 def ask(triples: DataFrame, patterns: list[Pattern], **kwargs) -> bool:

@@ -292,6 +292,76 @@ def test_minus_after_optional(triples):
     assert got == {("ex:A", "alpha")}  # B and C both have superclasses
 
 
+def test_exists_semi_join(triples):
+    # typed classes that HAVE a superclass (filter exists)
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    exists=[[("?c", SUB, "?p")]])
+    assert {r.c for r in out.collect()} == {"ex:B", "ex:C"}
+
+
+def test_not_exists_anti_join(triples):
+    out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                    not_exists=[[("?c", SUB, "?p")]])
+    assert {r.c for r in out.collect()} == {"ex:A"}
+
+
+def test_not_exists_whole_group_gate(triples):
+    # NO shared variable: all-or-nothing existence gate (§8.1) — the
+    # classic divergence from MINUS, which is a no-op without shared vars
+    gone = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                     not_exists=[[("?x", "ex:loves", "ex:self")]])
+    assert gone.count() == 0  # the unrelated pattern matches -> drop all
+    kept = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                     exists=[[("?x", "ex:loves", "ex:self")]])
+    assert kept.count() == 3
+    nothing = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                        exists=[[("?x", "ex:hates", "?y")]])
+    assert nothing.count() == 0
+
+
+def test_exists_on_nullable_variable_raises(triples):
+    # ?l is OPTIONAL-introduced (may be NULL) -> substitution semantics
+    # would need a non-equi join; must raise with guidance
+    with pytest.raises(ValueError, match="unbound"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                  optional=[[("?c", LABEL, "?l")]],
+                  not_exists=[[("?z", LABEL, "?l")]])
+
+
+def test_aggregate_count_and_group_concat(triples):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        aggregate_solutions)
+    sol = match_bgp(triples, [("?s", "?p", "?o")], distinct=False)
+    out = aggregate_solutions(sol, ["p"], {
+        "n": ("COUNT", "*"), "subjects": ("GROUP_CONCAT", "s"),
+        "first_s": ("SAMPLE", "s")})
+    got = {r.p: (r.n, r.subjects, r.first_s) for r in out.collect()}
+    assert got[SUB] == (3, "ex:B|ex:C|ex:D", "ex:B")
+    assert got["ex:loves"][0] == 2
+
+
+def test_aggregate_having_and_numeric(spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        aggregate_solutions)
+    rows = [("ex:a", "ex:v", "1"), ("ex:a", "ex:v", "2.5"),
+            ("ex:b", "ex:v", "10")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    sol = match_bgp(t, [("?s", "ex:v", "?x")], distinct=False)
+    out = aggregate_solutions(sol, ["s"], {"total": ("SUM", "x"),
+                                           "avg_v": ("AVG", "x")},
+                              having="total > 3")
+    got = {r.s: (r.total, r.avg_v) for r in out.collect()}
+    assert got == {"ex:a": (3.5, 1.75), "ex:b": (10.0, 10.0)}
+
+
+def test_aggregate_unknown_fn_raises(triples):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        aggregate_solutions)
+    sol = match_bgp(triples, [("?s", "?p", "?o")], distinct=False)
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        aggregate_solutions(sol, ["p"], {"z": ("MEDIAN", "s")})
+
+
 def test_values_clause(triples):
     out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                     values={"c": ["ex:A", "ex:C", "ex:nope"]})
