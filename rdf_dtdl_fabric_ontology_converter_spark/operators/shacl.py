@@ -7,7 +7,9 @@ see ``operators/validate.py`` for our port of those 11 families). SHACL
 pipeline states the SAME kind of contract declaratively — "every Nation
 has exactly one label, which is a string literal" — so this module adds
 the workhorse SHACL core subset as one distributed operator: node shapes
-targeted by class, property constraints on direct predicate paths.
+with the four core target kinds (§2.1.3 — targetClass,
+targetSubjectsOf, targetObjectsOf, targetNode), property constraints on
+direct predicate paths.
 
 Supported constraint components (SHACL core §4, the counting/value
 subset that covers the reference's validator families):
@@ -85,13 +87,44 @@ def _violation(df: DataFrame, shape_id: str, path: str, constraint: str,
         v.alias("value"))
 
 
+_TARGET_KEYS = ("target_class", "target_subjects_of", "target_objects_of",
+                "target_node")
+
+
+def _focus_frame(triples: DataFrame, shape: dict,
+                 typed: DataFrame) -> DataFrame:
+    """Resolve the shape's target declaration to its focus-node frame.
+
+    The four SHACL core target kinds (§2.1.3): sh:targetClass (direct
+    rdf:type), sh:targetSubjectsOf / sh:targetObjectsOf (endpoints of a
+    predicate — each a pushed-down filter + dedup), sh:targetNode (an
+    explicit driver-supplied node list, like sh:in always bounded)."""
+    given = [k for k in _TARGET_KEYS if shape.get(k) is not None]
+    if len(given) != 1:
+        raise ValueError(
+            f"shacl: shape {shape.get('shape_id')!r} needs exactly one of "
+            f"{_TARGET_KEYS}, got {given or 'none'}")
+    kind, val = given[0], shape[given[0]]
+    if kind == "target_class":
+        f = typed.where(F.col("cls") == val).select(
+            F.col("node").alias("focus"))
+    elif kind == "target_subjects_of":
+        f = triples.where(F.col("pred") == val).select(
+            F.col("subj").alias("focus"))
+    elif kind == "target_objects_of":
+        f = triples.where(F.col("pred") == val).select(
+            F.col("obj").alias("focus"))
+    else:
+        f = triples.sparkSession.createDataFrame(
+            [(n,) for n in val], "focus string")
+    return f.dropDuplicates()
+
+
 def _shape_violations(triples: DataFrame, shape: dict, *,
                       typed: DataFrame,
                       subclass_closure: bool) -> list[DataFrame]:
     shape_id = shape["shape_id"]
-    target = shape["target_class"]
-    focus = (typed.where(F.col("cls") == target)
-             .select(F.col("node").alias("focus")).dropDuplicates())
+    focus = _focus_frame(triples, shape, typed)
     out: list[DataFrame] = []
     for prop in shape.get("properties", []):
         path = prop["path"]
@@ -181,10 +214,12 @@ def validate_shapes(triples: DataFrame, shapes: list[dict], *,
 
     Returns the flattened validation report: one row per violation,
     columns ``(focus, shape_id, path, constraint, value)``. Empty frame
-    ⇔ sh:conforms. ``subclass_closure=True`` widens ``sh:class`` (and
-    target selection is always DIRECT rdf:type, matching sh:targetClass
-    on graphs without entailment — run the entailment materializer first
-    for the RDFS reading, operators/entailment.py).
+    ⇔ sh:conforms. ``subclass_closure=True`` widens ``sh:class``;
+    ``target_class`` selection is always DIRECT rdf:type, matching
+    sh:targetClass on graphs without entailment — run the entailment
+    materializer first for the RDFS reading (operators/entailment.py).
+    Each shape declares exactly one of ``target_class`` /
+    ``target_subjects_of`` / ``target_objects_of`` / ``target_node``.
     """
     if not shapes:
         raise ValueError("validate_shapes: empty shape list")

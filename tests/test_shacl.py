@@ -141,6 +141,35 @@ def test_conforms_and_errors(kg):
         validate_shapes(kg, [ok, ok])
 
 
+def test_target_subjects_and_objects_of(kg):
+    # everything that HAS an inRegion arc needs a type (n1,n2,n3 typed: ok)
+    s1 = {"shape_id": "S", "target_subjects_of": f"{EX}inRegion",
+          "properties": [{"path": RDF_TYPE, "min_count": 1}]}
+    assert validate_shapes(kg, [s1]).count() == 0
+    # everything POINTED AT by inRegion needs a label: none have one
+    s2 = {"shape_id": "O", "target_objects_of": f"{EX}inRegion",
+          "properties": [{"path": LABEL, "min_count": 1}]}
+    got = {r.focus for r in validate_shapes(kg, [s2]).collect()}
+    assert got == {f"{EX}r1", f"{EX}zzz", f"{EX}m1"}
+
+
+def test_target_node_explicit(kg):
+    s = {"shape_id": "N", "target_node": [f"{EX}n3", f"{EX}n1"],
+         "properties": [{"path": LABEL, "min_count": 1}]}
+    got = {r.focus for r in validate_shapes(kg, [s]).collect()}
+    assert got == {f"{EX}n3"}
+
+
+def test_exactly_one_target_kind(kg):
+    with pytest.raises(ValueError, match="exactly one"):
+        validate_shapes(kg, [{"shape_id": "B", "properties": []}])
+    with pytest.raises(ValueError, match="exactly one"):
+        validate_shapes(kg, [{"shape_id": "B2",
+                              "target_class": f"{EX}Nation",
+                              "target_node": [f"{EX}n1"],
+                              "properties": []}])
+
+
 def test_multiple_shapes_union(kg):
     shapes = [NATION_SHAPE,
               {"shape_id": "RegionShape", "target_class": f"{EX}Region",
