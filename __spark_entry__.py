@@ -549,6 +549,77 @@ def _oracle_sparql_not_exists_agg() -> str:
     """
 
 
+def _nation_desc_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle doc per nation with a 3-deep anonymous-bnode structure
+    (property bnode holding an rdf list) plus an inbound-reference decoy —
+    the deterministic corpus for the DESCRIBE/CBD query. Anonymous bnodes
+    get parse-ordered gen labels doc-qualified by the extractor
+    (functions/turtle.py:160, operators/extract.py:180)."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(' rdfs:label "'), F.col("n_name"), F.lit('" .\n'),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(' ex:meta [ ex:author "auth_'), F.col("n_nationkey"),
+        F.lit('" ; ex:tags ( "t'), F.col("n_nationkey"),
+        F.lit('" "u'), F.col("n_nationkey"), F.lit('" ) ] .\n'),
+        F.lit("ex:other ex:ref ex:N"), F.col("n_nationkey"), F.lit(" .\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("nation_desc_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE via Concise Bounded Description (operators/bgp.py
+    describe): seeds come from a BGP projection (DESCRIBE ?n WHERE {?n
+    rdfs:label ?l}), the blank-node closure pulls the 3-deep anonymous
+    structure (property bnode → list head → list tail), and the inbound
+    ex:ref decoy stays out (CBD excludes object-position triples)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        describe, match_bgp)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(
+        extract_triples(_nation_desc_ttl_docs(spark, sf_dir)))
+    seeds = match_bgp(clean, [("?n", RDFS_LABEL, "?l")], select=["n"])
+    out = describe(clean, seeds).select("subj", "pred", "obj")
+    return out.orderBy("subj", "pred", "obj")
+
+
+def _oracle_sparql_describe() -> str:
+    first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    return f"""
+    WITH n AS (
+      SELECT n_nationkey AS k, n_name AS name,
+             'http://example.org/N'||n_nationkey AS iri,
+             '_:nation_desc_'||n_nationkey||'/0/' AS bq
+      FROM nation
+    )
+    SELECT subj, pred, obj FROM (
+      SELECT iri AS subj, '{RDFS_LABEL}' AS pred, name AS obj FROM n
+      UNION ALL
+      SELECT iri, 'http://example.org/meta', bq||'gen1' FROM n
+      UNION ALL
+      SELECT bq||'gen1', 'http://example.org/author', 'auth_'||k FROM n
+      UNION ALL
+      SELECT bq||'gen1', 'http://example.org/tags', bq||'gen2' FROM n
+      UNION ALL SELECT bq||'gen2', '{first}', 't'||k FROM n
+      UNION ALL SELECT bq||'gen2', '{rest}', bq||'gen3' FROM n
+      UNION ALL SELECT bq||'gen3', '{first}', 'u'||k FROM n
+      UNION ALL SELECT bq||'gen3', '{rest}', '{nil}' FROM n
+    ) ORDER BY subj, pred, obj
+    """
+
+
 def q_shacl_validate(spark, sf_dir):
     """SHACL-lite shape validation report (operators/shacl.py — the
     declarative twin of the reference's validator families,
@@ -2896,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_minus": q_sparql_union_minus,
         "sparql_graph": q_sparql_graph,
         "sparql_not_exists_agg": q_sparql_not_exists_agg,
+        "sparql_describe": q_sparql_describe,
         "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
@@ -2970,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union_minus": _oracle_sparql_union_minus(),
         "sparql_graph": _oracle_sparql_graph(),
         "sparql_not_exists_agg": _oracle_sparql_not_exists_agg(),
+        "sparql_describe": _oracle_sparql_describe(),
         "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),

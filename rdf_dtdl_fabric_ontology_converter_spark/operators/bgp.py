@@ -412,6 +412,62 @@ def aggregate_solutions(solutions: DataFrame,
     return out_df.where(F.expr(having)) if having else out_df
 
 
+def describe(triples: DataFrame, nodes, *, max_rounds: int = 16) -> DataFrame:
+    """SPARQL ``DESCRIBE`` via Concise Bounded Description (CBD).
+
+    DESCRIBE's result is implementation-defined (SPARQL 1.1 §16.4); the
+    de-facto standard is the CBD: every triple whose subject is the
+    node, plus — recursively — every triple whose subject is a BLANK
+    node reached in object position of an included triple (blank nodes
+    have no identity outside the graph, so a description that stopped at
+    one would be unusable). Triples with the node only in OBJECT
+    position are excluded, per CBD.
+
+    ``nodes`` is a driver-side list of IRIs or a single-column DataFrame
+    (e.g. a ``match_bgp`` projection — the ``DESCRIBE ?x WHERE {...}``
+    form). Returns full triple rows incl. provenance columns; the same
+    statement extracted from two documents yields two rows (callers
+    wanting set semantics dedup on the term columns, as ``shacl`` does).
+
+    Scale notes: each round is one equi-join of the triples frame
+    against the frontier (AQE broadcasts a DESCRIBE-sized frontier;
+    a huge seed frame degrades gracefully to a shuffle join on
+    ``subj``), and rounds are bounded by the blank-node NESTING depth of
+    the data — a property of document structure (rdf lists, property
+    bnodes: single digits), not of corpus size. Frontier and visited
+    sets are lazily checkpointed per round, one count action each.
+    Raises on non-convergence rather than silently truncating the
+    description (the ``cc.py`` lesson).
+    """
+    spark = triples.sparkSession
+    if isinstance(nodes, (list, tuple)):
+        seed = spark.createDataFrame([(n,) for n in nodes], "node string")
+    else:
+        if len(nodes.columns) != 1:
+            raise ValueError("describe: nodes frame must have exactly one "
+                             f"column, got {nodes.columns}")
+        seed = nodes.toDF("node")
+    described = seed.dropDuplicates().localCheckpoint(eager=False)
+    frontier = described
+    out: DataFrame | None = None
+    for _ in range(max_rounds):
+        rows = triples.join(
+            frontier, triples["subj"] == frontier["node"]).drop("node")
+        out = rows if out is None else out.unionByName(rows)
+        new = (rows.where(F.col("obj_kind") == "bnode")
+               .select(F.col("obj").alias("node")).dropDuplicates()
+               .join(described, on="node", how="left_anti")
+               .localCheckpoint(eager=False))
+        if new.count() == 0:
+            return out
+        described = described.union(new).localCheckpoint(eager=False)
+        frontier = new
+    raise RuntimeError(
+        f"describe: blank-node closure did not converge in {max_rounds} "
+        "rounds; raise max_rounds (data has deeper bnode nesting) — "
+        "truncating a description silently must never happen")
+
+
 def ask(triples: DataFrame, patterns: list[Pattern], **kwargs) -> bool:
     """SPARQL ``ASK``: does at least one solution exist?
 

@@ -362,6 +362,43 @@ def test_aggregate_unknown_fn_raises(triples):
         aggregate_solutions(sol, ["p"], {"z": ("MEDIAN", "s")})
 
 
+@pytest.fixture(scope="module")
+def cbd_graph(spark):
+    rows = [
+        ("ex:n", "ex:label", "N", "literal"),
+        ("ex:n", "ex:meta", "_:b1", "bnode"),
+        ("_:b1", "ex:author", "a", "literal"),
+        ("_:b1", "ex:tags", "_:b2", "bnode"),
+        ("_:b2", "ex:first", "t", "literal"),
+        ("_:b2", "ex:rest", "_:b3", "bnode"),
+        ("_:b3", "ex:first", "u", "literal"),
+        ("ex:other", "ex:ref", "ex:n", "iri"),       # obj position: excluded
+        ("_:b9", "ex:stray", "x", "literal"),         # unreachable bnode
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj", "obj_kind"])
+
+
+def test_describe_cbd(cbd_graph):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import describe
+    out = describe(cbd_graph, ["ex:n"])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert len(got) == 7  # everything except ex:other->ex:n and _:b9
+    assert ("ex:other", "ex:ref", "ex:n") not in got
+    assert ("_:b3", "ex:first", "u") in got  # 3-deep bnode chain included
+    assert not any(s == "_:b9" for (s, _, _) in got)
+
+
+def test_describe_frame_seed_and_convergence(cbd_graph, spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import describe
+    seeds = spark.createDataFrame([("ex:n",), ("ex:other",)], ["x"])
+    out = describe(cbd_graph, seeds)
+    assert out.count() == 8
+    with pytest.raises(RuntimeError, match="converge"):
+        describe(cbd_graph, ["ex:n"], max_rounds=2)
+    with pytest.raises(ValueError, match="one"):
+        describe(cbd_graph, cbd_graph.select("subj", "pred"))
+
+
 def test_values_clause(triples):
     out = match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                     values={"c": ["ex:A", "ex:C", "ex:nope"]})
