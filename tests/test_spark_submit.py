@@ -53,6 +53,13 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     proc = subprocess.run(
         [SPARK_SUBMIT, "--master", "local[4]",
+         # size the driver like any real submit would: local-mode runs the
+         # whole pipeline (driver + 4 executor threads) in one JVM, and at
+         # spark-submit's 1g default the kg job's execution-memory pool
+         # starves (TaskMemoryManager page-allocation thrash -> heartbeat
+         # timeout -> abort) regardless of commit — reproduced identically
+         # on builds months apart. 4g matches the in-process test fixture.
+         "--driver-memory", "4g",
          "--conf", "spark.sql.shuffle.partitions=4",
          "--conf", "spark.ui.enabled=false",
          "--py-files", zip_path,
