@@ -620,6 +620,69 @@ def _oracle_sparql_describe() -> str:
     """
 
 
+_SPARQL_TEXT_QUERY = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT ?p ?n ?l WHERE {
+  ?p a owl:ObjectProperty ;
+     rdfs:domain ?n .
+  OPTIONAL { ?n rdfs:label ?l }
+  FILTER REGEX(?n, "N[0-9]+$")
+} ORDER BY ?p
+"""
+
+_SPARQL_TEXT_AGG = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?t (COUNT(*) AS ?n_props) WHERE {
+  ?p a ?t .
+  ?p rdfs:domain ?d .
+} GROUP BY ?t ORDER BY ?t
+"""
+
+
+def q_sparql_text_select(spark, sf_dir):
+    """An actual SPARQL STRING end-to-end (functions/sparql.py parser →
+    operators/sparql.py evaluator → the BGP layer): prefixed names,
+    predicate-object list, OPTIONAL, bare REGEX FILTER, ORDER BY."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_QUERY)
+
+
+def _oracle_sparql_text_select() -> str:
+    return """
+    SELECT 'http://example.org/N'||n_nationkey||'_inRegion' AS p,
+           'http://example.org/N'||n_nationkey AS n,
+           n_name AS l
+    FROM nation ORDER BY p
+    """
+
+
+def q_sparql_text_agg(spark, sf_dir):
+    """SPARQL aggregate string: property count per rdf:type over
+    domain-bearing properties (GROUP BY + COUNT through the parser)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_AGG)
+
+
+def _oracle_sparql_text_agg() -> str:
+    return """
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n_props FROM (
+      SELECT 'http://www.w3.org/2002/07/owl#DatatypeProperty' AS t
+      FROM nation
+      UNION ALL
+      SELECT 'http://www.w3.org/2002/07/owl#ObjectProperty' FROM nation
+    ) GROUP BY t ORDER BY t
+    """
+
+
 def q_shacl_validate(spark, sf_dir):
     """SHACL-lite shape validation report (operators/shacl.py — the
     declarative twin of the reference's validator families,
@@ -2968,6 +3031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph": q_sparql_graph,
         "sparql_not_exists_agg": q_sparql_not_exists_agg,
         "sparql_describe": q_sparql_describe,
+        "sparql_text_select": q_sparql_text_select,
+        "sparql_text_agg": q_sparql_text_agg,
         "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
@@ -3043,6 +3108,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph": _oracle_sparql_graph(),
         "sparql_not_exists_agg": _oracle_sparql_not_exists_agg(),
         "sparql_describe": _oracle_sparql_describe(),
+        "sparql_text_select": _oracle_sparql_text_select(),
+        "sparql_text_agg": _oracle_sparql_text_agg(),
         "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),

@@ -1,0 +1,589 @@
+"""SPARQL text front-end: parse a SPARQL 1.1 subset to the BGP layer.
+
+The operator layer (``operators/bgp.py``, ``operators/entailment.py``)
+evaluates SPARQL algebra as DataFrame plans; this module adds the
+concrete syntax so a user can run the QUERY STRING they already have.
+The reference never needed this — its queries are Python calls on an
+rdflib graph — but "switch to this repo and run every query you run
+today" for a KG user means accepting SPARQL text.
+
+Grammar (SPARQL 1.1 subset; everything parsed maps 1:1 onto an
+operator-layer feature, and everything outside raises ``SparqlError``
+with the unsupported construct named — never a silent wrong answer):
+
+    query      := prologue (select | ask | describe)
+    prologue   := ('PREFIX' pname ':' iriref)*
+    select     := 'SELECT' 'DISTINCT'? (vars | '*' | aggs)
+                  'WHERE'? group
+                  ('GROUP' 'BY' vars)? ('HAVING' '(' expr ')')?
+                  ('ORDER' 'BY' ordercond+)? ('LIMIT' n)? ('OFFSET' n)?
+    ask        := 'ASK' 'WHERE'? group
+    describe   := 'DESCRIBE' (iri+ | var) ('WHERE'? group)?
+    group      := '{' member* '}'
+    member     := triples '.'? | 'OPTIONAL' group | 'MINUS' group
+                | group 'UNION' group | 'FILTER' constraint
+                | 'VALUES' var '{' term* '}'
+                | 'GRAPH' (iri | var) group
+    constraint := '(' expr ')' | 'EXISTS' group | 'NOT' 'EXISTS' group
+                | 'REGEX' '(' ... ')'
+
+Triple patterns support prefixed names, ``<iri>``, ``a`` (rdf:type),
+``?var``/``$var``, plain/numeric literals, object lists (``,``),
+predicate-object lists (``;``), and the path operators the BGP layer
+evaluates (``^iri``, ``alt|alt``, trailing ``+``). FILTER expressions
+translate to Spark SQL over the variable columns: comparisons,
+``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, ``STRLEN``,
+``CONTAINS``, ``STRSTARTS``. Blank-node syntax, ``*``/``?`` paths,
+subqueries, BIND, property functions, and datatyped/lang literals
+raise ``SparqlError`` (the engine stores lexical forms; a datatype
+match would silently compare the wrong thing).
+
+UNION branches: the operator layer models UNION as alternate groups
+against the required group, so ``C . {A} UNION {B}`` distributes the
+surrounding patterns into each branch (§18.2 Join-over-Union
+equivalence) — the parser does this mechanically.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlError(ValueError):
+    """Unsupported or malformed SPARQL — always named, never guessed."""
+
+
+_TOKEN = re.compile(r"""
+      (?P<IRI><[^<>\s]*>)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<NUM>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.%]*)
+    | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<PUNCT>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,|^+*?=<>!:@])
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<WS>\s+)
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> list[str]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN.match(text, i)
+        if not m:
+            raise SparqlError(f"sparql: cannot tokenize at ...{text[i:i+24]!r}")
+        i = m.end()
+        if m.lastgroup in ("WS", "COMMENT"):
+            continue
+        out.append(m.group())
+    return out
+
+
+@dataclass
+class _Group:
+    """Parsed group graph pattern, mirroring match_bgp's keyword surface.
+
+    ``union_branches`` holds the branches of the group's ONE UNION block
+    (plain conjunctions); at evaluation the group's other patterns are
+    distributed into every branch (§18.2 Join-over-Union), so patterns
+    before or after the block behave identically."""
+    patterns: list[tuple] = field(default_factory=list)
+    optional: list[list[tuple]] = field(default_factory=list)
+    union_branches: list[list[tuple]] = field(default_factory=list)
+    minus: list[list[tuple]] = field(default_factory=list)
+    exists: list[list[tuple]] = field(default_factory=list)
+    not_exists: list[list[tuple]] = field(default_factory=list)
+    values: dict[str, list[str]] = field(default_factory=dict)
+    filters: list[str] = field(default_factory=list)
+
+    def bgp_kwargs(self) -> tuple[list[tuple], dict]:
+        """(required patterns, match_bgp keyword dict) with the UNION
+        distribution applied."""
+        pats = list(self.patterns)
+        union_kw: list[list[tuple]] = []
+        if self.union_branches:
+            pats = pats + self.union_branches[0]
+            union_kw = [self.patterns + b for b in self.union_branches[1:]]
+        kw: dict = {}
+        if self.optional:
+            kw["optional"] = self.optional
+        if union_kw:
+            kw["union"] = union_kw
+        if self.minus:
+            kw["minus"] = self.minus
+        if self.exists:
+            kw["exists"] = self.exists
+        if self.not_exists:
+            kw["not_exists"] = self.not_exists
+        if self.values:
+            kw["values"] = self.values
+        if self.filters:
+            kw["filter_expr"] = " AND ".join(f"({f})" for f in self.filters)
+        return pats, kw
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token plumbing ----------------------------------------------------
+    def peek(self, k: int = 0) -> str | None:
+        return self.toks[self.pos + k] if self.pos + k < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.pos >= len(self.toks):
+            raise SparqlError("sparql: unexpected end of query")
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def eat(self, tok: str) -> None:
+        t = self.next()
+        if t.upper() != tok.upper():
+            raise SparqlError(f"sparql: expected {tok!r}, got {t!r}")
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper() in kws
+
+    # -- terms ---------------------------------------------------------------
+    def _expand(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlError(f"sparql: undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def term(self, *, as_predicate: bool = False) -> str:
+        t = self.next()
+        if t.startswith("<") and t.endswith(">"):
+            return t[1:-1]
+        if t[0] in "?$":
+            return "?" + t[1:]
+        if t == "a":
+            return RDF_TYPE
+        if t[0] in "\"'":
+            lit = _unquote(t)
+            if self.peek() == "^^" or (self.peek() or "").startswith("@"):
+                raise SparqlError(
+                    "sparql: datatyped/lang-tagged literals are not "
+                    "supported (the store compares lexical forms)")
+            return lit
+        if re.fullmatch(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+            return t
+        if t == "^":
+            if as_predicate:
+                return "^" + self.term(as_predicate=True)
+            raise SparqlError("sparql: ^ outside predicate position")
+        if ":" in t:
+            return self._expand(t)
+        if t == "[":
+            raise SparqlError("sparql: blank-node syntax is not supported")
+        raise SparqlError(f"sparql: unexpected term {t!r}")
+
+    def predicate(self) -> str:
+        """Predicate position: IRI/pname/a with the BGP path operators."""
+        p = self.term(as_predicate=True)
+        while self.peek() in ("|", "+"):
+            if p.startswith("?"):
+                raise SparqlError("sparql: path operator on a variable "
+                                  "predicate")
+            op = self.next()
+            if op == "+":
+                p += "+"
+                if self.peek() in ("|", "+"):
+                    raise SparqlError("sparql: only a single trailing + "
+                                      "is supported (closes the whole "
+                                      "alternation, see operators/bgp.py)")
+                return p
+            nxt = self.term(as_predicate=True)
+            p += "|" + nxt
+        if self.peek() in ("*", "?") and not p.startswith("?"):
+            raise SparqlError(
+                f"sparql: path operator {self.peek()!r} is deliberately "
+                "not offered (identity over every graph term — see "
+                "operators/bgp.py)")
+        return p
+
+    # -- groups ----------------------------------------------------------------
+    def group(self, graph_term: str | None = None) -> _Group:
+        self.eat("{")
+        g = _Group()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("sparql: unterminated group (missing })")
+            if t == "}":
+                self.next()
+                return g
+            if t == "{":
+                # { A } UNION { B } [UNION { C }]*
+                first = self.group(graph_term)
+                branches = [first]
+                while self.at_kw("UNION"):
+                    self.next()
+                    branches.append(self.group(graph_term))
+                if len(branches) == 1:
+                    self._merge(g, first)
+                else:
+                    if g.union_branches:
+                        raise SparqlError(
+                            "sparql: one UNION block per group (nest a "
+                            "second one in its own subgroup)")
+                    g.union_branches = [self._plain(b, "UNION")
+                                        for b in branches]
+                continue
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                sub = self.group(graph_term)
+                g.optional.append(self._plain(sub, "OPTIONAL"))
+                continue
+            if self.at_kw("MINUS"):
+                self.next()
+                g.minus.append(self._plain(self.group(graph_term), "MINUS"))
+                continue
+            if self.at_kw("GRAPH"):
+                self.next()
+                gterm = self.term()
+                sub = self.group(gterm)
+                self._merge(g, sub)
+                continue
+            if self.at_kw("VALUES"):
+                self.next()
+                var = self.next()
+                if var[0] not in "?$":
+                    raise SparqlError("sparql: VALUES needs a variable "
+                                      "(multi-variable rows not supported)")
+                self.eat("{")
+                vals = []
+                while self.peek() != "}":
+                    vals.append(self.term())
+                self.next()
+                g.values[var[1:]] = vals
+                continue
+            if self.at_kw("FILTER"):
+                self.next()
+                self._filter(g)
+                continue
+            self._triples(g, graph_term)
+        # unreachable
+
+    def _plain(self, sub: _Group, kind: str) -> list[tuple]:
+        if (sub.optional or sub.union_branches or sub.minus or sub.exists or
+                sub.not_exists or sub.values or sub.filters):
+            raise SparqlError(
+                f"sparql: {kind} groups must be plain conjunctions here "
+                "(compose richer groups as two queries)")
+        return sub.patterns
+
+    def _merge(self, g: _Group, sub: _Group) -> None:
+        g.patterns.extend(sub.patterns)
+        g.optional.extend(sub.optional)
+        if sub.union_branches:
+            if g.union_branches:
+                raise SparqlError("sparql: one UNION block per group")
+            g.union_branches = sub.union_branches
+        g.minus.extend(sub.minus)
+        g.exists.extend(sub.exists)
+        g.not_exists.extend(sub.not_exists)
+        for k, v in sub.values.items():
+            g.values[k] = v
+        g.filters.extend(sub.filters)
+
+    def _triples(self, g: _Group, graph_term: str | None) -> None:
+        s = self.term()
+        while True:
+            p = self.predicate()
+            while True:
+                o = self.term()
+                pat = (s, p, o) if graph_term is None else (s, p, o, graph_term)
+                g.patterns.append(pat)
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() in (".", "}", ";", None):
+                    pass
+                else:
+                    continue
+            break
+        if self.peek() == ".":
+            self.next()
+
+    # -- FILTER ------------------------------------------------------------------
+    def _filter(self, g: _Group) -> None:
+        if self.at_kw("EXISTS"):
+            self.next()
+            g.exists.append(self._plain(self.group(), "EXISTS"))
+            return
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat("EXISTS")
+            g.not_exists.append(self._plain(self.group(), "NOT EXISTS"))
+            return
+        if self.at_kw(*self._FN_SQL):
+            # bare builtin call: FILTER REGEX(?l, "re") — legal per the
+            # Constraint production (no bracketting required)
+            g.filters.append(self._call_sql(self.next().upper()))
+            return
+        g.filters.append(self._expr_parens())
+
+    _FN_SQL = {"REGEX": None, "BOUND": None, "STRLEN": "length",
+               "CONTAINS": "contains", "STRSTARTS": "startswith"}
+
+    def _call_sql(self, fn: str) -> str:
+        """SQL for one builtin call, fn token already consumed."""
+        if fn == "REGEX":
+            self.eat("(")
+            v = self.next()
+            if v[0] not in "?$":
+                raise SparqlError("sparql: REGEX needs a variable")
+            self.eat(",")
+            pat = self.next()
+            self.eat(")")
+            return (f"`{v[1:]}` RLIKE "
+                    f"'{_unquote(pat).replace(chr(39), chr(39) * 2)}'")
+        if fn == "BOUND":
+            self.eat("(")
+            v = self.next()
+            self.eat(")")
+            return f"`{v[1:]}` IS NOT NULL"
+        # two-argument string predicates / one-arg length: reuse the
+        # generic expression walker from the opening paren
+        return self._FN_SQL[fn] + " " + self._expr_with_parens()
+
+    def _expr_with_parens(self) -> str:
+        """Parse '( ... )' returning it WITH the parentheses."""
+        return "( " + self._expr_parens() + " )"
+
+    def _expr_parens(self) -> str:
+        self.eat("(")
+        out, depth = [], 1
+        while depth:
+            t = self.next()
+            if t == "(":
+                depth += 1
+                out.append("(")
+            elif t == ")":
+                depth -= 1
+                if depth:
+                    out.append(")")
+            elif t[0] in "?$":
+                out.append(f"`{t[1:]}`")
+            elif t == "&&":
+                out.append("AND")
+            elif t == "||":
+                out.append("OR")
+            elif t == "!=":
+                out.append("<>")
+            elif t == "!":
+                out.append("NOT")
+            elif t[0] in "\"'":
+                out.append("'" + _unquote(t).replace("'", "''") + "'")
+            elif t.upper() in ("REGEX", "BOUND"):
+                out.append(self._call_sql(t.upper()))
+            elif t.upper() in self._FN_SQL:
+                out.append(self._FN_SQL[t.upper()])
+            elif t.upper() == "IN":
+                out.append("IN")
+            elif t == "," or t in ("=", "<", ">", "<=", ">=", "+", "*"):
+                out.append(t)
+            elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+                out.append(t)
+            elif t.startswith("<") and t.endswith(">"):
+                out.append("'" + t[1:-1] + "'")
+            elif ":" in t:
+                out.append("'" + self._expand(t) + "'")
+            else:
+                raise SparqlError(
+                    f"sparql: unsupported token {t!r} in FILTER expression")
+        return " ".join(out)
+
+    # -- query forms --------------------------------------------------------------
+    def prologue(self) -> None:
+        while self.at_kw("PREFIX"):
+            self.next()
+            pname = self.next()
+            if not pname.endswith(":"):
+                if self.peek() == ":":
+                    self.next()
+                else:
+                    raise SparqlError(f"sparql: bad PREFIX {pname!r}")
+            iri = self.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlError(f"sparql: PREFIX needs <iri>, got {iri!r}")
+            self.prefixes[pname.rstrip(":")] = iri[1:-1]
+        if self.at_kw("BASE"):
+            raise SparqlError("sparql: BASE is not supported (use full IRIs)")
+
+
+def _unquote(t: str) -> str:
+    body = t[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", '"': '"',
+                                       "'": "'", "\\": "\\"}.get(
+                                           m.group(1), m.group(1)), body)
+
+
+def parse(text: str) -> dict:
+    """Parse SPARQL text → an execution spec dict (form + kwargs).
+
+    Returns ``{"form": "select"|"ask"|"describe", ...}`` — see
+    ``operators/sparql.sparql_query`` for the evaluator that binds it to
+    a triples DataFrame. Split so tests can check the translation
+    without a SparkSession.
+    """
+    p = _Parser(text)
+    p.prologue()
+    t = (p.peek() or "").upper()
+    if t == "SELECT":
+        return _parse_select(p)
+    if t == "ASK":
+        p.next()
+        if p.at_kw("WHERE"):
+            p.next()
+        g = p.group()
+        _end(p)
+        return {"form": "ask", "group": g}
+    if t == "DESCRIBE":
+        p.next()
+        nodes, var = [], None
+        while p.peek() is not None and not p.at_kw("WHERE") and p.peek() != "{":
+            term = p.term()
+            if term.startswith("?"):
+                var = term
+            else:
+                nodes.append(term)
+        group = None
+        if p.peek() is not None:
+            if p.at_kw("WHERE"):
+                p.next()
+            group = p.group()
+        _end(p)
+        if var is not None and group is None:
+            raise SparqlError("sparql: DESCRIBE ?var needs a WHERE group")
+        if var is not None and nodes:
+            raise SparqlError("sparql: DESCRIBE mixes IRIs and a variable")
+        return {"form": "describe", "nodes": nodes, "var": var,
+                "group": group}
+    raise SparqlError(f"sparql: expected SELECT/ASK/DESCRIBE, got {t!r} "
+                      "(CONSTRUCT runs via operators/entailment.construct)")
+
+
+def _parse_select(p: _Parser) -> dict:
+    p.next()
+    distinct = False
+    if p.at_kw("DISTINCT"):
+        p.next()
+        distinct = True
+    elif p.at_kw("REDUCED"):
+        p.next()  # REDUCED permits-but-does-not-require dedup; we dedup
+        distinct = True
+    select: list[str] | None = []
+    aggs: dict[str, tuple[str, str]] = {}
+    group_by: list[str] = []
+    having: str | None = None
+    while True:
+        t = p.peek()
+        if t == "*":
+            p.next()
+            select = None
+            continue
+        if t is not None and t[0] in "?$":
+            select.append(p.next()[1:])
+            continue
+        if t == "(":
+            # ( AGG(?v) AS ?name )
+            p.next()
+            fn = p.next().upper()
+            if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                          "GROUP_CONCAT"):
+                raise SparqlError(f"sparql: unsupported aggregate {fn!r}")
+            p.eat("(")
+            arg = p.next()
+            if arg == "*":
+                var = "*"
+            elif arg[0] in "?$":
+                var = arg[1:]
+            else:
+                raise SparqlError(f"sparql: aggregate over {arg!r}")
+            p.eat(")")
+            p.eat("AS")
+            name = p.next()
+            if name[0] not in "?$":
+                raise SparqlError("sparql: AS needs a variable")
+            p.eat(")")
+            aggs[name[1:]] = (fn, var)
+            continue
+        break
+    if select is not None and not select and not aggs:
+        raise SparqlError("sparql: empty SELECT clause")
+    if p.at_kw("WHERE"):
+        p.next()
+    g = p.group()
+    if p.at_kw("GROUP"):
+        p.next()
+        p.eat("BY")
+        while p.peek() is not None and p.peek()[0] in "?$":
+            group_by.append(p.next()[1:])
+        if not group_by:
+            raise SparqlError("sparql: GROUP BY needs variables")
+    if p.at_kw("HAVING"):
+        p.next()
+        having = p._expr_parens()
+    order: list[tuple[str, bool]] = []
+    if p.at_kw("ORDER"):
+        p.next()
+        p.eat("BY")
+        while True:
+            t = p.peek()
+            if t is None:
+                break
+            if t.upper() in ("ASC", "DESC"):
+                desc = p.next().upper() == "DESC"
+                p.eat("(")
+                v = p.next()
+                p.eat(")")
+                order.append((v[1:], desc))
+            elif t[0] in "?$":
+                order.append((p.next()[1:], False))
+            else:
+                break
+        if not order:
+            raise SparqlError("sparql: ORDER BY needs variables")
+    limit = offset = None
+    for kw in ("LIMIT", "OFFSET"):
+        if p.at_kw(kw):
+            p.next()
+            n = p.next()
+            if not n.isdigit():
+                raise SparqlError(f"sparql: {kw} needs an integer")
+            if kw == "LIMIT":
+                limit = int(n)
+            else:
+                offset = int(n)
+    # LIMIT may precede OFFSET or vice versa
+    if p.at_kw("LIMIT") and limit is None:
+        p.next()
+        limit = int(p.next())
+    _end(p)
+    if aggs and select:
+        extra = [v for v in select if v not in group_by]
+        if extra:
+            raise SparqlError(
+                f"sparql: non-aggregated SELECT variables {extra} must "
+                "appear in GROUP BY (§11.4)")
+    return {"form": "select", "group": g, "select": select,
+            "distinct": distinct, "aggs": aggs, "group_by": group_by,
+            "having": having, "order": order, "limit": limit,
+            "offset": offset}
+
+
+def _end(p: _Parser) -> None:
+    if p.peek() is not None:
+        raise SparqlError(f"sparql: trailing tokens from {p.peek()!r}")

@@ -1,0 +1,67 @@
+"""Evaluate parsed SPARQL text over the triples DataFrame.
+
+``functions/sparql.parse`` turns the query string into a spec dict; this
+module binds it to the operator layer: BGP matching with
+OPTIONAL/UNION/MINUS/EXISTS/VALUES/GRAPH (``bgp.match_bgp``), §11
+aggregates (``bgp.aggregate_solutions``), ASK (``bgp.ask``), DESCRIBE
+(``bgp.describe``). The split keeps parsing testable without a
+SparkSession and keeps every scale decision in one audited place — the
+parser adds NO new plan shapes, it only names the existing ones.
+
+Solution-modifier semantics: a SELECT without DISTINCT returns the
+solution MULTISET (SPARQL §18.5); ORDER BY / LIMIT / OFFSET apply last,
+and a LIMIT without ORDER BY is still deterministic-per-plan but not
+meaningful at 100 TB — callers wanting top-k should order. OFFSET uses
+the native DataFrame offset (driver never collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sparql import SparqlError, parse
+from .bgp import aggregate_solutions, ask, describe, match_bgp
+
+
+def sparql_query(triples: DataFrame, text: str):
+    """Run a SPARQL SELECT/ASK/DESCRIBE string over the triples frame.
+
+    Returns a DataFrame for SELECT/DESCRIBE, a bool for ASK. Every
+    unsupported construct raises ``SparqlError`` naming it — the engine
+    never degrades a query silently.
+    """
+    spec = parse(text)
+    if spec["form"] == "ask":
+        pats, kw = spec["group"].bgp_kwargs()
+        return ask(triples, pats, **kw)
+    if spec["form"] == "describe":
+        if spec["var"] is not None:
+            pats, kw = spec["group"].bgp_kwargs()
+            seeds = match_bgp(triples, pats, select=[spec["var"][1:]],
+                              distinct=True, **kw)
+            return describe(triples, seeds)
+        return describe(triples, spec["nodes"])
+    # SELECT
+    pats, kw = spec["group"].bgp_kwargs()
+    if spec["aggs"]:
+        sol = match_bgp(triples, pats, distinct=False, **kw)
+        out = aggregate_solutions(sol, spec["group_by"], spec["aggs"],
+                                  having=spec["having"])
+        if spec["distinct"]:
+            out = out.dropDuplicates()
+    else:
+        out = match_bgp(triples, pats, distinct=spec["distinct"],
+                        select=spec["select"], **kw)
+    if spec["order"]:
+        missing = [v for v, _ in spec["order"] if v not in out.columns]
+        if missing:
+            raise SparqlError(f"sparql: ORDER BY variables {missing} not "
+                              f"in the projection {out.columns}")
+        out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
+                            for v, d in spec["order"]])
+    if spec["offset"] is not None:
+        out = out.offset(spec["offset"])
+    if spec["limit"] is not None:
+        out = out.limit(spec["limit"])
+    return out

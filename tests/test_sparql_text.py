@@ -1,0 +1,190 @@
+"""SPARQL text front-end (functions/sparql.py + operators/sparql.py).
+
+The parser maps a SPARQL 1.1 subset 1:1 onto the BGP operator layer;
+these tests check (a) pure parsing without a session, (b) end-to-end
+equivalence: the text query returns exactly what the hand-built
+match_bgp call returns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dtdl_fabric_ontology_converter_spark.functions.sparql import (
+    RDF_TYPE, SparqlError, parse)
+from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+    sparql_query)
+
+SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+CLS = "http://www.w3.org/2002/07/owl#Class"
+
+PFX = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX ex: <ex:>
+"""
+
+
+# ---------------------------------------------------------------- parsing
+def test_parse_basic_select():
+    spec = parse(PFX + """
+      SELECT DISTINCT ?c ?l WHERE {
+        ?c a owl:Class ; rdfs:label ?l .
+      } ORDER BY DESC(?l) LIMIT 5 OFFSET 2
+    """)
+    assert spec["form"] == "select" and spec["distinct"]
+    assert spec["group"].patterns == [
+        ("?c", RDF_TYPE, "http://www.w3.org/2002/07/owl#Class"),
+        ("?c", LABEL, "?l")]
+    assert spec["select"] == ["c", "l"]
+    assert spec["order"] == [("l", True)]
+    assert (spec["limit"], spec["offset"]) == (5, 2)
+
+
+def test_parse_object_list_and_paths():
+    spec = parse(PFX + "SELECT * WHERE { ?x ex:p ex:a , ex:b . "
+                       "?x rdfs:subClassOf+ ?y . ?z ^ex:q|ex:r ?x }")
+    pats = spec["group"].patterns
+    assert ("?x", "ex:p", "ex:a") in pats and ("?x", "ex:p", "ex:b") in pats
+    assert ("?x", SUB + "+", "?y") in pats
+    assert ("?z", "^ex:q|ex:r", "?x") in pats
+
+
+def test_parse_union_distribution():
+    spec = parse(PFX + "SELECT * WHERE { ?c rdfs:label ?l . "
+                       "{ ?c a owl:Class } UNION { ?c a owl:Thing } }")
+    pats, kw = spec["group"].bgp_kwargs()
+    assert ("?c", LABEL, "?l") in pats and ("?c", RDF_TYPE, CLS) in pats
+    # the shared pattern is distributed into the second branch
+    assert kw["union"] == [[("?c", LABEL, "?l"),
+                            ("?c", RDF_TYPE, "http://www.w3.org/2002/07/owl#Thing")]]
+
+
+def test_parse_graph_and_values():
+    spec = parse(PFX + """SELECT * WHERE {
+        GRAPH ?g { ?s ex:p ?o }
+        GRAPH ex:g1 { ?o ex:q ?z }
+        VALUES ?s { ex:a ex:b }
+    }""")
+    pats = spec["group"].patterns
+    assert ("?s", "ex:p", "?o", "?g") in pats
+    assert ("?o", "ex:q", "?z", "ex:g1") in pats
+    assert spec["group"].values == {"s": ["ex:a", "ex:b"]}
+
+
+def test_parse_filters():
+    spec = parse(PFX + """SELECT * WHERE {
+        ?c rdfs:label ?l .
+        FILTER (?l != "x" && STRLEN(?l) > 2)
+        FILTER REGEX(?l, "^a.*")
+        FILTER NOT EXISTS { ?c rdfs:subClassOf ?p }
+    }""")
+    g = spec["group"]
+    assert g.filters[0] == "`l` <> 'x' AND length ( `l` ) > 2"
+    assert g.filters[1] == "`l` RLIKE '^a.*'"
+    assert g.not_exists == [[("?c", SUB, "?p")]]
+
+
+def test_parse_aggregates():
+    spec = parse(PFX + """SELECT ?t (COUNT(*) AS ?n) (SUM(?v) AS ?s)
+        WHERE { ?x a ?t . ?x ex:val ?v }
+        GROUP BY ?t HAVING (?n > 1)""")
+    assert spec["aggs"] == {"n": ("COUNT", "*"), "s": ("SUM", "v")}
+    assert spec["group_by"] == ["t"] and spec["having"] == "`n` > 1"
+
+
+def test_parse_errors_are_named():
+    cases = [
+        ("SELECT * WHERE { ?s ?p [ ex:q 1 ] }", "blank-node"),
+        ('SELECT * WHERE { ?s ?p "x"^^<dt> }', "datatyped"),
+        ("SELECT * WHERE { ?s <p>* ?o }", "deliberately"),
+        ("SELECT ?x WHERE { ?s ?p ?o } GROUP BY", "GROUP BY"),
+        ("PREFIX ex: <ex:> SELECT * WHERE { ?s zz:p ?o }", "undeclared"),
+        ("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }", "CONSTRUCT"),
+        ("SELECT * WHERE { ?s ?p ?o } JUNK", "trailing"),
+        ("SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o }", "GROUP BY"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(SparqlError, match=msg):
+            parse("PREFIX ex: <ex:>\n" + q if "PREFIX" not in q else q)
+
+
+# ------------------------------------------------------------ end-to-end
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("ex:A", RDF_TYPE, CLS, "iri", None, None),
+        ("ex:B", RDF_TYPE, CLS, "iri", None, None),
+        ("ex:C", RDF_TYPE, CLS, "iri", None, None),
+        ("ex:B", SUB, "ex:A", "iri", None, None),
+        ("ex:C", SUB, "ex:B", "iri", None, None),
+        ("ex:A", LABEL, "alpha", "literal", None, None),
+        ("ex:B", LABEL, "beta", "literal", None, None),
+        ("ex:A", "ex:meta", "_:m", "bnode", None, None),
+        ("_:m", "ex:note", "hi", "literal", None, None),
+        ("ex:g1s", "ex:p", "ex:o", "iri", None, "ex:g1"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, graph_ctx string")
+
+
+def test_select_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE {
+        ?c a owl:Class .
+        OPTIONAL { ?c <http://www.w3.org/2000/01/rdf-schema#label> ?l }
+      } ORDER BY ?c
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", "alpha"), ("ex:B", "beta"), ("ex:C", None)]
+
+
+def test_path_and_filter_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?x WHERE {
+        ?x rdfs:subClassOf+ ex:A .
+        FILTER NOT EXISTS { ?x rdfs:label ?l }
+      }""")
+    assert [r.x for r in out.collect()] == ["ex:C"]
+
+
+def test_union_minus_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT DISTINCT ?c WHERE {
+        { ?c a owl:Class } UNION { ?c rdfs:subClassOf ?p }
+        MINUS { ?c rdfs:label ?l }
+      } ORDER BY ?c""")
+    assert [r.c for r in out.collect()] == ["ex:C"]
+
+
+def test_graph_values_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?s ?g WHERE { GRAPH ?g { ?s ex:p ?o } }""")
+    assert [tuple(r) for r in out.collect()] == [("ex:g1s", "ex:g1")]
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?c WHERE { ?c a owl:Class . VALUES ?c { ex:A ex:Z } }""")
+    assert [r.c for r in out2.collect()] == ["ex:A"]
+
+
+def test_aggregate_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+      GROUP BY ?p HAVING (?n >= 2) ORDER BY DESC(?n) LIMIT 2""")
+    got = [tuple(r) for r in out.collect()]
+    assert got[0][1] >= got[1][1] and all(n >= 2 for _, n in got)
+
+
+def test_ask_and_describe_end_to_end(triples):
+    assert sparql_query(triples, PFX +
+                        "ASK { ex:C rdfs:subClassOf+ ex:A }") is True
+    assert sparql_query(triples, PFX +
+                        "ASK { ex:A rdfs:subClassOf ?p }") is False
+    out = sparql_query(triples, "DESCRIBE <ex:A>")
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("_:m", "ex:note", "hi") in got  # bnode closure
+    assert len(got) == 4
+    out2 = sparql_query(triples, PFX + """
+      DESCRIBE ?x WHERE { ?x rdfs:label "alpha" }""")
+    assert out2.count() == 4
