@@ -10,9 +10,11 @@ ships via --py-files:
         kg --input <docs parquet|iceberg> --output <root> [job.py flags...]
     spark-submit --master <url> --py-files /tmp/engine.zip run_job.py \
         curate --input <docs> --eval <eval docs> --output <root> [...]
+    spark-submit --master <url> --py-files /tmp/engine.zip run_job.py \
+        sparql --input <docs> --query '<SPARQL text>' [--show N] [...]
 
-Subcommands map to the two job mains (kg → job.py, curate →
-curate_job.py); all remaining args pass through unchanged, so each job's
+Subcommands map to the job mains (kg → job.py, curate → curate_job.py,
+sparql → sparql_job.py); all remaining args pass through unchanged, so each job's
 own --help and config-file handling keep working. Defaults to ``kg`` when
 the first arg is a flag, preserving old invocations.
 
@@ -34,9 +36,12 @@ def main(argv=None) -> int:
     elif cmd == "curate":
         from rdf_dtdl_fabric_ontology_converter_spark.curate_job import (
             main as run)
+    elif cmd == "sparql":
+        from rdf_dtdl_fabric_ontology_converter_spark.sparql_job import (
+            main as run)
     else:
-        print(f"unknown subcommand {cmd!r}: expected 'kg' or 'curate'",
-              file=sys.stderr)
+        print(f"unknown subcommand {cmd!r}: expected 'kg', 'curate', or "
+              "'sparql'", file=sys.stderr)
         return 2
     return run(argv)
 

@@ -130,6 +130,45 @@ def triples(spark):
               "obj_datatype string, graph_ctx string")
 
 
+def test_sparql_job_cli_end_to_end(spark, tmp_path, capsys):
+    """spark-submit sparql subcommand: documents in → solution frame out."""
+    import json
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    try:
+        import corpus
+    finally:
+        sys.path.pop(0)
+    from rdf_dtdl_fabric_ontology_converter_spark import sparql_job
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        docs_from_payloads)
+    docs = docs_from_payloads(spark, {"r": corpus.TTL["simple"]})
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    out = str(tmp_path / "sol")
+    rq = tmp_path / "q.rq"
+    rq.write_text(PFX + "SELECT ?c WHERE { ?c a owl:Class } ORDER BY ?c")
+    rc = sparql_job.main(["--input", in_path, "--query-file", str(rq),
+                          "--output", out, "--show", "2",
+                          "--shuffle-partitions", "4"],
+                         existing_spark=spark)
+    assert rc == 0
+    sol = spark.read.parquet(out)
+    assert sol.columns == ["c"] and sol.count() >= 1
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"columns": ["c"]}
+    # ASK exit-code contract: 0 true, 3 false
+    rc_t = sparql_job.main(["--input", in_path, "--query",
+                            PFX + "ASK { ?c a owl:Class }", "--show", "0"],
+                           existing_spark=spark)
+    rc_f = sparql_job.main(["--input", in_path, "--query",
+                            PFX + "ASK { ?c a owl:Thing }", "--show", "0"],
+                           existing_spark=spark)
+    assert (rc_t, rc_f) == (0, 3)
+
+
 def test_select_end_to_end(triples):
     out = sparql_query(triples, PFX + """
       SELECT ?c ?l WHERE {
