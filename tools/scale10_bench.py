@@ -391,7 +391,24 @@ def run_graph_family(spark, reps: int, n01: int = 50_000) -> dict:
             ("?c", SUB + "+", EX + f"C{DEPTH}"),
         ]),
         "rdfs_entailment": lambda t: rdfs_entailment(t),
+        # round-5 additions: UNION outer-union + MINUS anti-join at
+        # instance scale (2n solution rows), and SHACL validation whose
+        # sh:class check is the instance x instance value join
+        "bgp_union_minus": lambda t: match_bgp(
+            t, [("?s", RDF_TYPE, "?c")],
+            union=[[("?s", EX + "rel", "?o")]],
+            minus=[[("?s", EX + "rel", EX + "s0")]], distinct=False),
+        "shacl_validate": lambda t: _shacl(t),
     }
+
+    def _shacl(t):
+        from rdf_dtdl_fabric_ontology_converter_spark.operators.shacl import (
+            validate_shapes)
+        shapes = [{"shape_id": "InstShape", "target_class": EX + "C0",
+                   "properties": [{"path": EX + "rel", "min_count": 1,
+                                   "max_count": 1, "class": EX + "C1"}]}]
+        return validate_shapes(
+            t.withColumn("obj_datatype", F.lit(None).cast("string")), shapes)
     queries["bgp_3pattern"](graphs["sf01"]).write.format("noop") \
         .mode("overwrite").save()  # warm
     times = {q: {"sf01": [], "sf1eq": []} for q in queries}
