@@ -683,6 +683,38 @@ def _oracle_sparql_text_agg() -> str:
     """
 
 
+_SPARQL_TEXT_CONSTRUCT = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+CONSTRUCT { ?n <http://example.org/inferredIn> ?r }
+WHERE {
+  ?p a owl:ObjectProperty ;
+     rdfs:domain ?n ;
+     rdfs:range ?r .
+}
+"""
+
+
+def q_sparql_text_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT string: template instantiation from BGP bindings
+    through the text front-end (parser → match_bgp → entailment.construct)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_CONSTRUCT).orderBy("subj")
+
+
+def _oracle_sparql_text_construct() -> str:
+    return """
+    SELECT 'http://example.org/N'||n_nationkey AS subj,
+           'http://example.org/inferredIn' AS pred,
+           'http://example.org/R'||n_regionkey AS obj
+    FROM nation ORDER BY subj
+    """
+
+
 def q_shacl_validate(spark, sf_dir):
     """SHACL-lite shape validation report (operators/shacl.py — the
     declarative twin of the reference's validator families,
@@ -3033,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe": q_sparql_describe,
         "sparql_text_select": q_sparql_text_select,
         "sparql_text_agg": q_sparql_text_agg,
+        "sparql_text_construct": q_sparql_text_construct,
         "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
@@ -3110,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe": _oracle_sparql_describe(),
         "sparql_text_select": _oracle_sparql_text_select(),
         "sparql_text_agg": _oracle_sparql_text_agg(),
+        "sparql_text_construct": _oracle_sparql_text_construct(),
         "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),

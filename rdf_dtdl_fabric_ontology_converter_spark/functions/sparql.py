@@ -11,7 +11,7 @@ Grammar (SPARQL 1.1 subset; everything parsed maps 1:1 onto an
 operator-layer feature, and everything outside raises ``SparqlError``
 with the unsupported construct named — never a silent wrong answer):
 
-    query      := prologue (select | ask | describe)
+    query      := prologue (select | ask | describe | construct)
     prologue   := ('PREFIX' pname ':' iriref)*
     select     := 'SELECT' 'DISTINCT'? (vars | '*' | aggs)
                   'WHERE'? group
@@ -19,6 +19,8 @@ with the unsupported construct named — never a silent wrong answer):
                   ('ORDER' 'BY' ordercond+)? ('LIMIT' n)? ('OFFSET' n)?
     ask        := 'ASK' 'WHERE'? group
     describe   := 'DESCRIBE' (iri+ | var) ('WHERE'? group)?
+    construct  := 'CONSTRUCT' '{' plain-triples '}' 'WHERE'? group
+                  ('LIMIT' n)?
     group      := '{' member* '}'
     member     := triples '.'? | 'OPTIONAL' group | 'MINUS' group
                 | group 'UNION' group | 'FILTER' constraint
@@ -471,8 +473,40 @@ def parse(text: str) -> dict:
             raise SparqlError("sparql: DESCRIBE mixes IRIs and a variable")
         return {"form": "describe", "nodes": nodes, "var": var,
                 "group": group}
-    raise SparqlError(f"sparql: expected SELECT/ASK/DESCRIBE, got {t!r} "
-                      "(CONSTRUCT runs via operators/entailment.construct)")
+    if t == "CONSTRUCT":
+        p.next()
+        tmpl_group = p.group()
+        if (tmpl_group.optional or tmpl_group.union_branches or
+                tmpl_group.minus or tmpl_group.exists or
+                tmpl_group.not_exists or tmpl_group.values or
+                tmpl_group.filters):
+            raise SparqlError("sparql: CONSTRUCT template must be plain "
+                              "triples")
+        template = []
+        for pat in tmpl_group.patterns:
+            if len(pat) != 3:
+                raise SparqlError("sparql: CONSTRUCT template takes no "
+                                  "GRAPH terms")
+            s, pr, o = pat
+            if pr.startswith("^") or "|" in pr or (pr.endswith("+")
+                                                   and len(pr) > 1):
+                raise SparqlError("sparql: CONSTRUCT template takes no "
+                                  "path expressions")
+            template.append(pat)
+        if not template:
+            raise SparqlError("sparql: empty CONSTRUCT template")
+        if p.at_kw("WHERE"):
+            p.next()
+        g = p.group()
+        limit = None
+        if p.at_kw("LIMIT"):
+            p.next()
+            limit = int(p.next())
+        _end(p)
+        return {"form": "construct", "template": template, "group": g,
+                "limit": limit}
+    raise SparqlError(f"sparql: expected SELECT/ASK/DESCRIBE/CONSTRUCT, "
+                      f"got {t!r}")
 
 
 def _parse_select(p: _Parser) -> dict:

@@ -35,6 +35,13 @@ def sparql_query(triples: DataFrame, text: str):
     if spec["form"] == "ask":
         pats, kw = spec["group"].bgp_kwargs()
         return ask(triples, pats, **kw)
+    if spec["form"] == "construct":
+        from .entailment import construct
+        pats, kw = spec["group"].bgp_kwargs()
+        bindings = match_bgp(triples, pats, distinct=False, **kw)
+        if spec["limit"] is not None:
+            bindings = bindings.limit(spec["limit"])
+        return construct(bindings, spec["template"])
     if spec["form"] == "describe":
         if spec["var"] is not None:
             pats, kw = spec["group"].bgp_kwargs()

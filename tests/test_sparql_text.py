@@ -101,7 +101,8 @@ def test_parse_errors_are_named():
         ("SELECT * WHERE { ?s <p>* ?o }", "deliberately"),
         ("SELECT ?x WHERE { ?s ?p ?o } GROUP BY", "GROUP BY"),
         ("PREFIX ex: <ex:> SELECT * WHERE { ?s zz:p ?o }", "undeclared"),
-        ("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }", "CONSTRUCT"),
+        ("CONSTRUCT { ?s <p>+ ?o } WHERE { ?s ?p ?o }", "path"),
+        ("CONSTRUCT { } WHERE { ?s ?p ?o }", "empty CONSTRUCT"),
         ("SELECT * WHERE { ?s ?p ?o } JUNK", "trailing"),
         ("SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o }", "GROUP BY"),
     ]
@@ -213,6 +214,15 @@ def test_aggregate_end_to_end(triples):
       GROUP BY ?p HAVING (?n >= 2) ORDER BY DESC(?n) LIMIT 2""")
     got = [tuple(r) for r in out.collect()]
     assert got[0][1] >= got[1][1] and all(n >= 2 for _, n in got)
+
+
+def test_construct_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      CONSTRUCT { ?sup <ex:hasSub> ?sub . ?sub a <ex:Sub> }
+      WHERE { ?sub rdfs:subClassOf ?sup }""")
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {("ex:A", "ex:hasSub", "ex:B"), ("ex:B", "ex:hasSub", "ex:C"),
+                   ("ex:B", RDF_TYPE, "ex:Sub"), ("ex:C", RDF_TYPE, "ex:Sub")}
 
 
 def test_ask_and_describe_end_to_end(triples):
