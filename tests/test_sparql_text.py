@@ -111,6 +111,35 @@ def test_parse_errors_are_named():
             parse("PREFIX ex: <ex:>\n" + q if "PREFIX" not in q else q)
 
 
+def test_parse_render_roundtrip_property():
+    """Property test: render a random pattern structure to SPARQL text,
+    parse it back, and the pattern list must survive exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iris = st.sampled_from(["<http://x/a>", "<http://x/b>", "<http://x/c>"])
+    vars_ = st.sampled_from(["?v0", "?v1", "?v2"])
+    term = st.one_of(iris, vars_)
+    pattern = st.tuples(term, st.one_of(iris, st.just("a")), term)
+    patterns = st.lists(pattern, min_size=1, max_size=5)
+
+    def norm(t):
+        if t == "a":
+            return RDF_TYPE
+        return t[1:-1] if t.startswith("<") else t
+
+    @settings(max_examples=60, deadline=None)
+    @given(patterns)
+    def check(pats):
+        text = "SELECT * WHERE { " + " . ".join(
+            " ".join(p) for p in pats) + " }"
+        spec = parse(text)
+        assert spec["group"].patterns == [
+            (norm(s), norm(pr), norm(o)) for s, pr, o in pats]
+
+    check()
+
+
 # ------------------------------------------------------------ end-to-end
 @pytest.fixture(scope="module")
 def triples(spark):
