@@ -205,6 +205,22 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
                     vals.where(cond), shape_id, path,
                     f"{'minLength' if op == '<' else 'maxLength'}:{lim}",
                     F.col("value")))
+    q = shape.get("sparql")
+    if q is not None:
+        # SHACL-SPARQL (§5, simplified): a SELECT whose ?focus column
+        # names the violating nodes — $this is spelled ?focus. The query
+        # runs over the WHOLE graph and is intersected with the shape's
+        # target (a semi-join on focus), so targeting stays declarative.
+        from .sparql import sparql_query
+        sub = sparql_query(triples, q)
+        if isinstance(sub, bool) or "focus" not in sub.columns:
+            raise ValueError(
+                f"shacl: shape {shape_id!r} sparql constraint must be a "
+                "SELECT binding ?focus (the violating node), got "
+                f"{'ASK' if isinstance(sub, bool) else sub.columns}")
+        bad = focus.join(sub.select("focus").dropDuplicates(),
+                         on="focus", how="left_semi")
+        out.append(_violation(bad, shape_id, "sparql", "sparql"))
     return out
 
 
@@ -235,6 +251,9 @@ def validate_shapes(triples: DataFrame, shapes: list[dict], *,
     for shape in shapes:
         frames.extend(_shape_violations(triples, shape, typed=typed,
                                         subclass_closure=subclass_closure))
+    if not frames:
+        raise ValueError("validate_shapes: no constraints in any shape "
+                         "(each shape needs properties and/or sparql)")
     report = frames[0]
     for f in frames[1:]:
         report = report.unionByName(f)

@@ -170,6 +170,30 @@ def test_exactly_one_target_kind(kg):
                               "properties": []}])
 
 
+def test_sparql_constraint(kg):
+    # SHACL-SPARQL: nations whose inRegion target is NOT a typed Region
+    q = """PREFIX ex: <http://example.org/>
+           SELECT ?focus WHERE {
+             ?focus ex:inRegion ?r .
+             FILTER NOT EXISTS { ?r a ex:Region }
+           }"""
+    s = {"shape_id": "Q", "target_class": f"{EX}Nation", "sparql": q}
+    got = {r.focus for r in validate_shapes(kg, [s]).collect()}
+    assert got == {f"{EX}n2", f"{EX}n3"}
+    rows = validate_shapes(kg, [s]).collect()
+    assert all((r.constraint, r.path) == ("sparql", "sparql") for r in rows)
+    # the target still scopes the query: target only n2 via targetNode
+    s2 = {"shape_id": "Q2", "target_node": [f"{EX}n2"], "sparql": q}
+    assert {r.focus for r in validate_shapes(kg, [s2]).collect()} == \
+        {f"{EX}n2"}
+    with pytest.raises(ValueError, match="focus"):
+        validate_shapes(kg, [{"shape_id": "B", "target_class": f"{EX}Nation",
+                              "sparql": "SELECT ?x WHERE { ?x ?p ?o }"}])
+    with pytest.raises(ValueError, match="no constraints"):
+        validate_shapes(kg, [{"shape_id": "E",
+                              "target_class": f"{EX}Nation"}])
+
+
 def test_multiple_shapes_union(kg):
     shapes = [NATION_SHAPE,
               {"shape_id": "RegionShape", "target_class": f"{EX}Region",
