@@ -77,6 +77,11 @@ class CheckpointManager:
         data to read and raise a descriptive error, not a missing-parquet
         path."""
         self._reject_count_only(stage, "read")
+        info = self.snapshot_info(stage)
+        if info and info.get("file_manifest"):
+            raise ValueError(
+                f"stage '{stage}' is a file-manifest stage; use "
+                "read_file_manifest() for its file list")
         return self.spark.read.parquet(self._data(stage, snapshot_id))
 
     def _reject_count_only(self, stage: str, op: str) -> None:
@@ -108,10 +113,13 @@ class CheckpointManager:
         self._reject_count_only(stage, "rollback")
         for entry in self.history(stage):
             if entry["snapshot_id"] == snapshot_id:
-                data = Path(self._data(stage, snapshot_id))
-                if not data.exists():
-                    raise ValueError(
-                        f"snapshot {snapshot_id} of {stage} was expired")
+                # file-manifest snapshots have no data dir of their own:
+                # the pointer flip is the whole rollback
+                if not entry.get("file_manifest"):
+                    data = Path(self._data(stage, snapshot_id))
+                    if not data.exists():
+                        raise ValueError(
+                            f"snapshot {snapshot_id} of {stage} was expired")
                 self._manifest(stage).write_text(json.dumps(entry))
                 return
         raise ValueError(f"no committed snapshot {snapshot_id} for {stage}")
@@ -190,6 +198,43 @@ class CheckpointManager:
             "wall_ms": int((time.time() - t0) * 1000),
             "committed_at": time.time(), "count_only": True}))
         return rows
+
+    def files_stage(self, name: str, files: list[str]) -> dict:
+        """Commit a FILE-MANIFEST snapshot: the snapshot IS the sorted
+        list of immutable data files visible at commit time — the
+        Iceberg manifest concept (a snapshot pins which files belong to
+        it; it never copies data). The natural fit is an append-only log
+        written by a streaming sink: part files are immutable once
+        closed, so an old snapshot's file list reads the log exactly as
+        it was. Rollback is the usual pointer flip; expire_snapshots
+        does not apply (the files belong to the live log, and deleting
+        them would corrupt NEWER snapshots too)."""
+        entry = {"stage": name, "snapshot_id": uuid.uuid4().hex,
+                 "rows": None, "n_files": len(files), "wall_ms": 0,
+                 "committed_at": time.time(), "files": sorted(files),
+                 "file_manifest": True}
+        (self.root / name).mkdir(parents=True, exist_ok=True)
+        with self._history(name).open("a") as h:
+            h.write(json.dumps(entry) + "\n")
+        self._manifest(name).write_text(json.dumps(entry))
+        return entry
+
+    def read_file_manifest(self, name: str,
+                           snapshot_id: str | None = None) -> list[str]:
+        """The file list of a committed file-manifest snapshot (current
+        pointer, or any retained version by id — time travel)."""
+        if snapshot_id is None:
+            info = self.snapshot_info(name)
+        else:
+            info = next((e for e in self.history(name)
+                         if e["snapshot_id"] == snapshot_id), None)
+        if not info:
+            raise ValueError(f"no committed snapshot for {name}"
+                             + (f" id {snapshot_id}" if snapshot_id else ""))
+        if not info.get("file_manifest"):
+            raise ValueError(f"stage {name} is not a file-manifest stage "
+                             "(use read())")
+        return list(info["files"])
 
     def committed_snapshot_ids(self) -> list[str]:
         """Every committed snapshot id: the current manifest of each stage

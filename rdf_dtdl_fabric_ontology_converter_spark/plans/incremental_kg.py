@@ -54,6 +54,7 @@ class IncrementalKG:
     VERTEX_STAGE = "entity_types"
     EDGE_STAGE = "relationship_types"
     SKIP_STAGE = "skipped_items"
+    TRIPLES_STAGE = "triples_log"  # file-manifest snapshots of the log
 
     def __init__(self, spark: SparkSession, root: str,
                  documents_path: str,
@@ -89,6 +90,15 @@ class IncrementalKG:
                                   lambda: res.relationship_types, force=True)
         sk = self.snapshots.stage(self.SKIP_STAGE,
                                   lambda: res.skipped_items, force=True)
+        # file-manifest snapshot of the append-only triple log (Iceberg
+        # manifest concept): streaming part files are immutable once
+        # closed, so pinning the list = pinning the log's exact state.
+        # Committed LAST so a crash mid-ingest never leaves the triples
+        # history longer than the vertex history (rollback pairs stages
+        # by commit order).
+        from pathlib import Path
+        files = [str(p) for p in Path(self.triples_path).glob("part-*")]
+        self.snapshots.files_stage(self.TRIPLES_STAGE, files)
         return {
             "entity_types": self.snapshots.snapshot_info(self.VERTEX_STAGE),
             "relationship_types":
@@ -118,6 +128,36 @@ class IncrementalKG:
     def read_vertices(self, snapshot_id: str | None = None):
         return self.snapshots.read(self.VERTEX_STAGE, snapshot_id)
 
+    def read_triples(self, snapshot_id: str | None = None):
+        """The triple log AS OF a committed snapshot (current by default):
+        reads exactly the part files the snapshot's manifest pins, so an
+        old version is byte-identical to the log at its ingest time."""
+        files = self.snapshots.read_file_manifest(self.TRIPLES_STAGE,
+                                                  snapshot_id)
+        reader = self.spark.read.schema(TRIPLES_SCHEMA)
+        if not files:
+            return self.spark.createDataFrame([], TRIPLES_SCHEMA)
+        return reader.parquet(*files)
+
+    def query(self, text: str, snapshot_id: str | None = None):
+        """Time-travel SPARQL: evaluate a query string against the graph
+        as of any committed snapshot (``functions/sparql`` front-end over
+        the manifest-pinned triple log, entailment layers re-inferred the
+        same way the snapshot's rebuild did). Returns a DataFrame, or a
+        bool for ASK. ``snapshot_id`` is a TRIPLES_STAGE history id; use
+        ``triples_history()`` to list them."""
+        from ..operators.extract import split_errors
+        from ..operators.sparql import sparql_query
+
+        clean, _ = split_errors(self.read_triples(snapshot_id))
+        if self.entailment:
+            from ..operators.entailment import augment_with_entailment
+            clean = augment_with_entailment(clean, layers=self.entailment)
+        return sparql_query(clean.localCheckpoint(eager=False), text)
+
+    def triples_history(self) -> list[dict]:
+        return self.snapshots.history(self.TRIPLES_STAGE)
+
     def read_edges(self, snapshot_id: str | None = None):
         return self.snapshots.read(self.EDGE_STAGE, snapshot_id)
 
@@ -135,7 +175,8 @@ class IncrementalKG:
             raise ValueError(
                 f"no committed vertex snapshot {snapshot_id}")
         self.snapshots.rollback(self.VERTEX_STAGE, snapshot_id)
-        for stage in (self.EDGE_STAGE, self.SKIP_STAGE):
+        for stage in (self.EDGE_STAGE, self.SKIP_STAGE,
+                      self.TRIPLES_STAGE):
             hist = self.snapshots.history(stage)
             if idx < len(hist):
                 self.snapshots.rollback(stage, hist[idx]["snapshot_id"])

@@ -86,6 +86,42 @@ def test_incremental_kg_two_batches(spark, tmp_path):
     assert lin.select("snapshot_id").distinct().count() >= 6
 
 
+def test_time_travel_sparql(spark, tmp_path):
+    """query(text, snapshot_id): the manifest-pinned triple log answers
+    SPARQL as of any ingest — an old snapshot cannot see newer docs even
+    though the log directory has grown since."""
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        docs_from_payloads)
+    head = ("@prefix ex: <http://example.org/> .\n"
+            "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n")
+    docs_path = str(tmp_path / "docs")
+    docs_from_payloads(spark, {"d1": head + "ex:A a owl:Class .\n"}) \
+        .write.mode("overwrite").parquet(docs_path)
+    kg = IncrementalKG(spark, str(tmp_path / "kg"), docs_path)
+    kg.ingest()
+    t1 = kg.triples_history()[-1]["snapshot_id"]
+
+    docs_from_payloads(spark, {"d2": head + "ex:B a owl:Class .\n"}) \
+        .write.mode("append").parquet(docs_path)
+    kg.ingest()
+    t2 = kg.triples_history()[-1]["snapshot_id"]
+    assert t1 != t2
+
+    q = ("PREFIX owl: <http://www.w3.org/2002/07/owl#> "
+         "SELECT ?c WHERE { ?c a owl:Class } ORDER BY ?c")
+    now = [r.c for r in kg.query(q).collect()]
+    old = [r.c for r in kg.query(q, snapshot_id=t1).collect()]
+    assert now == ["http://example.org/A", "http://example.org/B"]
+    assert old == ["http://example.org/A"]  # time travel: B invisible
+    ask = "PREFIX ex: <http://example.org/> ASK { ex:B ?p ?o }"
+    assert kg.query(ask) is True
+    assert kg.query(ask, snapshot_id=t1) is False
+    # rollback pairs the triples pointer with the same ingest's tables
+    v1 = kg.history()[0]["snapshot_id"]
+    kg.rollback(v1)
+    assert [r.c for r in kg.query(q).collect()] == ["http://example.org/A"]
+
+
 def test_incremental_kg_with_entailment(spark, tmp_path):
     """entailment=('rdfs',) re-infers from the full triple log at every
     snapshot: a class typed owl:Class only via an rdfs9 hop becomes a
