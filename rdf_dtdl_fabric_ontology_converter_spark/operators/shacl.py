@@ -25,6 +25,10 @@ subset that covers the reference's validator families):
 - ``in``                         (sh:in — driver-supplied allow-list)
 - ``pattern``                    (sh:pattern — Java regex via ``rlike``)
 - ``min_length`` / ``max_length`` (sh:minLength / sh:maxLength)
+- ``closed`` / ``ignored``       (sh:closed / sh:ignoredProperties —
+                                  shape-level closed-world predicate check)
+- ``sparql``                     (SHACL-SPARQL §5 simplified — a SELECT
+                                  binding ?focus to violating nodes)
 
 Shapes are driver-supplied dicts (the shapes graph of a real pipeline is
 ontology-sized — hundreds of shapes, like the reference's ≤500-type
@@ -205,6 +209,20 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
                     vals.where(cond), shape_id, path,
                     f"{'minLength' if op == '<' else 'maxLength'}:{lim}",
                     F.col("value")))
+    if shape.get("closed"):
+        # sh:closed (§4.8): a focus node may only use the declared
+        # property paths (+ sh:ignoredProperties + rdf:type, which the
+        # targeting itself consumes). One anti-join of the focus rows
+        # against the driver-bounded allow-list; the offending predicate
+        # is reported as the value.
+        allowed = ({p["path"] for p in shape.get("properties", [])}
+                   | set(shape.get("ignored", [])) | {RDF_TYPE})
+        rows = (triples.join(focus, triples["subj"] == focus["focus"])
+                .where(~F.col("pred").isin(sorted(allowed)))
+                .select("focus", F.col("pred").alias("value"))
+                .dropDuplicates())
+        out.append(_violation(rows, shape_id, "closed", "closed",
+                              F.col("value")))
     q = shape.get("sparql")
     if q is not None:
         # SHACL-SPARQL (§5, simplified): a SELECT whose ?focus column

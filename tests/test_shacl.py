@@ -194,6 +194,18 @@ def test_sparql_constraint(kg):
                               "target_class": f"{EX}Nation"}])
 
 
+def test_closed_shape(kg):
+    s = {"shape_id": "C", "target_class": f"{EX}Nation", "closed": True,
+         "properties": [{"path": LABEL, "min_count": 0}],
+         "ignored": [f"{EX}pop"]}
+    got = {(r.focus, r.value) for r in validate_shapes(kg, [s]).collect()
+           if r.constraint == "closed"}
+    # inRegion is undeclared on n1/n2/n3; pop is ignored; rdf:type free
+    assert got == {(f"{EX}n1", f"{EX}inRegion"),
+                   (f"{EX}n2", f"{EX}inRegion"),
+                   (f"{EX}n3", f"{EX}inRegion")}
+
+
 def test_multiple_shapes_union(kg):
     shapes = [NATION_SHAPE,
               {"shape_id": "RegionShape", "target_class": f"{EX}Region",
