@@ -12,9 +12,11 @@ ships via --py-files:
         curate --input <docs> --eval <eval docs> --output <root> [...]
     spark-submit --master <url> --py-files /tmp/engine.zip run_job.py \
         sparql --input <docs> --query '<SPARQL text>' [--show N] [...]
+    spark-submit --master <url> --py-files /tmp/engine.zip run_job.py \
+        validate --input <docs> --shapes shapes.json [--fail-on-violation]
 
 Subcommands map to the job mains (kg → job.py, curate → curate_job.py,
-sparql → sparql_job.py); all remaining args pass through unchanged, so each job's
+sparql → sparql_job.py, validate → validate_job.py); all remaining args pass through unchanged, so each job's
 own --help and config-file handling keep working. Defaults to ``kg`` when
 the first arg is a flag, preserving old invocations.
 
@@ -39,9 +41,12 @@ def main(argv=None) -> int:
     elif cmd == "sparql":
         from rdf_dtdl_fabric_ontology_converter_spark.sparql_job import (
             main as run)
+    elif cmd == "validate":
+        from rdf_dtdl_fabric_ontology_converter_spark.validate_job import (
+            main as run)
     else:
-        print(f"unknown subcommand {cmd!r}: expected 'kg', 'curate', or "
-              "'sparql'", file=sys.stderr)
+        print(f"unknown subcommand {cmd!r}: expected 'kg', 'curate', "
+              "'sparql', or 'validate'", file=sys.stderr)
         return 2
     return run(argv)
 

@@ -206,6 +206,42 @@ def test_closed_shape(kg):
                    (f"{EX}n3", f"{EX}inRegion")}
 
 
+def test_validate_job_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    try:
+        import corpus
+    finally:
+        sys.path.pop(0)
+    from rdf_dtdl_fabric_ontology_converter_spark import validate_job
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        docs_from_payloads)
+    docs = docs_from_payloads(spark, {"r": corpus.TTL["simple"]})
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    shapes = [{"shape_id": "ClassShape",
+               "target_class": "http://www.w3.org/2002/07/owl#Class",
+               "properties": [
+                   {"path": "http://www.w3.org/2000/01/rdf-schema#label",
+                    "min_count": 1}]}]
+    sp = tmp_path / "shapes.json"
+    sp.write_text(json.dumps(shapes))
+    out = str(tmp_path / "report")
+    rc = validate_job.main(["--input", in_path, "--shapes", str(sp),
+                            "--output", out, "--fail-on-violation",
+                            "--shuffle-partitions", "4"],
+                           existing_spark=spark)
+    rep = spark.read.parquet(out)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if summary["violations"]:
+        assert rc == 4 and rep.count() == summary["violations"]
+        assert not summary["conforms"]
+    else:
+        assert rc == 0 and rep.count() == 0 and summary["conforms"]
+
+
 def test_multiple_shapes_union(kg):
     shapes = [NATION_SHAPE,
               {"shape_id": "RegionShape", "target_class": f"{EX}Region",
