@@ -103,12 +103,32 @@ class _Group:
 
     def bgp_kwargs(self) -> tuple[list[tuple], dict]:
         """(required patterns, match_bgp keyword dict) with the UNION
-        distribution applied."""
+        distribution applied. A branch/group item may be a dict
+        ``{"patterns", "filter_expr"}`` (group-internal FILTER); the
+        required slot must be filter-free because the top-level
+        filter_expr applies AFTER the union, so the first unfiltered
+        branch is folded in and the rest ride the union keyword (their
+        filters apply inside the branch, per §18.2)."""
         pats = list(self.patterns)
-        union_kw: list[list[tuple]] = []
+        union_kw: list = []
         if self.union_branches:
-            pats = pats + self.union_branches[0]
-            union_kw = [self.patterns + b for b in self.union_branches[1:]]
+            unfiltered = [i for i, b in enumerate(self.union_branches)
+                          if not isinstance(b, dict)]
+            if not unfiltered:
+                raise SparqlError(
+                    "sparql: every UNION branch carries its own FILTER — "
+                    "at least one branch must be filter-free (restructure "
+                    "or lift one filter out of its branch)")
+            k = unfiltered[0]
+            pats = pats + self.union_branches[k]
+            for i, b in enumerate(self.union_branches):
+                if i == k:
+                    continue
+                if isinstance(b, dict):
+                    union_kw.append({**b, "patterns":
+                                     self.patterns + b["patterns"]})
+                else:
+                    union_kw.append(self.patterns + b)
         kw: dict = {}
         if self.optional:
             kw["optional"] = self.optional
@@ -236,17 +256,18 @@ class _Parser:
                         raise SparqlError(
                             "sparql: one UNION block per group (nest a "
                             "second one in its own subgroup)")
-                    g.union_branches = [self._plain(b, "UNION")
+                    g.union_branches = [self._group_item(b, "UNION")
                                         for b in branches]
                 continue
             if self.at_kw("OPTIONAL"):
                 self.next()
                 sub = self.group(graph_term)
-                g.optional.append(self._plain(sub, "OPTIONAL"))
+                g.optional.append(self._group_item(sub, "OPTIONAL"))
                 continue
             if self.at_kw("MINUS"):
                 self.next()
-                g.minus.append(self._plain(self.group(graph_term), "MINUS"))
+                g.minus.append(self._group_item(self.group(graph_term),
+                                                "MINUS"))
                 continue
             if self.at_kw("GRAPH"):
                 self.next()
@@ -280,6 +301,21 @@ class _Parser:
             raise SparqlError(
                 f"sparql: {kind} groups must be plain conjunctions here "
                 "(compose richer groups as two queries)")
+        return sub.patterns
+
+    def _group_item(self, sub: _Group, kind: str):
+        """Sub-group item for OPTIONAL/UNION/MINUS/EXISTS: triples plus
+        optionally the group's OWN FILTERs (§18.2 — evaluated inside the
+        group, e.g. ``OPTIONAL { ?x p ?v FILTER(?v > 3) }``); anything
+        richer still raises."""
+        if (sub.optional or sub.union_branches or sub.minus or
+                sub.exists or sub.not_exists or sub.values):
+            raise SparqlError(
+                f"sparql: {kind} groups support only triple patterns "
+                "plus FILTER here (compose richer groups as two queries)")
+        if sub.filters:
+            return {"patterns": sub.patterns, "filter_expr":
+                    " AND ".join(f"({f})" for f in sub.filters)}
         return sub.patterns
 
     def _merge(self, g: _Group, sub: _Group) -> None:
@@ -322,12 +358,13 @@ class _Parser:
     def _filter(self, g: _Group) -> None:
         if self.at_kw("EXISTS"):
             self.next()
-            g.exists.append(self._plain(self.group(), "EXISTS"))
+            g.exists.append(self._group_item(self.group(), "EXISTS"))
             return
         if self.at_kw("NOT"):
             self.next()
             self.eat("EXISTS")
-            g.not_exists.append(self._plain(self.group(), "NOT EXISTS"))
+            g.not_exists.append(self._group_item(self.group(),
+                                                 "NOT EXISTS"))
             return
         if self.at_kw(*self._FN_SQL):
             # bare builtin call: FILTER REGEX(?l, "re") — legal per the

@@ -289,9 +289,26 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         bound |= vs
     nullable: set[str] = set()  # vars that may be NULL (OPTIONAL/UNION)
+
+    def _sub(group, distinct_sub=False):
+        """Evaluate a sub-group item: a plain pattern list, or a dict
+        ``{"patterns": [...], "filter_expr": sql}`` — the SPARQL §18.2
+        form where a FILTER lives INSIDE the group (``OPTIONAL { ?x p ?v
+        FILTER(?v > 3) }``): the filter applies to the group's own
+        solutions before the outer join, and may reference only the
+        group's own variables (a reference to an outer variable is the
+        non-well-designed pattern; it surfaces as an unresolved column,
+        never a silent wrong answer)."""
+        if isinstance(group, dict):
+            return match_bgp(triples, group["patterns"],
+                             distinct=distinct_sub,
+                             filter_expr=group.get("filter_expr"),
+                             allow_product=allow_product)
+        return match_bgp(triples, group, distinct=distinct_sub,
+                         allow_product=allow_product)
+
     for group in (optional or []):
-        sub = match_bgp(triples, group, distinct=False,
-                        allow_product=allow_product)
+        sub = _sub(group)
         gvars = set(sub.columns)
         shared = sorted(gvars & bound)
         if not shared:
@@ -302,15 +319,13 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         nullable |= gvars - bound
         bound |= gvars
     for group in (union or []):
-        sub = match_bgp(triples, group, distinct=False,
-                        allow_product=allow_product)
+        sub = _sub(group)
         # outer union: variables missing on either side surface as NULL
         nullable |= bound.symmetric_difference(sub.columns)
         acc = acc.unionByName(sub, allowMissingColumns=True)
         bound |= set(sub.columns)
     for group in (minus or []):
-        sub = match_bgp(triples, group, distinct=True,
-                        allow_product=allow_product)
+        sub = _sub(group, distinct_sub=True)
         shared = sorted(set(sub.columns) & bound)
         if not shared:
             raise ValueError(
@@ -331,8 +346,7 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     for groups, how in ((exists, "left_semi"), (not_exists, "left_anti")):
         kind = "EXISTS" if how == "left_semi" else "NOT EXISTS"
         for group in (groups or []):
-            sub = match_bgp(triples, group, distinct=True,
-                            allow_product=allow_product)
+            sub = _sub(group, distinct_sub=True)
             shared = sorted(set(sub.columns) & bound)
             bad = set(shared) & nullable
             if bad:

@@ -245,6 +245,39 @@ def test_aggregate_end_to_end(triples):
     assert got[0][1] >= got[1][1] and all(n >= 2 for _, n in got)
 
 
+def test_filter_inside_groups_end_to_end(triples):
+    # OPTIONAL with its own FILTER: only labels matching keep; others NULL
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE {
+        ?c a owl:Class .
+        OPTIONAL { ?c rdfs:label ?l FILTER REGEX(?l, "^a") }
+      } ORDER BY ?c""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", "alpha"), ("ex:B", None), ("ex:C", None)]
+    # UNION with a filtered branch: branch filter applies inside it only
+    out2 = sparql_query(triples, PFX + """
+      SELECT DISTINCT ?c WHERE {
+        { ?c a owl:Class }
+        UNION
+        { ?c rdfs:label ?l FILTER (?l = "beta") }
+      } ORDER BY ?c""")
+    assert [r.c for r in out2.collect()] == ["ex:A", "ex:B", "ex:C"]
+    # MINUS with an internal FILTER: only matching solutions are removed
+    out3 = sparql_query(triples, PFX + """
+      SELECT ?c WHERE {
+        ?c a owl:Class .
+        MINUS { ?c rdfs:label ?l FILTER (?l = "beta") }
+      } ORDER BY ?c""")
+    assert [r.c for r in out3.collect()] == ["ex:A", "ex:C"]
+    # all-filtered UNION raises with guidance (at kwargs-build time)
+    spec = parse(PFX + """SELECT * WHERE {
+      { ?c rdfs:label ?l FILTER (?l = "a") }
+      UNION
+      { ?c rdfs:label ?l FILTER (?l = "b") } }""")
+    with pytest.raises(SparqlError, match="filter-free"):
+        spec["group"].bgp_kwargs()
+
+
 def test_construct_end_to_end(triples):
     out = sparql_query(triples, PFX + """
       CONSTRUCT { ?sup <ex:hasSub> ?sub . ?sub a <ex:Sub> }
