@@ -26,6 +26,7 @@ with the unsupported construct named — never a silent wrong answer):
                 | group 'UNION' group | 'FILTER' constraint
                 | 'VALUES' var '{' term* '}'
                 | 'GRAPH' (iri | var) group
+                | 'BIND' '(' expr 'AS' var ')'
     constraint := '(' expr ')' | 'EXISTS' group | 'NOT' 'EXISTS' group
                 | 'REGEX' '(' ... ')'
 
@@ -34,11 +35,16 @@ Triple patterns support prefixed names, ``<iri>``, ``a`` (rdf:type),
 predicate-object lists (``;``), and the path operators the BGP layer
 evaluates (``^iri``, ``alt|alt``, trailing ``+``). FILTER expressions
 translate to Spark SQL over the variable columns: comparisons,
-``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, ``STRLEN``,
-``CONTAINS``, ``STRSTARTS``. Blank-node syntax, ``*``/``?`` paths,
-subqueries, BIND, property functions, and datatyped/lang literals
-raise ``SparqlError`` (the engine stores lexical forms; a datatype
-match would silently compare the wrong thing).
+``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, and the
+string/numeric builtins in ``_FN_SQL`` (STR/STRLEN/CONTAINS/
+STRSTARTS/STRENDS/UCASE/LCASE/SUBSTR/CONCAT/REPLACE/COALESCE/ABS/
+CEIL/FLOOR/ROUND/IF). ``BIND(expr AS ?v)`` is supported in SELECT
+groups; the bound variable extends solutions AFTER the group's joins
+(usable in FILTER/SELECT/ORDER, not in triple patterns — enforced).
+Blank-node syntax, ``*``/``?`` paths, subqueries, property functions,
+and datatyped/lang literals raise ``SparqlError`` (the engine stores
+lexical forms; a datatype match would silently compare the wrong
+thing).
 
 UNION branches: the operator layer models UNION as alternate groups
 against the required group, so ``C . {A} UNION {B}`` distributes the
@@ -65,7 +71,7 @@ _TOKEN = re.compile(r"""
     | (?P<NUM>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.%]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<PUNCT>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,|^+*?=<>!:@])
+    | (?P<PUNCT>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,|^+*?=<>!:@/-])
     | (?P<COMMENT>\#[^\n]*)
     | (?P<WS>\s+)
 """, re.VERBOSE)
@@ -100,6 +106,10 @@ class _Group:
     not_exists: list[list[tuple]] = field(default_factory=list)
     values: dict[str, list[str]] = field(default_factory=dict)
     filters: list[str] = field(default_factory=list)
+    # BIND(expr AS ?v): applied AFTER the group's joins (documented
+    # divergence: the bound variable is usable in FILTER/SELECT/ORDER,
+    # not in subsequent triple patterns — the parser enforces it)
+    binds: list[tuple[str, str]] = field(default_factory=list)
 
     def bgp_kwargs(self) -> tuple[list[tuple], dict]:
         """(required patterns, match_bgp keyword dict) with the UNION
@@ -292,12 +302,21 @@ class _Parser:
                 self.next()
                 self._filter(g)
                 continue
+            if self.at_kw("BIND"):
+                self.next()
+                sql = self._expr_parens(stop_at_as=True)
+                v = self.next()
+                if v[0] not in "?$":
+                    raise SparqlError("sparql: BIND needs 'AS ?var'")
+                self.eat(")")
+                g.binds.append((v[1:], sql))
+                continue
             self._triples(g, graph_term)
         # unreachable
 
     def _plain(self, sub: _Group, kind: str) -> list[tuple]:
         if (sub.optional or sub.union_branches or sub.minus or sub.exists or
-                sub.not_exists or sub.values or sub.filters):
+                sub.not_exists or sub.values or sub.filters or sub.binds):
             raise SparqlError(
                 f"sparql: {kind} groups must be plain conjunctions here "
                 "(compose richer groups as two queries)")
@@ -308,6 +327,10 @@ class _Parser:
         optionally the group's OWN FILTERs (§18.2 — evaluated inside the
         group, e.g. ``OPTIONAL { ?x p ?v FILTER(?v > 3) }``); anything
         richer still raises."""
+        if sub.binds:
+            raise SparqlError(
+                f"sparql: BIND inside a {kind} group is not supported "
+                "(bind in the outer group)")
         if (sub.optional or sub.union_branches or sub.minus or
                 sub.exists or sub.not_exists or sub.values):
             raise SparqlError(
@@ -373,8 +396,20 @@ class _Parser:
             return
         g.filters.append(self._expr_parens())
 
+    # SPARQL builtin → Spark SQL function (None = custom translation in
+    # _call_sql).  Only 1:1 semantic matches are listed: terms here are
+    # lexical strings, so STR is a string cast, SUBSTR shares SQL's
+    # 1-based indexing (§17.4.3.3), and REPLACE is regex-based in both
+    # languages.  LANG/DATATYPE/IRI stay unsupported — the engine stores
+    # lexical forms only, so they would silently compare the wrong thing.
     _FN_SQL = {"REGEX": None, "BOUND": None, "STRLEN": "length",
-               "CONTAINS": "contains", "STRSTARTS": "startswith"}
+               "CONTAINS": "contains", "STRSTARTS": "startswith",
+               "STRENDS": "endswith", "STR": "string",
+               "UCASE": "upper", "LCASE": "lower",
+               "SUBSTR": "substring", "CONCAT": "concat",
+               "REPLACE": "regexp_replace", "COALESCE": "coalesce",
+               "ABS": "abs", "CEIL": "ceiling", "FLOOR": "floor",
+               "ROUND": "round", "IF": "if"}
 
     def _call_sql(self, fn: str) -> str:
         """SQL for one builtin call, fn token already consumed."""
@@ -401,11 +436,16 @@ class _Parser:
         """Parse '( ... )' returning it WITH the parentheses."""
         return "( " + self._expr_parens() + " )"
 
-    def _expr_parens(self) -> str:
+    def _expr_parens(self, *, stop_at_as: bool = False) -> str:
+        """Translate a parenthesized SPARQL expression to Spark SQL.
+        ``stop_at_as=True`` returns at a depth-1 ``AS`` token (consumed)
+        instead of the closing paren — the ``BIND(expr AS ?v)`` split."""
         self.eat("(")
         out, depth = [], 1
         while depth:
             t = self.next()
+            if stop_at_as and depth == 1 and t.upper() == "AS":
+                return " ".join(out)
             if t == "(":
                 depth += 1
                 out.append("(")
@@ -431,7 +471,10 @@ class _Parser:
                 out.append(self._FN_SQL[t.upper()])
             elif t.upper() == "IN":
                 out.append("IN")
-            elif t == "," or t in ("=", "<", ">", "<=", ">=", "+", "*"):
+            elif t.upper() in ("TRUE", "FALSE"):
+                out.append(t.upper())
+            elif t == "," or t in ("=", "<", ">", "<=", ">=",
+                                   "+", "-", "*", "/"):
                 out.append(t)
             elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
                 out.append(t)
@@ -481,12 +524,20 @@ def parse(text: str) -> dict:
     p.prologue()
     t = (p.peek() or "").upper()
     if t == "SELECT":
-        return _parse_select(p)
+        spec = _parse_select(p)
+        for v, _ in spec["group"].binds:
+            if any("?" + v in pat for pat in spec["group"].patterns):
+                raise SparqlError(
+                    f"sparql: BIND variable ?{v} also appears in a triple "
+                    "pattern — binds apply after the joins here, so a "
+                    "pattern cannot consume them (use a fresh name)")
+        return spec
     if t == "ASK":
         p.next()
         if p.at_kw("WHERE"):
             p.next()
         g = p.group()
+        _no_binds(g, "ASK")
         _end(p)
         return {"form": "ask", "group": g}
     if t == "DESCRIBE":
@@ -508,6 +559,8 @@ def parse(text: str) -> dict:
             raise SparqlError("sparql: DESCRIBE ?var needs a WHERE group")
         if var is not None and nodes:
             raise SparqlError("sparql: DESCRIBE mixes IRIs and a variable")
+        if group is not None:
+            _no_binds(group, "DESCRIBE")
         return {"form": "describe", "nodes": nodes, "var": var,
                 "group": group}
     if t == "CONSTRUCT":
@@ -535,6 +588,7 @@ def parse(text: str) -> dict:
         if p.at_kw("WHERE"):
             p.next()
         g = p.group()
+        _no_binds(g, "CONSTRUCT")
         limit = None
         if p.at_kw("LIMIT"):
             p.next()
@@ -653,6 +707,12 @@ def _parse_select(p: _Parser) -> dict:
             "distinct": distinct, "aggs": aggs, "group_by": group_by,
             "having": having, "order": order, "limit": limit,
             "offset": offset}
+
+
+def _no_binds(g, form: str) -> None:
+    if g.binds:
+        raise SparqlError(f"sparql: BIND is supported in SELECT only, "
+                          f"not {form}")
 
 
 def _end(p: _Parser) -> None:

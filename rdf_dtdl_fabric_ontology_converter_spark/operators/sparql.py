@@ -51,15 +51,33 @@ def sparql_query(triples: DataFrame, text: str):
         return describe(triples, spec["nodes"])
     # SELECT
     pats, kw = spec["group"].bgp_kwargs()
-    if spec["aggs"]:
+    binds = spec["group"].binds
+    if binds:
+        # BIND extends the solution AFTER the joins (parser enforces no
+        # pattern consumes a bound var); the group FILTER moves after the
+        # binds so it may reference them
+        fe = kw.pop("filter_expr", None)
         sol = match_bgp(triples, pats, distinct=False, **kw)
+        for v, sql in binds:
+            sol = sol.withColumn(v, F.expr(sql))
+        if fe:
+            sol = sol.where(F.expr(fe))
+    else:
+        sol = match_bgp(triples, pats, distinct=False, **kw)
+    if spec["aggs"]:
         out = aggregate_solutions(sol, spec["group_by"], spec["aggs"],
                                   having=spec["having"])
         if spec["distinct"]:
             out = out.dropDuplicates()
     else:
-        out = match_bgp(triples, pats, distinct=spec["distinct"],
-                        select=spec["select"], **kw)
+        if spec["select"]:
+            missing = [v for v in spec["select"] if v not in sol.columns]
+            if missing:
+                raise SparqlError(
+                    f"sparql: select variables {missing} not bound "
+                    f"(have: {sorted(sol.columns)})")
+            sol = sol.select(*spec["select"])
+        out = sol.dropDuplicates() if spec["distinct"] else sol
     if spec["order"]:
         missing = [v for v, _ in spec["order"] if v not in out.columns]
         if missing:

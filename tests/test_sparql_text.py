@@ -278,6 +278,55 @@ def test_filter_inside_groups_end_to_end(triples):
         spec["group"].bgp_kwargs()
 
 
+def test_bind_end_to_end(triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?tag WHERE {
+        ?c a owl:Class .
+        OPTIONAL { ?c rdfs:label ?l }
+        BIND (CONTAINS(?l, "a") AS ?has_a)
+        BIND (STRLEN(?l) AS ?tag)
+        FILTER (?has_a)
+      } ORDER BY ?c""")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("ex:A", 5), ("ex:B", 4)]  # alpha/beta contain 'a'
+    # parse-level guards
+    with pytest.raises(SparqlError, match="triple pattern"):
+        parse(PFX + "SELECT * WHERE { ?c a owl:Class . "
+                    "BIND (STRLEN(?c) AS ?n) ?x <p> ?n }")
+    with pytest.raises(SparqlError, match="SELECT only"):
+        parse(PFX + "ASK { ?c a owl:Class BIND (1 AS ?one) }")
+    with pytest.raises(SparqlError, match="BIND inside"):
+        parse(PFX + "SELECT * WHERE { ?c a owl:Class . "
+                    "OPTIONAL { ?c rdfs:label ?l BIND (1 AS ?one) } }")
+
+
+def test_builtin_function_surface(triples):
+    # the widened _FN_SQL set: string casts, case mapping, SUBSTR's
+    # 1-based indexing, CONCAT/REPLACE/IF/COALESCE, arithmetic tokens
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?u ?pre ?fix ?tag WHERE {
+        ?c rdfs:label ?l .
+        BIND (UCASE(?l) AS ?u)
+        BIND (SUBSTR(?l, 1, 3) AS ?pre)
+        BIND (CONCAT(STR(?c), "#", REPLACE(?l, "[aeiou]", "_")) AS ?fix)
+        BIND (IF(STRLEN(?l) - 1 >= 4, "long", "short") AS ?tag)
+        FILTER (STRENDS(?l, "a") && LCASE(?u) = ?l)
+      } ORDER BY ?c""")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("ex:A", "ALPHA", "alp", "ex:A#_lph_", "long"),
+                   ("ex:B", "BETA", "bet", "ex:B#b_t_", "short")]
+    # COALESCE over an OPTIONAL-null and boolean literals
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?c ?name WHERE {
+        ?c a owl:Class .
+        OPTIONAL { ?c rdfs:label ?l }
+        BIND (COALESCE(?l, "unnamed") AS ?name)
+        FILTER (true)
+      } ORDER BY ?c""")
+    assert [r.name for r in out2.collect()] == ["alpha", "beta",
+                                                "unnamed"]
+
+
 def test_construct_end_to_end(triples):
     out = sparql_query(triples, PFX + """
       CONSTRUCT { ?sup <ex:hasSub> ?sub . ?sub a <ex:Sub> }
