@@ -32,8 +32,12 @@ with the unsupported construct named — never a silent wrong answer):
 
 Triple patterns support prefixed names, ``<iri>``, ``a`` (rdf:type),
 ``?var``/``$var``, plain/numeric literals, object lists (``,``),
-predicate-object lists (``;``), and the path operators the BGP layer
-evaluates (``^iri``, ``alt|alt``, trailing ``+``). FILTER expressions
+predicate-object lists (``;``), the path operators the BGP layer
+evaluates (``^iri``, ``alt|alt``, trailing ``+``), and SequencePath
+``p1/p2/...`` — desugared here to fresh-variable chains (the §18.2.2.4
+translation; intermediates are dropped from SELECT solutions without
+collapsing the multiset). Mixing ``|`` with ``/`` in one path raises
+(needs parentheses, which are not offered). FILTER expressions
 translate to Spark SQL over the variable columns: comparisons,
 ``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, and the
 string/numeric builtins in ``_FN_SQL`` (STR/STRLEN/CONTAINS/
@@ -58,6 +62,11 @@ import re
 from dataclasses import dataclass, field
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# Hidden-variable prefix for SequencePath desugaring (`a/b` → fresh
+# intermediate variables). operators/sparql.py drops these columns from
+# SELECT solutions after the joins; user variables may not use it.
+SEQ_VAR_PREFIX = "_pp"
 
 
 class SparqlError(ValueError):
@@ -162,6 +171,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
+        self._seq_n = 0  # fresh-variable counter for SequencePath desugar
 
     # -- token plumbing ----------------------------------------------------
     def peek(self, k: int = 0) -> str | None:
@@ -195,6 +205,11 @@ class _Parser:
         if t.startswith("<") and t.endswith(">"):
             return t[1:-1]
         if t[0] in "?$":
+            if t[1:].startswith(SEQ_VAR_PREFIX):
+                raise SparqlError(
+                    f"sparql: variable names starting with "
+                    f"{SEQ_VAR_PREFIX!r} are reserved for sequence-path "
+                    "desugaring")
             return "?" + t[1:]
         if t == "a":
             return RDF_TYPE
@@ -358,10 +373,31 @@ class _Parser:
     def _triples(self, g: _Group, graph_term: str | None) -> None:
         s = self.term()
         while True:
-            p = self.predicate()
+            segs = [self.predicate()]
+            while self.peek() == "/":
+                # SequencePath p1/p2/... — desugared below per SPARQL 1.1
+                # §18.2.2.4: X (P/Q) Y ≡ X P ?fresh . ?fresh Q Y (fresh
+                # per object term, so object lists don't share the hop)
+                self.next()
+                segs.append(self.predicate())
+            if len(segs) > 1 and any("|" in x for x in segs):
+                raise SparqlError(
+                    "sparql: alternation inside a sequence path needs "
+                    "parentheses (SPARQL binds '/' tighter than '|'), "
+                    "which are not supported — split into separate "
+                    "patterns or UNION branches")
             while True:
                 o = self.term()
-                pat = (s, p, o) if graph_term is None else (s, p, o, graph_term)
+                subj = s
+                for seg in segs[:-1]:
+                    mid = f"?{SEQ_VAR_PREFIX}{self._seq_n}"
+                    self._seq_n += 1
+                    g.patterns.append(
+                        (subj, seg, mid) if graph_term is None
+                        else (subj, seg, mid, graph_term))
+                    subj = mid
+                pat = ((subj, segs[-1], o) if graph_term is None
+                       else (subj, segs[-1], o, graph_term))
                 g.patterns.append(pat)
                 if self.peek() == ",":
                     self.next()

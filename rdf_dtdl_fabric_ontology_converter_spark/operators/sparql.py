@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.sparql import SparqlError, parse
+from ..functions.sparql import SEQ_VAR_PREFIX, SparqlError, parse
 from .bgp import aggregate_solutions, ask, describe, match_bgp
 
 
@@ -64,6 +64,12 @@ def sparql_query(triples: DataFrame, text: str):
             sol = sol.where(F.expr(fe))
     else:
         sol = match_bgp(triples, pats, distinct=False, **kw)
+    hidden = [c for c in sol.columns if c.startswith(SEQ_VAR_PREFIX)]
+    if hidden:
+        # SequencePath intermediates: dropped WITHOUT dedup — the §18.2
+        # translation keeps one solution per intermediate binding, which
+        # is exactly the SPARQL multiset; SELECT DISTINCT collapses below
+        sol = sol.drop(*hidden)
     if spec["aggs"]:
         out = aggregate_solutions(sol, spec["group_by"], spec["aggs"],
                                   having=spec["having"])

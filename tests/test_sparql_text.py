@@ -51,6 +51,53 @@ def test_parse_object_list_and_paths():
     assert ("?z", "^ex:q|ex:r", "?x") in pats
 
 
+def test_parse_sequence_paths():
+    # desugar: fresh intermediate per hop, object lists get their own
+    spec = parse(PFX + "SELECT ?x ?y WHERE { ?x ex:p/ex:q ?y }")
+    pats = spec["group"].patterns
+    assert len(pats) == 2
+    (s1, p1, o1), (s2, p2, o2) = pats
+    assert (s1, p1) == ("?x", "ex:p") and (p2, o2) == ("ex:q", "?y")
+    assert o1 == s2 and o1.startswith("?_pp")
+    # three hops, inverse + closure elements keep their own operators
+    spec2 = parse(PFX + "SELECT * WHERE { ?x ^ex:a/ex:b+/ex:c ?y }")
+    ps = [p for _, p, _ in spec2["group"].patterns]
+    assert ps == ["^ex:a", "ex:b+", "ex:c"]
+    # object list: each object gets its own intermediate chain
+    spec3 = parse(PFX + "SELECT * WHERE { ?x ex:p/ex:q ex:o1 , ex:o2 }")
+    assert len(spec3["group"].patterns) == 4
+    mids = {o for _, p, o in spec3["group"].patterns if p == "ex:p"}
+    assert len(mids) == 2
+    # precedence guard: | cannot mix with / without parens
+    with pytest.raises(SparqlError, match="parenthes"):
+        parse(PFX + "SELECT * WHERE { ?x ex:a/ex:b|ex:c ?y }")
+    # reserved prefix guard
+    with pytest.raises(SparqlError, match="reserved"):
+        parse(PFX + "SELECT * WHERE { ?x ex:p ?_pp0 }")
+
+
+def test_sequence_path_end_to_end(triples):
+    # B subClassOf A, A label alpha: ?c subClassOf/label ?l
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE { ?c rdfs:subClassOf/rdfs:label ?l }
+      ORDER BY ?c""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:B", "alpha"), ("ex:C", "beta")]
+    # closure element inside the sequence: C sub+ {B, A} -> labels
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?l WHERE { ex:C rdfs:subClassOf+/rdfs:label ?l }
+      ORDER BY ?l""")
+    assert [r.l for r in out2.collect()] == ["alpha", "beta"]
+    # hidden intermediates never surface in SELECT *
+    out3 = sparql_query(triples, PFX +
+                        "SELECT * WHERE { ?c rdfs:subClassOf/rdfs:label ?l }")
+    assert sorted(out3.columns) == ["c", "l"]
+    # multiset preserved: bnode hop ex:A ex:meta/ex:note -> one row
+    out4 = sparql_query(triples, PFX + """
+      SELECT ?n WHERE { ex:A <ex:meta>/<ex:note> ?n }""")
+    assert [r.n for r in out4.collect()] == ["hi"]
+
+
 def test_parse_union_distribution():
     spec = parse(PFX + "SELECT * WHERE { ?c rdfs:label ?l . "
                        "{ ?c a owl:Class } UNION { ?c a owl:Thing } }")
