@@ -27,6 +27,19 @@ subset that covers the reference's validator families):
 - ``min_length`` / ``max_length`` (sh:minLength / sh:maxLength)
 - ``closed`` / ``ignored``       (sh:closed / sh:ignoredProperties —
                                   shape-level closed-world predicate check)
+- ``has_value``                  (sh:hasValue — per-focus set-contains
+                                  check; zero-valued focuses violate)
+- ``or`` / ``not``               (sh:or / sh:not §4.6 over VALUE-WISE
+                                  branches — node_kind/datatype/pattern/
+                                  in/length compile to one codegen'd
+                                  predicate; counting or sh:class
+                                  branches raise, never reinterpret)
+- ``equals`` / ``disjoint`` /    (sh:equals / sh:disjoint / sh:lessThan
+  ``less_than``                   §4.7 property-pair constraints —
+                                  anti-/semi-joins of the two paths'
+                                  value sets on the full term key;
+                                  less_than compares lexically, or as
+                                  doubles with ``"numeric": true``)
 - ``sparql``                     (SHACL-SPARQL §5 simplified — a SELECT
                                   binding ?focus to violating nodes)
 
@@ -124,6 +137,82 @@ def _focus_frame(triples: DataFrame, shape: dict,
     return f.dropDuplicates()
 
 
+_TERM_KEY = ["focus", "value", "obj_kind", "obj_datatype"]
+
+
+def _path_values(triples: DataFrame, focus: DataFrame,
+                 path: str) -> DataFrame:
+    """Deduplicated (focus, value, obj_kind, obj_datatype) frame for one
+    predicate path: pushed-down predicate filter, focus equi-join.
+
+    An RDF graph is a SET of triples: the same statement extracted from
+    two documents is one value. Terms equal lexically but differing in
+    kind/datatype stay distinct (they ARE different RDF terms), hence
+    the full key."""
+    return (triples.where(F.col("pred") == path)
+            .join(focus, triples["subj"] == focus["focus"])
+            .select("focus", F.col("obj").alias("value"),
+                    "obj_kind", "obj_datatype")
+            .dropDuplicates(_TERM_KEY))
+
+
+def _term_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+    """left_anti / left_semi join on the full term key with NULL-SAFE
+    equality — plain-literal terms have NULL obj_datatype, which a
+    non-null-safe key would never match (everything would 'violate')."""
+    bb = b.select([F.col(c).alias("_r_" + c) for c in _TERM_KEY])
+    cond = F.lit(True)
+    for c in _TERM_KEY:
+        cond = cond & F.col(c).eqNullSafe(F.col("_r_" + c))
+    return a.join(bb, cond, how)
+
+
+# value-wise constraint components legal inside sh:or / sh:not branches
+# (each is a pure Column predicate over one value row — no joins/counts)
+_VALUE_WISE = ("node_kind", "datatype", "pattern", "in",
+               "min_length", "max_length")
+
+
+def _satisfies(branch: dict):
+    """Boolean Column: a value row satisfies ALL components of ``branch``.
+
+    Only value-wise components are legal (counting components are
+    per-focus, sh:class needs an instance join — both raise so an
+    or/not never silently changes meaning)."""
+    bad = set(branch) - set(_VALUE_WISE)
+    if bad:
+        raise ValueError(
+            f"shacl: or/not branches support value-wise components "
+            f"{_VALUE_WISE}, got {sorted(bad)}")
+    if not branch:
+        raise ValueError("shacl: empty or/not branch")
+    conds = []
+    nk = branch.get("node_kind")
+    if nk is not None:
+        if nk not in _NODE_KINDS:
+            raise ValueError(f"shacl: bad node_kind {nk!r} "
+                             f"(one of {sorted(_NODE_KINDS)})")
+        conds.append(F.col("obj_kind") == _NODE_KINDS[nk])
+    dt = branch.get("datatype")
+    if dt is not None:
+        conds.append((F.col("obj_kind") == "literal") &
+                     (F.coalesce("obj_datatype", F.lit(XSD_STRING)) == dt))
+    pat = branch.get("pattern")
+    if pat is not None:
+        conds.append(F.col("value").rlike(pat))
+    allow = branch.get("in")
+    if allow is not None:
+        conds.append(F.col("value").isin(list(allow)))
+    if branch.get("min_length") is not None:
+        conds.append(F.length("value") >= branch["min_length"])
+    if branch.get("max_length") is not None:
+        conds.append(F.length("value") <= branch["max_length"])
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return cond
+
+
 def _shape_violations(triples: DataFrame, shape: dict, *,
                       typed: DataFrame,
                       subclass_closure: bool) -> list[DataFrame]:
@@ -132,16 +221,7 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
     out: list[DataFrame] = []
     for prop in shape.get("properties", []):
         path = prop["path"]
-        vals = (triples.where(F.col("pred") == path)
-                .join(focus, triples["subj"] == focus["focus"])
-                .select("focus", F.col("obj").alias("value"),
-                        "obj_kind", "obj_datatype")
-                # an RDF graph is a SET of triples: the same statement
-                # extracted from two documents is one value. Terms equal
-                # lexically but differing in kind/datatype stay distinct
-                # (they ARE different RDF terms), hence the full key.
-                .dropDuplicates(["focus", "value", "obj_kind",
-                                 "obj_datatype"]))
+        vals = _path_values(triples, focus, path)
         min_c, max_c = prop.get("min_count"), prop.get("max_count")
         if min_c is not None or max_c is not None:
             counts = vals.groupBy("focus").agg(F.count("*").alias("n"))
@@ -209,6 +289,74 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
                     vals.where(cond), shape_id, path,
                     f"{'minLength' if op == '<' else 'maxLength'}:{lim}",
                     F.col("value")))
+        hv = prop.get("has_value")
+        if hv is not None:
+            # sh:hasValue (§4.5.3): the focus's value set must CONTAIN
+            # the term — a per-focus existence check, so the violation
+            # is about the set (value NULL) and zero-valued focuses
+            # violate too (anti-join against the whole focus frame)
+            have = (vals.where(F.col("value") == hv)
+                    .select("focus").dropDuplicates())
+            out.append(_violation(
+                focus.join(have, on="focus", how="left_anti"),
+                shape_id, path, f"hasValue:{hv}"))
+        ors = prop.get("or")
+        if ors is not None:
+            # sh:or (§4.6.2) over value-wise branches: a value violates
+            # when it satisfies NO branch. One narrow filter — the
+            # branch disjunction is a single codegen'd predicate.
+            cond = _satisfies(ors[0])
+            for b in ors[1:]:
+                cond = cond | _satisfies(b)
+            out.append(_violation(vals.where(~cond), shape_id, path,
+                                  "or", F.col("value")))
+        neg = prop.get("not")
+        if neg is not None:
+            # sh:not (§4.6.1): a value violates when it SATISFIES the
+            # negated branch
+            out.append(_violation(vals.where(_satisfies(neg)), shape_id,
+                                  path, "not", F.col("value")))
+        eq = prop.get("equals")
+        if eq is not None:
+            # sh:equals (§4.7.1): per focus, the value SETS of the two
+            # paths must be equal — two anti-joins on the full term key
+            # surface values present on one side only
+            other = _path_values(triples, focus, eq)
+            out.append(_violation(
+                _term_join(vals, other, "left_anti"),
+                shape_id, path, f"equals:{eq}", F.col("value")))
+            out.append(_violation(
+                _term_join(other, vals, "left_anti"),
+                shape_id, path, f"equals:{eq}", F.col("value")))
+        dis = prop.get("disjoint")
+        if dis is not None:
+            # sh:disjoint (§4.7.2): no term shared between the two
+            # paths' value sets — a semi-join on the full term key
+            other = _path_values(triples, focus, dis)
+            out.append(_violation(
+                _term_join(vals, other, "left_semi"),
+                shape_id, path, f"disjoint:{dis}", F.col("value")))
+        lt = prop.get("less_than")
+        if lt is not None:
+            # sh:lessThan (§4.7.3): EVERY (v, w) pair across the two
+            # paths per focus must satisfy v < w. Comparison is lexical
+            # by default (the store holds lexical forms); set
+            # ``"numeric": true`` to compare as doubles — an uncastable
+            # value then violates (NULL comparison is never < )
+            other = (_path_values(triples, focus, lt)
+                     .select("focus", F.col("value").alias("w")))
+            pairs = vals.join(other, on="focus")
+            if prop.get("numeric"):
+                # try_cast: a malformed number is NULL (→ violation
+                # below), not an ANSI runtime error killing the report
+                ok = (F.col("value").try_cast("double") <
+                      F.col("w").try_cast("double"))
+            else:
+                ok = F.col("value") < F.col("w")
+            out.append(_violation(
+                pairs.where(~F.coalesce(ok, F.lit(False)))
+                     .dropDuplicates(_TERM_KEY),
+                shape_id, path, f"lessThan:{lt}", F.col("value")))
     if shape.get("closed"):
         # sh:closed (§4.8): a focus node may only use the declared
         # property paths (+ sh:ignoredProperties + rdf:type, which the

@@ -250,3 +250,86 @@ def test_multiple_shapes_union(kg):
     # r1 has no label -> RegionShape violation alongside NationShape's
     assert (f"{EX}r1", "minCount:1", None) in got
     assert (f"{EX}n3", "minCount:1", None) in got
+
+
+def test_has_value(kg):
+    s = {"shape_id": "HV", "target_class": f"{EX}Nation",
+         "properties": [{"path": LABEL, "has_value": "one"}]}
+    got = _report(kg, [s])
+    assert got == {(f"{EX}n2", "hasValue:one", None),
+                   (f"{EX}n3", "hasValue:one", None)}  # n3: zero labels
+
+
+def test_or_and_not_value_wise(kg):
+    # pop is either an integer literal or an IRI -> both rows conform
+    ok = {"shape_id": "OR1", "target_class": f"{EX}Nation",
+          "properties": [{"path": f"{EX}pop",
+                          "or": [{"datatype": XSD_INT},
+                                 {"node_kind": "IRI"}]}]}
+    assert validate_shapes(kg, [ok]).count() == 0
+    # neither a string literal nor all-digits: the IRI value violates
+    bad = {"shape_id": "OR2", "target_class": f"{EX}Nation",
+           "properties": [{"path": f"{EX}pop",
+                           "or": [{"datatype": XSD_STRING},
+                                  {"pattern": "^\\d+$"}]}]}
+    got = _report(kg, [bad])
+    assert got == {(f"{EX}n3", "or", f"{EX}oops")}
+    # sh:not: labels must NOT be >= 4 chars
+    neg = {"shape_id": "NOT", "target_class": f"{EX}Nation",
+           "properties": [{"path": LABEL, "not": {"min_length": 4}}]}
+    got2 = _report(kg, [neg])
+    assert got2 == {(f"{EX}n2", "not", "deux")}
+    # guards: non-value-wise or empty branches raise
+    with pytest.raises(ValueError, match="value-wise"):
+        validate_shapes(kg, [{"shape_id": "G", "target_class": f"{EX}Nation",
+                              "properties": [{"path": LABEL,
+                                              "or": [{"min_count": 1}]}]}])
+    with pytest.raises(ValueError, match="empty or/not"):
+        validate_shapes(kg, [{"shape_id": "G2", "target_class": f"{EX}Nation",
+                              "properties": [{"path": LABEL, "not": {}}]}])
+
+
+def test_property_pair_constraints(spark):
+    P, Q = f"{EX}p", f"{EX}q"
+    rows = [
+        (f"{EX}s1", RDF_TYPE, f"{EX}T", "iri", None),
+        (f"{EX}s2", RDF_TYPE, f"{EX}T", "iri", None),
+        (f"{EX}s1", P, "a", "literal", None),
+        (f"{EX}s1", Q, "a", "literal", None),
+        (f"{EX}s2", P, "b", "literal", None),
+        (f"{EX}s2", Q, "c", "literal", None),
+    ]
+    kg = _triples(spark, rows)
+    eq = {"shape_id": "EQ", "target_class": f"{EX}T",
+          "properties": [{"path": P, "equals": Q}]}
+    got = _report(kg, [eq])
+    # s1's sets are equal; s2 has b only at P and c only at Q
+    assert got == {(f"{EX}s2", f"equals:{Q}", "b"),
+                   (f"{EX}s2", f"equals:{Q}", "c")}
+    dis = {"shape_id": "DIS", "target_class": f"{EX}T",
+           "properties": [{"path": P, "disjoint": Q}]}
+    got2 = _report(kg, [dis])
+    assert got2 == {(f"{EX}s1", f"disjoint:{Q}", "a")}
+
+
+def test_less_than_lexical_vs_numeric(spark):
+    LO, HI = f"{EX}lo", f"{EX}hi"
+    rows = [
+        (f"{EX}s1", RDF_TYPE, f"{EX}T", "iri", None),
+        (f"{EX}s1", LO, "2", "literal", XSD_INT),
+        (f"{EX}s1", HI, "10", "literal", XSD_INT),
+        (f"{EX}s2", RDF_TYPE, f"{EX}T", "iri", None),
+        (f"{EX}s2", LO, "x", "literal", None),
+        (f"{EX}s2", HI, "10", "literal", XSD_INT),
+    ]
+    kg = _triples(spark, rows)
+    # lexical: "2" < "10" is FALSE -> violation; numeric: 2 < 10 passes
+    lex = {"shape_id": "LT", "target_class": f"{EX}T",
+           "properties": [{"path": LO, "less_than": HI}]}
+    assert (f"{EX}s1", f"lessThan:{HI}", "2") in _report(kg, [lex])
+    num = {"shape_id": "LTN", "target_class": f"{EX}T",
+           "properties": [{"path": LO, "less_than": HI, "numeric": True}]}
+    got = _report(kg, [num])
+    assert (f"{EX}s1", f"lessThan:{HI}", "2") not in got
+    # uncastable value can never satisfy a numeric less_than
+    assert (f"{EX}s2", f"lessThan:{HI}", "x") in got
