@@ -764,6 +764,118 @@ def _oracle_shacl_validate() -> str:
     """
 
 
+def _nation_pairs_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One turtle doc per nation carrying paired predicates for the
+    SHACL property-pair constraints: name (always), alias (even keys
+    only), lo = nationkey, hi = (nationkey % 7) * 4."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    k = F.col("n_nationkey")
+    alias_line = F.when(
+        k % 2 == 0,
+        F.concat(F.lit("ex:N"), k, F.lit(' ex:alias "'),
+                 F.col("n_name"), F.lit('" .\n'))).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), k, F.lit(" a ex:Nation .\n"),
+        F.lit("ex:N"), k, F.lit(' ex:name "'), F.col("n_name"),
+        F.lit('" .\n'), alias_line,
+        F.lit("ex:N"), k, F.lit(' ex:lo "'), k, F.lit('" .\n'),
+        F.lit("ex:N"), k, F.lit(' ex:hi "'), (k % 7) * 4, F.lit('" .\n'),
+    )
+    return nation.select(
+        F.concat(F.lit("pairs_"), k).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+def q_shacl_pairs(spark, sf_dir):
+    """SHACL §4.6/§4.7 additions: sh:hasValue (set-contains per focus),
+    sh:or over value-wise branches (one codegen'd predicate), sh:equals
+    (null-safe term-key anti-joins both ways), sh:lessThan with numeric
+    try_cast comparison (operators/shacl.py)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.shacl import (
+        validate_shapes)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(
+        extract_triples(_nation_pairs_ttl_docs(spark, sf_dir)))
+    EX = "http://example.org/"
+    shapes = [{
+        "shape_id": "NationPairs", "target_class": f"{EX}Nation",
+        "properties": [
+            {"path": f"{EX}name", "equals": f"{EX}alias",
+             "has_value": "ALGERIA",
+             "or": [{"max_length": 6}, {"pattern": "^A"}]},
+            {"path": f"{EX}lo", "less_than": f"{EX}hi", "numeric": True},
+        ],
+    }]
+    return validate_shapes(clean, shapes).orderBy("focus", "constraint")
+
+
+def _oracle_shacl_pairs() -> str:
+    ex = "http://example.org/"
+    return f"""
+    WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
+    SELECT * FROM (
+      SELECT '{ex}N'||k AS focus, 'NationPairs' AS shape_id,
+             '{ex}name' AS path, 'equals:{ex}alias' AS "constraint",
+             name AS value
+      FROM n WHERE k % 2 = 1
+      UNION ALL
+      SELECT '{ex}N'||k, 'NationPairs', '{ex}name', 'hasValue:ALGERIA',
+             CAST(NULL AS VARCHAR)
+      FROM n WHERE name <> 'ALGERIA'
+      UNION ALL
+      SELECT '{ex}N'||k, 'NationPairs', '{ex}name', 'or', name
+      FROM n WHERE NOT (length(name) <= 6 OR name LIKE 'A%')
+      UNION ALL
+      SELECT '{ex}N'||k, 'NationPairs', '{ex}lo', 'lessThan:{ex}hi',
+             CAST(k AS VARCHAR)
+      FROM n WHERE NOT (k < (k % 7) * 4)
+    ) ORDER BY focus, "constraint"
+    """
+
+
+_SPARQL_TEXT_SEQ_BIND = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT ?p ?u ?len WHERE {
+  ?p a owl:ObjectProperty .
+  ?p rdfs:domain/rdfs:label ?l .
+  BIND (LCASE(?l) AS ?u)
+  BIND (STRLEN(?l) AS ?len)
+  FILTER (CONTAINS(?u, "a"))
+} ORDER BY ?p
+"""
+
+
+def q_sparql_text_seq_bind(spark, sf_dir):
+    """SPARQL SequencePath + BIND through the text front-end: the path
+    desugars to a fresh-variable chain (§18.2.2.4), BINDs extend the
+    solution after the joins and feed the FILTER (functions/sparql.py,
+    operators/sparql.py)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_SEQ_BIND)
+
+
+def _oracle_sparql_seq_bind() -> str:
+    return """
+    SELECT 'http://example.org/N'||n_nationkey||'_inRegion' AS p,
+           lower(n_name) AS u,
+           CAST(length(n_name) AS INT) AS len
+    FROM nation WHERE contains(lower(n_name), 'a')
+    ORDER BY p
+    """
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3069,6 +3181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate": q_shacl_validate,
         "rdfs_entailment": q_rdfs_entailment,
         "owl_entailment": q_owl_entailment,
+        "shacl_pairs": q_shacl_pairs,
+        "sparql_text_seq_bind": q_sparql_text_seq_bind,
     }
 
 
@@ -3147,4 +3261,6 @@ def oracle_sql() -> dict[str, str]:
         "shacl_validate": _oracle_shacl_validate(),
         "rdfs_entailment": _oracle_rdfs_entailment(),
         "owl_entailment": _oracle_owl_entailment(),
+        "shacl_pairs": _oracle_shacl_pairs(),
+        "sparql_text_seq_bind": _oracle_sparql_seq_bind(),
     }
