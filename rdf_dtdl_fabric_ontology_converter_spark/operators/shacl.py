@@ -16,7 +16,11 @@ subset that covers the reference's validator families):
 
 - ``min_count`` / ``max_count``  (sh:minCount / sh:maxCount)
 - ``datatype``                   (sh:datatype — plain literals count as
-                                  xsd:string per RDF 1.1 semantics)
+                                  xsd:string, language-tagged ones as
+                                  rdf:langString, per RDF 1.1 §3.3)
+- ``unique_lang``                (sh:uniqueLang — no two values share a
+                                  language tag; the tag is the reported
+                                  value)
 - ``node_kind``                  (sh:nodeKind — "IRI" | "Literal" |
                                   "BlankNode", matching our ``obj_kind``)
 - ``class``                      (sh:class — value must be rdf:type'd to
@@ -87,6 +91,7 @@ from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 _NODE_KINDS = {"IRI": "iri", "Literal": "literal", "BlankNode": "bnode"}
 
@@ -137,23 +142,32 @@ def _focus_frame(triples: DataFrame, shape: dict,
     return f.dropDuplicates()
 
 
-_TERM_KEY = ["focus", "value", "obj_kind", "obj_datatype"]
+_TERM_KEY = ["focus", "value", "obj_kind", "obj_datatype", "lang"]
 
 
 def _path_values(triples: DataFrame, focus: DataFrame,
                  path: str) -> DataFrame:
-    """Deduplicated (focus, value, obj_kind, obj_datatype) frame for one
-    predicate path: pushed-down predicate filter, focus equi-join.
+    """Deduplicated (focus, value, obj_kind, obj_datatype, lang) frame
+    for one predicate path: pushed-down predicate filter, focus
+    equi-join.
 
     An RDF graph is a SET of triples: the same statement extracted from
     two documents is one value. Terms equal lexically but differing in
-    kind/datatype stay distinct (they ARE different RDF terms), hence
-    the full key."""
+    kind/datatype/lang stay distinct (they ARE different RDF terms —
+    "chat"@en and "chat"@fr are two values for sh:minCount), hence the
+    full key."""
     return (triples.where(F.col("pred") == path)
             .join(focus, triples["subj"] == focus["focus"])
             .select("focus", F.col("obj").alias("value"),
-                    "obj_kind", "obj_datatype")
+                    "obj_kind", "obj_datatype", "lang")
             .dropDuplicates(_TERM_KEY))
+
+
+def _effective_datatype():
+    """RDF 1.1 §3.3: a language-tagged literal's datatype is
+    rdf:langString; a plain literal's is xsd:string."""
+    return F.when(F.col("lang").isNotNull(), F.lit(RDF_LANGSTRING)) \
+            .otherwise(F.coalesce("obj_datatype", F.lit(XSD_STRING)))
 
 
 def _term_join(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
@@ -196,7 +210,7 @@ def _satisfies(branch: dict):
     dt = branch.get("datatype")
     if dt is not None:
         conds.append((F.col("obj_kind") == "literal") &
-                     (F.coalesce("obj_datatype", F.lit(XSD_STRING)) == dt))
+                     (_effective_datatype() == dt))
     pat = branch.get("pattern")
     if pat is not None:
         conds.append(F.col("value").rlike(pat))
@@ -244,9 +258,9 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
                 shape_id, path, f"nodeKind:{nk}", F.col("value")))
         dt = prop.get("datatype")
         if dt is not None:
-            # a plain literal IS xsd:string (RDF 1.1 §3.3); non-literals
-            # always violate sh:datatype
-            eff = F.coalesce("obj_datatype", F.lit(XSD_STRING))
+            # a plain literal IS xsd:string, a language-tagged one is
+            # rdf:langString (RDF 1.1 §3.3); non-literals always violate
+            eff = _effective_datatype()
             bad = vals.where((F.col("obj_kind") != "literal") | (eff != dt))
             out.append(_violation(bad, shape_id, path, f"datatype:{dt}",
                                   F.col("value")))
@@ -336,6 +350,17 @@ def _shape_violations(triples: DataFrame, shape: dict, *,
             out.append(_violation(
                 _term_join(vals, other, "left_semi"),
                 shape_id, path, f"disjoint:{dis}", F.col("value")))
+        if prop.get("unique_lang"):
+            # sh:uniqueLang (§4.5.4): no two values of the path may share
+            # one language tag — a (focus, lang) count over the deduped
+            # term frame (map-side combine); untagged values are exempt.
+            # The report binds the offending TAG as the value.
+            dup = (vals.where(F.col("lang").isNotNull())
+                   .groupBy("focus", "lang")
+                   .agg(F.count("*").alias("n"))
+                   .where(F.col("n") > 1))
+            out.append(_violation(dup, shape_id, path, "uniqueLang",
+                                  F.col("lang")))
         lt = prop.get("less_than")
         if lt is not None:
             # sh:lessThan (§4.7.3): EVERY (v, w) pair across the two

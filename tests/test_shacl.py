@@ -333,3 +333,46 @@ def test_less_than_lexical_vs_numeric(spark):
     assert (f"{EX}s1", f"lessThan:{HI}", "2") not in got
     # uncastable value can never satisfy a numeric less_than
     assert (f"{EX}s2", f"lessThan:{HI}", "x") in got
+
+
+def _triples_lang(spark, rows):
+    """rows = (s, p, o, kind, dt, lang)."""
+    full = [(s, p, o, k, dt, lg, None) for (s, p, o, k, dt, lg) in rows]
+    return spark.createDataFrame(
+        full, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, lang string, graph_ctx string")
+
+
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def test_unique_lang_and_langstring_datatype(spark):
+    rows = [
+        (f"{EX}a", RDF_TYPE, f"{EX}T", "iri", None, None),
+        (f"{EX}a", LABEL, "chat", "literal", None, "en"),
+        (f"{EX}a", LABEL, "cat", "literal", None, "en"),   # second @en
+        (f"{EX}a", LABEL, "chat", "literal", None, "fr"),  # fine
+        (f"{EX}b", RDF_TYPE, f"{EX}T", "iri", None, None),
+        (f"{EX}b", LABEL, "dog", "literal", None, None),   # untagged exempt
+        (f"{EX}b", LABEL, "hund", "literal", None, None),
+    ]
+    kg = _triples_lang(spark, rows)
+    s = {"shape_id": "UL", "target_class": f"{EX}T",
+         "properties": [{"path": LABEL, "unique_lang": True}]}
+    got = _report(kg, [s])
+    assert got == {(f"{EX}a", "uniqueLang", "en")}
+    # RDF 1.1: "chat"@en's datatype is rdf:langString, NOT xsd:string
+    dt_s = {"shape_id": "DT", "target_class": f"{EX}T",
+            "properties": [{"path": LABEL, "datatype": XSD_STRING}]}
+    got2 = _report(kg, [dt_s])
+    assert (f"{EX}a", f"datatype:{XSD_STRING}", "chat") in got2
+    assert not any(f == f"{EX}b" for (f, _, _) in got2)
+    dt_l = {"shape_id": "DL", "target_class": f"{EX}T",
+            "properties": [{"path": LABEL, "datatype": RDF_LANGSTRING}]}
+    got3 = _report(kg, [dt_l])
+    assert {v for (f, _, v) in got3 if f == f"{EX}b"} == {"dog", "hund"}
+    # lang is part of the term key: "chat"@en vs "chat"@fr = two values
+    cnt = {"shape_id": "C", "target_class": f"{EX}T",
+           "properties": [{"path": LABEL, "max_count": 2}]}
+    got4 = _report(kg, [cnt])
+    assert (f"{EX}a", "maxCount:2", None) in got4
