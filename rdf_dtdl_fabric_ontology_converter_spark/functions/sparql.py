@@ -25,6 +25,7 @@ with the unsupported construct named — never a silent wrong answer):
     member     := triples '.'? | 'OPTIONAL' group | 'MINUS' group
                 | group 'UNION' group | 'FILTER' constraint
                 | 'VALUES' var '{' term* '}'
+                | 'VALUES' '(' var+ ')' '{' ('(' (term|'UNDEF')* ')')* '}'
                 | 'GRAPH' (iri | var) group
                 | 'BIND' '(' expr 'AS' var ')'
     constraint := '(' expr ')' | 'EXISTS' group | 'NOT' 'EXISTS' group
@@ -114,6 +115,8 @@ class _Group:
     exists: list[list[tuple]] = field(default_factory=list)
     not_exists: list[list[tuple]] = field(default_factory=list)
     values: dict[str, list[str]] = field(default_factory=dict)
+    # VALUES (?a ?b) { (x y) (z UNDEF) } — (vars, rows), None = UNDEF
+    values_rows: tuple[list[str], list[tuple]] | None = None
     filters: list[str] = field(default_factory=list)
     # BIND(expr AS ?v): applied AFTER the group's joins (documented
     # divergence: the bound variable is usable in FILTER/SELECT/ORDER,
@@ -161,6 +164,8 @@ class _Group:
             kw["not_exists"] = self.not_exists
         if self.values:
             kw["values"] = self.values
+        if self.values_rows is not None:
+            kw["values_rows"] = self.values_rows
         if self.filters:
             kw["filter_expr"] = " AND ".join(f"({f})" for f in self.filters)
         return pats, kw
@@ -302,10 +307,13 @@ class _Parser:
                 continue
             if self.at_kw("VALUES"):
                 self.next()
+                if self.peek() == "(":
+                    self._values_rows(g)
+                    continue
                 var = self.next()
                 if var[0] not in "?$":
                     raise SparqlError("sparql: VALUES needs a variable "
-                                      "(multi-variable rows not supported)")
+                                      "or a parenthesized variable list")
                 self.eat("{")
                 vals = []
                 while self.peek() != "}":
@@ -331,7 +339,8 @@ class _Parser:
 
     def _plain(self, sub: _Group, kind: str) -> list[tuple]:
         if (sub.optional or sub.union_branches or sub.minus or sub.exists or
-                sub.not_exists or sub.values or sub.filters or sub.binds):
+                sub.not_exists or sub.values or sub.values_rows or
+                sub.filters or sub.binds):
             raise SparqlError(
                 f"sparql: {kind} groups must be plain conjunctions here "
                 "(compose richer groups as two queries)")
@@ -347,7 +356,8 @@ class _Parser:
                 f"sparql: BIND inside a {kind} group is not supported "
                 "(bind in the outer group)")
         if (sub.optional or sub.union_branches or sub.minus or
-                sub.exists or sub.not_exists or sub.values):
+                sub.exists or sub.not_exists or sub.values or
+                sub.values_rows):
             raise SparqlError(
                 f"sparql: {kind} groups support only triple patterns "
                 "plus FILTER here (compose richer groups as two queries)")
@@ -412,6 +422,45 @@ class _Parser:
             break
         if self.peek() == ".":
             self.next()
+
+    def _values_rows(self, g: _Group) -> None:
+        """Multi-variable inline data: VALUES (?a ?b) { (x y) (z UNDEF) }.
+        Stored as (vars, rows) with None for UNDEF; one block per group
+        (SPARQL allows several — compose as separate groups)."""
+        if g.values_rows is not None:
+            raise SparqlError("sparql: one multi-variable VALUES block "
+                              "per group")
+        self.eat("(")
+        vrs: list[str] = []
+        while self.peek() != ")":
+            v = self.next()
+            if v[0] not in "?$":
+                raise SparqlError(f"sparql: VALUES variable list got {v!r}")
+            vrs.append(v[1:])
+        self.next()
+        if not vrs:
+            raise SparqlError("sparql: empty VALUES variable list")
+        self.eat("{")
+        rows: list[tuple] = []
+        while self.peek() != "}":
+            self.eat("(")
+            row: list[str | None] = []
+            while self.peek() != ")":
+                if self.at_kw("UNDEF"):
+                    self.next()
+                    row.append(None)
+                else:
+                    row.append(self.term())
+            self.next()
+            if len(row) != len(vrs):
+                raise SparqlError(
+                    f"sparql: VALUES row has {len(row)} terms for "
+                    f"{len(vrs)} variables")
+            rows.append(tuple(row))
+        self.next()
+        if not rows:
+            raise SparqlError("sparql: empty VALUES data block")
+        g.values_rows = (vrs, rows)
 
     # -- FILTER ------------------------------------------------------------------
     def _filter(self, g: _Group) -> None:

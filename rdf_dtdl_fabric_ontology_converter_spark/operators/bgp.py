@@ -204,6 +204,7 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
               exists: list[list[Pattern]] | None = None,
               not_exists: list[list[Pattern]] | None = None,
               values: dict[str, list[str]] | None = None,
+              values_rows: tuple[list[str], list[tuple]] | None = None,
               select: list[str] | None = None,
               filter_expr: str | None = None,
               distinct: bool = True,
@@ -251,7 +252,19 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     round-4 verdict flagged, because it holds ONLY driver-supplied
     literals, and a broadcast hash join beats the giant codegen'd ``IN``
     chain a filter_expr would produce once the list has a few thousand
-    entries. Multi-variable VALUES rows (with UNDEF) are not offered.
+    entries.
+    ``values_rows`` is the multi-variable SPARQL ``VALUES (?a ?b) {
+    (x y) (z UNDEF) }`` form: ``(vars, rows)`` with ``None`` for UNDEF.
+    Per §18.5 Join-with-multiset semantics the data block is inner-joined
+    onto the solution: a row is compatible when every variable is UNDEF
+    or equal, and a solution matched by k rows appears k times (rows are
+    NOT deduplicated, unlike the single-variable FILTER-IN form).
+    Columns with no UNDEF anywhere join as plain equi-keys (hash join);
+    an UNDEF column contributes an ``IS NULL OR =`` residual — fine for
+    a driver-supplied broadcast block, never for unbounded data. The
+    VALUES variables must be non-nullable bound (an OPTIONAL/UNION-
+    introduced variable raises, same rule as EXISTS — a NULL-compatible
+    merge would need a coalescing outer join).
     ``select`` projects named variables (no ``?``); default = all.
     ``filter_expr`` is a SQL expression over the variable columns applied
     after the joins (SPARQL ``FILTER``). Algebra order (SPARQL §18.2
@@ -343,6 +356,38 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         vals = triples.sparkSession.createDataFrame(
             [(c,) for c in consts], f"`{var}` string").dropDuplicates()
         acc = acc.join(F.broadcast(vals), on=var)
+    if values_rows is not None:
+        vrs, rows = values_rows
+        if not vrs or not rows:
+            raise ValueError("match_bgp: values_rows needs variables "
+                             "and at least one row")
+        missing = [v for v in vrs if v not in bound]
+        if missing:
+            raise ValueError(
+                f"match_bgp: VALUES variables {missing} not bound by the "
+                f"patterns (bound: {sorted(bound)})")
+        bad = set(vrs) & nullable
+        if bad:
+            raise ValueError(
+                f"match_bgp: VALUES joins on possibly-unbound variables "
+                f"{sorted(bad)} (OPTIONAL/UNION-introduced) — the UNDEF-"
+                "compatible merge there needs a coalescing outer join; "
+                "filter the variable first")
+        if any(len(r) != len(vrs) for r in rows):
+            raise ValueError("match_bgp: every VALUES row must have one "
+                             f"term per variable {vrs}")
+        schema = ", ".join(f"`__val_{v}` string" for v in vrs)
+        block = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows], schema)
+        cond = F.lit(True)
+        for i, v in enumerate(vrs):
+            bc = F.col(f"__val_{v}")
+            if any(r[i] is None for r in rows):
+                cond = cond & (bc.isNull() | (bc == F.col(v)))
+            else:
+                cond = cond & (bc == F.col(v))
+        acc = (acc.join(F.broadcast(block), cond, "inner")
+               .drop(*[f"__val_{v}" for v in vrs]))
     for groups, how in ((exists, "left_semi"), (not_exists, "left_anti")):
         kind = "EXISTS" if how == "left_semi" else "NOT EXISTS"
         for group in (groups or []):

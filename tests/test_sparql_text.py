@@ -395,3 +395,42 @@ def test_ask_and_describe_end_to_end(triples):
     out2 = sparql_query(triples, PFX + """
       DESCRIBE ?x WHERE { ?x rdfs:label "alpha" }""")
     assert out2.count() == 4
+
+
+def test_values_rows_parse_and_end_to_end(triples):
+    # parse: vars + rows with UNDEF -> None
+    spec = parse(PFX + """SELECT * WHERE {
+        ?c rdfs:label ?l .
+        VALUES (?c ?l) { (ex:A "alpha") (ex:B UNDEF) }
+    }""")
+    assert spec["group"].values_rows == (
+        ["c", "l"], [("ex:A", "alpha"), ("ex:B", None)])
+    # end to end: (ex:A, alpha) exact row + every ex:B row via UNDEF
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE {
+        ?c rdfs:label ?l .
+        VALUES (?c ?l) { (ex:A "alpha") (ex:B UNDEF) }
+      } ORDER BY ?c""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", "alpha"), ("ex:B", "beta")]
+    # multiset: a solution compatible with TWO rows appears twice
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?c WHERE {
+        ?c rdfs:label ?l .
+        VALUES (?c ?l) { (ex:A "alpha") (ex:A UNDEF) }
+      }""")
+    assert [r.c for r in out2.collect()] == ["ex:A", "ex:A"]
+    # guards
+    with pytest.raises(SparqlError, match="row has"):
+        parse(PFX + 'SELECT * WHERE { ?c rdfs:label ?l '
+                    'VALUES (?c ?l) { (ex:A) } }')
+    with pytest.raises(SparqlError, match="one multi-variable"):
+        parse(PFX + 'SELECT * WHERE { ?c rdfs:label ?l '
+                    'VALUES (?c) { (ex:A) } VALUES (?l) { ("x") } }')
+    # joining on an OPTIONAL-introduced variable raises at plan time
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import (
+        match_bgp)
+    with pytest.raises(ValueError, match="possibly-unbound"):
+        match_bgp(triples, [("?c", RDF_TYPE, CLS)],
+                  optional=[[("?c", LABEL, "?l")]],
+                  values_rows=(["l"], [("alpha",)])).collect()
