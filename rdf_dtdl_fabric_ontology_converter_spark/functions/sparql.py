@@ -28,6 +28,7 @@ with the unsupported construct named — never a silent wrong answer):
                 | 'VALUES' '(' var+ ')' '{' ('(' (term|'UNDEF')* ')')* '}'
                 | 'GRAPH' (iri | var) group
                 | 'BIND' '(' expr 'AS' var ')'
+                | '{' select '}'
     constraint := '(' expr ')' | 'EXISTS' group | 'NOT' 'EXISTS' group
                 | 'REGEX' '(' ... ')'
 
@@ -46,10 +47,13 @@ STRSTARTS/STRENDS/UCASE/LCASE/SUBSTR/CONCAT/REPLACE/COALESCE/ABS/
 CEIL/FLOOR/ROUND/IF). ``BIND(expr AS ?v)`` is supported in SELECT
 groups; the bound variable extends solutions AFTER the group's joins
 (usable in FILTER/SELECT/ORDER, not in triple patterns — enforced).
-Blank-node syntax, ``*``/``?`` paths, subqueries, property functions,
-and datatyped/lang literals raise ``SparqlError`` (the engine stores
-lexical forms; a datatype match would silently compare the wrong
-thing).
+Subqueries ``{ SELECT ... }`` are supported in SELECT groups: the
+inner SELECT is evaluated independently (its own aggregates/modifiers)
+and joined onto the outer solution on its projected shared variables
+(§18.2.2.7 then Join). Blank-node syntax, ``*``/``?`` paths, property
+functions, and datatyped/lang literals raise ``SparqlError`` (the
+engine stores lexical forms; a datatype match would silently compare
+the wrong thing).
 
 UNION branches: the operator layer models UNION as alternate groups
 against the required group, so ``C . {A} UNION {B}`` distributes the
@@ -122,6 +126,9 @@ class _Group:
     # divergence: the bound variable is usable in FILTER/SELECT/ORDER,
     # not in subsequent triple patterns — the parser enforces it)
     binds: list[tuple[str, str]] = field(default_factory=list)
+    # { SELECT ... } subqueries: parsed SELECT specs, evaluated
+    # independently and joined on their shared variables (§18.2.2.7)
+    subqueries: list[dict] = field(default_factory=list)
 
     def bgp_kwargs(self) -> tuple[list[tuple], dict]:
         """(required patterns, match_bgp keyword dict) with the UNION
@@ -273,6 +280,17 @@ class _Parser:
                 self.next()
                 return g
             if t == "{":
+                if (self.peek(1) or "").upper() == "SELECT":
+                    # { SELECT ... } subquery (§18.2.2.7): only its
+                    # projected variables are visible outside
+                    self.next()
+                    if graph_term is not None:
+                        raise SparqlError(
+                            "sparql: a subquery inside GRAPH is not "
+                            "supported (scope the GRAPH inside it)")
+                    g.subqueries.append(_parse_select(self, subquery=True))
+                    self.eat("}")
+                    continue
                 # { A } UNION { B } [UNION { C }]*
                 first = self.group(graph_term)
                 branches = [first]
@@ -340,7 +358,7 @@ class _Parser:
     def _plain(self, sub: _Group, kind: str) -> list[tuple]:
         if (sub.optional or sub.union_branches or sub.minus or sub.exists or
                 sub.not_exists or sub.values or sub.values_rows or
-                sub.filters or sub.binds):
+                sub.filters or sub.binds or sub.subqueries):
             raise SparqlError(
                 f"sparql: {kind} groups must be plain conjunctions here "
                 "(compose richer groups as two queries)")
@@ -357,7 +375,7 @@ class _Parser:
                 "(bind in the outer group)")
         if (sub.optional or sub.union_branches or sub.minus or
                 sub.exists or sub.not_exists or sub.values or
-                sub.values_rows):
+                sub.values_rows or sub.subqueries):
             raise SparqlError(
                 f"sparql: {kind} groups support only triple patterns "
                 "plus FILTER here (compose richer groups as two queries)")
@@ -379,6 +397,8 @@ class _Parser:
         for k, v in sub.values.items():
             g.values[k] = v
         g.filters.extend(sub.filters)
+        g.binds.extend(sub.binds)
+        g.subqueries.extend(sub.subqueries)
 
     def _triples(self, g: _Group, graph_term: str | None) -> None:
         s = self.term()
@@ -685,7 +705,7 @@ def parse(text: str) -> dict:
                       f"got {t!r}")
 
 
-def _parse_select(p: _Parser) -> dict:
+def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
     p.next()
     distinct = False
     if p.at_kw("DISTINCT"):
@@ -781,7 +801,8 @@ def _parse_select(p: _Parser) -> dict:
     if p.at_kw("LIMIT") and limit is None:
         p.next()
         limit = int(p.next())
-    _end(p)
+    if not subquery:
+        _end(p)
     if aggs and select:
         extra = [v for v in select if v not in group_by]
         if extra:
@@ -798,6 +819,9 @@ def _no_binds(g, form: str) -> None:
     if g.binds:
         raise SparqlError(f"sparql: BIND is supported in SELECT only, "
                           f"not {form}")
+    if g.subqueries:
+        raise SparqlError(f"sparql: subqueries are supported in SELECT "
+                          f"only, not {form}")
 
 
 def _end(p: _Parser) -> None:

@@ -49,15 +49,29 @@ def sparql_query(triples: DataFrame, text: str):
                               distinct=True, **kw)
             return describe(triples, seeds)
         return describe(triples, spec["nodes"])
-    # SELECT
+    return _eval_select(triples, spec)
+
+
+def _eval_select(triples: DataFrame, spec: dict) -> DataFrame:
+    """Evaluate a parsed SELECT spec; recursive for subqueries."""
     pats, kw = spec["group"].bgp_kwargs()
     binds = spec["group"].binds
-    if binds:
-        # BIND extends the solution AFTER the joins (parser enforces no
-        # pattern consumes a bound var); the group FILTER moves after the
-        # binds so it may reference them
+    subqueries = spec["group"].subqueries
+    if binds or subqueries:
+        # subqueries JOIN the group's solution on their shared variables
+        # (§18.2.2.7 then Join); BIND extends the solution AFTER the
+        # joins (parser enforces no pattern consumes a bound var); the
+        # group FILTER moves last so it may reference both
         fe = kw.pop("filter_expr", None)
         sol = match_bgp(triples, pats, distinct=False, **kw)
+        for sub_spec in subqueries:
+            sub = _eval_select(triples, sub_spec)
+            shared = sorted(set(sub.columns) & set(sol.columns))
+            if not shared:
+                raise SparqlError(
+                    f"sparql: subquery projects {sub.columns}, sharing no "
+                    "variable with the outer group (unbounded product)")
+            sol = sol.join(sub, on=shared)
         for v, sql in binds:
             sol = sol.withColumn(v, F.expr(sql))
         if fe:

@@ -434,3 +434,32 @@ def test_values_rows_parse_and_end_to_end(triples):
         match_bgp(triples, [("?c", RDF_TYPE, CLS)],
                   optional=[[("?c", LABEL, "?l")]],
                   values_rows=(["l"], [("alpha",)])).collect()
+
+
+def test_subquery_end_to_end(triples):
+    # per-superclass subclass count via an aggregate subquery, joined
+    # back onto the label patterns of the outer group
+    out = sparql_query(triples, PFX + """
+      SELECT ?sup ?l ?n WHERE {
+        ?sup rdfs:label ?l .
+        { SELECT ?sup (COUNT(*) AS ?n) WHERE {
+            ?sub rdfs:subClassOf ?sup } GROUP BY ?sup }
+      } ORDER BY ?sup""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", "alpha", 1), ("ex:B", "beta", 1)]
+    # inner modifiers: LIMITed subquery restricts the outer join
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE {
+        ?c rdfs:label ?l .
+        { SELECT ?c WHERE { ?c a owl:Class } ORDER BY ?c LIMIT 1 }
+      }""")
+    assert [tuple(r) for r in out2.collect()] == [("ex:A", "alpha")]
+    # guards: no shared variable -> product refused; SELECT-only forms
+    with pytest.raises(SparqlError, match="sharing no variable"):
+        sparql_query(triples, PFX + """
+          SELECT * WHERE {
+            ?c a owl:Class .
+            { SELECT ?z WHERE { ?z rdfs:label ?w } }
+          }""").collect()
+    with pytest.raises(SparqlError, match="SELECT only"):
+        parse(PFX + "ASK { { SELECT ?c WHERE { ?c a owl:Class } } }")
