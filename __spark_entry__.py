@@ -876,6 +876,81 @@ def _oracle_sparql_seq_bind() -> str:
     """
 
 
+_SPARQL_TEXT_STAR = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?x ?y WHERE { ?x rdfs:subClassOf* ?y } ORDER BY ?x ?y
+"""
+
+
+def q_sparql_path_star(spark, sf_dir):
+    """SPARQL 1.1 zero-or-more path (§18.4 ALP semantics): subClassOf*
+    over the ~25-deep chain with BOTH endpoints variables — the + closure
+    PLUS identity over every graph term, the spec-mandated full-term case
+    (operators/bgp.py `_zero_len_pairs`; constant endpoints take the
+    one-reflexive-pair fast path instead). Oracle: recursive CTE ∪ the
+    term set."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(
+        extract_triples(_nation_chain_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_STAR)
+
+
+_ORACLE_SPARQL_STAR = """
+WITH RECURSIVE edges AS (
+  SELECT 'http://example.org/N'||n_nationkey AS src,
+         CASE WHEN n_nationkey = 0 THEN 'http://example.org/Root'
+              ELSE 'http://example.org/N'||(n_nationkey - 1) END AS dst
+  FROM nation
+), closure AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+), terms AS (
+  SELECT src AS t FROM edges UNION SELECT dst FROM edges
+)
+SELECT x, y FROM (
+  SELECT t AS x, t AS y FROM terms
+  UNION
+  SELECT src AS x, dst AS y FROM closure
+) ORDER BY x, y
+"""
+
+
+_SPARQL_TEXT_SUBQ = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT DISTINCT ?r ?n WHERE {
+  ?r a owl:Class .
+  { SELECT ?r (COUNT(*) AS ?n) WHERE {
+      ?p rdfs:range ?r . ?p a owl:ObjectProperty } GROUP BY ?r }
+} ORDER BY ?r
+"""
+
+
+def q_sparql_text_subquery(spark, sf_dir):
+    """SPARQL subquery { SELECT ... } (§18.2.2.7): an aggregate inner
+    SELECT (nations per region, via the inRegion object-property ranges)
+    evaluated independently, then joined onto the outer group's
+    ?r-a-owl:Class solutions on the shared variable. DISTINCT because a
+    region class is re-asserted by every nation doc in that region."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_SUBQ)
+
+
+_ORACLE_SPARQL_SUBQ = """
+SELECT 'http://example.org/R'||n_regionkey AS r,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation GROUP BY n_regionkey ORDER BY r
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3183,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_entailment": q_owl_entailment,
         "shacl_pairs": q_shacl_pairs,
         "sparql_text_seq_bind": q_sparql_text_seq_bind,
+        "sparql_path_star": q_sparql_path_star,
+        "sparql_text_subquery": q_sparql_text_subquery,
     }
 
 
@@ -3263,4 +3340,6 @@ def oracle_sql() -> dict[str, str]:
         "owl_entailment": _oracle_owl_entailment(),
         "shacl_pairs": _oracle_shacl_pairs(),
         "sparql_text_seq_bind": _oracle_sparql_seq_bind(),
+        "sparql_path_star": _ORACLE_SPARQL_STAR,
+        "sparql_text_subquery": _ORACLE_SPARQL_SUBQ,
     }

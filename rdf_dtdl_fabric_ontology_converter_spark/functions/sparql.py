@@ -35,7 +35,9 @@ with the unsupported construct named — never a silent wrong answer):
 Triple patterns support prefixed names, ``<iri>``, ``a`` (rdf:type),
 ``?var``/``$var``, plain/numeric literals, object lists (``,``),
 predicate-object lists (``;``), the path operators the BGP layer
-evaluates (``^iri``, ``alt|alt``, trailing ``+``), and SequencePath
+evaluates (``^iri``, ``alt|alt``, trailing ``+``/``*``/``?`` — the
+last two with §18.4 ALP zero-length semantics, constant endpoints
+seeding their own reflexive pair), and SequencePath
 ``p1/p2/...`` — desugared here to fresh-variable chains (the §18.2.2.4
 translation; intermediates are dropped from SELECT solutions without
 collapsing the multiset). Mixing ``|`` with ``/`` in one path raises
@@ -50,10 +52,10 @@ groups; the bound variable extends solutions AFTER the group's joins
 Subqueries ``{ SELECT ... }`` are supported in SELECT groups: the
 inner SELECT is evaluated independently (its own aggregates/modifiers)
 and joined onto the outer solution on its projected shared variables
-(§18.2.2.7 then Join). Blank-node syntax, ``*``/``?`` paths, property
-functions, and datatyped/lang literals raise ``SparqlError`` (the
-engine stores lexical forms; a datatype match would silently compare
-the wrong thing).
+(§18.2.2.7 then Join). Blank-node syntax, property functions, and
+datatyped/lang literals raise ``SparqlError`` (the engine stores
+lexical forms; a datatype match would silently compare the wrong
+thing).
 
 UNION branches: the operator layer models UNION as alternate groups
 against the required group, so ``C . {A} UNION {B}`` distributes the
@@ -247,25 +249,21 @@ class _Parser:
     def predicate(self) -> str:
         """Predicate position: IRI/pname/a with the BGP path operators."""
         p = self.term(as_predicate=True)
-        while self.peek() in ("|", "+"):
+        while self.peek() in ("|", "+", "*", "?"):
             if p.startswith("?"):
                 raise SparqlError("sparql: path operator on a variable "
                                   "predicate")
             op = self.next()
-            if op == "+":
-                p += "+"
-                if self.peek() in ("|", "+"):
-                    raise SparqlError("sparql: only a single trailing + "
-                                      "is supported (closes the whole "
-                                      "alternation, see operators/bgp.py)")
+            if op in ("+", "*", "?"):
+                p += op
+                if self.peek() in ("|", "+", "*", "?"):
+                    raise SparqlError(
+                        f"sparql: only a single trailing {op} is "
+                        "supported (closes the whole alternation, see "
+                        "operators/bgp.py)")
                 return p
             nxt = self.term(as_predicate=True)
             p += "|" + nxt
-        if self.peek() in ("*", "?") and not p.startswith("?"):
-            raise SparqlError(
-                f"sparql: path operator {self.peek()!r} is deliberately "
-                "not offered (identity over every graph term — see "
-                "operators/bgp.py)")
         return p
 
     # -- groups ----------------------------------------------------------------

@@ -42,10 +42,17 @@ Semantics (SPARQL 1.1 §18.3, BGP evaluation):
   SequencePath ``a/b`` is not offered as syntax (``/`` is ubiquitous in
   IRIs): write the desugared form — two patterns sharing a fresh
   variable — which is the §18.3 translation anyway. Zero-or-more
-  (``*``) and zero-or-one (``?``) are deliberately not offered: their
-  solution sets include identity over every graph term (SPARQL 1.1
-  §9.1), which is never what a KG-construction pipeline wants and
-  would force a full-term scan.
+  (``*``) and zero-or-one (``?``) follow SPARQL 1.1 §18.4's ALP
+  endpoint semantics: with a CONSTANT subject or object X the
+  zero-length contribution is the single pair (X, X) — added even when
+  X never occurs in the graph, exactly as ALP seeds its visited set —
+  so ``X subClassOf* ?y`` costs one closure plus one literal row. Only
+  when BOTH endpoints are variables does the zero-length part become
+  identity over every term of the active graph (one distinct over
+  subj ∪ obj — spec-mandated, documented cost; prefer a bound
+  endpoint at scale). Path results for ``+``/``*``/``?`` are sets
+  (ALP/§18.4 definitions), so the compiled edge frame is distinct even
+  under ``distinct=False``; plain alternation stays a multiset union.
 
 Scale notes (the part the reference never had to think about):
 
@@ -89,7 +96,7 @@ def _is_var(term: str) -> bool:
 def _is_path_expr(p: str) -> bool:
     return (not _is_var(p) and
             (p.startswith("^") or "|" in p or
-             (p.endswith("+") and len(p) > 1)))
+             (p[-1:] in "+*?" and len(p) > 1)))
 
 
 def _selectivity(pat: Pattern) -> tuple[int, int, int, int]:
@@ -103,30 +110,42 @@ def _selectivity(pat: Pattern) -> tuple[int, int, int, int]:
             int(not _is_var(s)))
 
 
-def _path_edges(triples: DataFrame, pexpr: str) -> DataFrame | None:
+def _path_edges(triples: DataFrame,
+                pexpr: str) -> tuple[DataFrame | None, bool]:
     """Compile a predicate-position path expression to its edge frame.
 
-    Returns a ``(subj, obj)`` DataFrame for ``^iri`` / ``a|b|...`` /
-    trailing-``+`` expressions (see module docstring for the grammar and
-    the one precedence divergence), or None when ``pexpr`` is a plain
-    predicate constant (the caller keeps the cheaper filter path).
-    Each branch is a pushed-down predicate filter; inverse branches swap
-    the endpoint columns; alternation unions the branch edge sets; a
-    trailing ``+`` closes the union transitively.
+    Returns ``(edges, zero_len)``: a ``(subj, obj)`` DataFrame for
+    ``^iri`` / ``a|b|...`` / trailing-``+``/``*``/``?`` expressions (see
+    module docstring for the grammar and the one precedence divergence),
+    or ``(None, False)`` when ``pexpr`` is a plain predicate constant
+    (the caller keeps the cheaper filter path). ``zero_len`` is True for
+    ``*``/``?`` — the CALLER adds the zero-length pairs, because their
+    domain depends on which endpoints are constants (§18.4 ALP: constant
+    endpoint → that one reflexive pair; both variables → identity over
+    the active graph's terms). Each branch is a pushed-down predicate
+    filter; inverse branches swap the endpoint columns; alternation
+    unions the branch edge sets; ``+``/``*`` close the union
+    transitively (path-doubling, O(log depth) rounds). ``+``/``*``/``?``
+    results are distinct (ALP yields sets); plain alternation keeps
+    multiset semantics. A raw IRI legitimately ENDING in ``+``/``*``/
+    ``?`` would be misread as a path — the same documented trade the
+    trailing-``+`` grammar already makes (RFC 3987 allows those chars;
+    they are vanishingly rare finals and the engine's IRIs come from
+    expanded CURIEs).
     """
-    closure = pexpr.endswith("+") and len(pexpr) > 1
-    core = pexpr[:-1] if closure else pexpr
+    op = pexpr[-1] if pexpr[-1:] in "+*?" and len(pexpr) > 1 else ""
+    core = pexpr[:-1] if op else pexpr
     alts = core.split("|")
-    if not closure and len(alts) == 1 and not alts[0].startswith("^"):
-        return None
+    if not op and len(alts) == 1 and not alts[0].startswith("^"):
+        return None, False
     branches = []
     for atom in alts:
         inv = atom.startswith("^")
         iri = atom[1:] if inv else atom
-        if not iri or _is_var(iri) or iri.endswith("+") or "^" in iri:
+        if not iri or _is_var(iri) or iri[-1:] in "+*?" or "^" in iri:
             raise ValueError(
                 f"match_bgp: bad path atom {atom!r} in predicate "
-                f"expression {pexpr!r} (grammar: [^]iri(|[^]iri)*[+])")
+                f"expression {pexpr!r} (grammar: [^]iri(|[^]iri)*[+*?])")
         e = triples.where(F.col("pred") == iri)
         src, dst = ("obj", "subj") if inv else ("subj", "obj")
         branches.append(e.select(F.col(src).alias("subj"),
@@ -134,14 +153,37 @@ def _path_edges(triples: DataFrame, pexpr: str) -> DataFrame | None:
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.unionByName(b)
-    if closure:
+    if op in ("+", "*"):
         from .classes import transitive_closure
         edges = transitive_closure(
             edges.select(F.col("subj").alias("child"),
                          F.col("obj").alias("parent")))
         edges = edges.select(F.col("src").alias("subj"),
                              F.col("dst").alias("obj"))
-    return edges
+    elif op == "?":
+        edges = edges.dropDuplicates()
+    return edges, op in ("*", "?")
+
+
+def _zero_len_pairs(base: DataFrame, s: str, o: str) -> DataFrame:
+    """Zero-length path solutions for ``*``/``?`` (SPARQL 1.1 §18.4).
+
+    Constant endpoint X → the single pair (X, X), seeded even when X
+    never occurs in the graph (ALP starts with X visited). Both
+    endpoints variables → identity over every term of the active graph
+    (distinct subj ∪ obj, literals included — a literal is a graph term
+    and reaches itself by the empty path). The constant fast path keeps
+    ``X p* ?y`` at closure-cost only; the both-variable form is the one
+    spec-mandated full-term distinct, documented in the module header.
+    """
+    for t in (s, o):
+        if not _is_var(t):
+            spark = base.sparkSession
+            return spark.createDataFrame([(t, t)], "subj string, obj string")
+    terms = (base.select(F.col("subj").alias("subj"))
+             .unionByName(base.select(F.col("obj").alias("subj")))
+             .dropDuplicates())
+    return terms.select("subj", F.col("subj").alias("obj"))
 
 
 def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str]]:
@@ -176,8 +218,14 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
     df = base.select(*cols)
     terms = [s, p, o] + ([g] if g is not None else [])
     if not _is_var(p):
-        path = _path_edges(base, p)
+        path, zero_len = _path_edges(base, p)
         if path is not None:
+            if zero_len:
+                # set-union with the zero-length pairs; the path side of
+                # */? is already distinct, and a self-loop (t p t) must
+                # not double-count against the identity pair (t, t)
+                path = (path.unionByName(_zero_len_pairs(base, s, o))
+                        .dropDuplicates())
             df = path.select("subj", F.lit(p).alias("pred"), "obj")
             terms[1] = "?__path_pred__"  # predicate consumed by the path
     # constant filters first (these reach the scan)

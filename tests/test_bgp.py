@@ -69,6 +69,34 @@ def test_property_path_one_or_more(triples):
     assert pairs.count() == 3 + 2 + 1  # full chain closure
 
 
+def test_property_path_zero_or_more(triples):
+    # constant subject: zero-length pair (D, D) + the chain closure
+    out = match_bgp(triples, [("ex:D", SUB + "*", "?y")])
+    assert {r.y for r in out.collect()} == {"ex:D", "ex:C", "ex:B", "ex:A"}
+    # ALP seeds the constant endpoint even when it never occurs in the
+    # graph (SPARQL 1.1 §18.4: X is visited before any step is taken)
+    out2 = match_bgp(triples, [("ex:nowhere", SUB + "*", "?y")])
+    assert [r.y for r in out2.collect()] == ["ex:nowhere"]
+    # both endpoints variables: identity over every graph term + closure
+    pairs = match_bgp(triples, [("?x", SUB + "*", "?y")])
+    n_terms = 9   # distinct subj ∪ obj of the fixture
+    n_closure = 3 + 2 + 1
+    assert pairs.count() == n_terms + n_closure
+
+
+def test_property_path_zero_or_one(triples):
+    # zero-or-one into a constant object: the reflexive pair must not
+    # double-count against the self-loop edge (ex:self loves ex:self)
+    out = match_bgp(triples, [("?x", "ex:loves?", "ex:self")],
+                    distinct=False)
+    assert sorted(r.x for r in out.collect()) == ["ex:self", "ex:x"]
+    # composes with plain patterns: optional one-hop then a label
+    out2 = match_bgp(triples, [("ex:B", SUB + "?", "?c"),
+                               ("?c", LABEL, "?l")])
+    assert {(r.c, r.l) for r in out2.collect()} == {
+        ("ex:B", "beta"), ("ex:A", "alpha")}
+
+
 def test_path_composes_with_plain_patterns(triples):
     # ancestors of D that are typed classes (D itself is untyped)
     out = match_bgp(triples, [

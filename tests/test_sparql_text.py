@@ -145,7 +145,7 @@ def test_parse_errors_are_named():
     cases = [
         ("SELECT * WHERE { ?s ?p [ ex:q 1 ] }", "blank-node"),
         ('SELECT * WHERE { ?s ?p "x"^^<dt> }', "datatyped"),
-        ("SELECT * WHERE { ?s <p>* ?o }", "deliberately"),
+        ("SELECT * WHERE { ?s <p>*? ?o }", "single trailing"),
         ("SELECT ?x WHERE { ?s ?p ?o } GROUP BY", "GROUP BY"),
         ("PREFIX ex: <ex:> SELECT * WHERE { ?s zz:p ?o }", "undeclared"),
         ("CONSTRUCT { ?s <p>+ ?o } WHERE { ?s ?p ?o }", "path"),
@@ -463,3 +463,21 @@ def test_subquery_end_to_end(triples):
           }""").collect()
     with pytest.raises(SparqlError, match="SELECT only"):
         parse(PFX + "ASK { { SELECT ?c WHERE { ?c a owl:Class } } }")
+
+
+def test_star_and_opt_paths_end_to_end(triples):
+    # rdfs:subClassOf* from a constant: C itself plus all ancestors
+    out = sparql_query(triples, PFX + """
+      SELECT ?y WHERE { ex:C rdfs:subClassOf* ?y } ORDER BY ?y""")
+    assert [r.y for r in out.collect()] == ["ex:A", "ex:B", "ex:C"]
+    # zero-or-one composes with a second pattern; alternation closes too
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE { ex:B rdfs:subClassOf? ?c . ?c rdfs:label ?l }
+      ORDER BY ?c""")
+    assert [tuple(r) for r in out2.collect()] == [
+        ("ex:A", "alpha"), ("ex:B", "beta")]
+    # parse guard: one trailing operator only
+    with pytest.raises(SparqlError, match="single trailing"):
+        parse(PFX + "SELECT * WHERE { ?x rdfs:subClassOf*+ ?y }")
+    spec = parse(PFX + "SELECT * WHERE { ?x ^ex:a|ex:b* ?y }")
+    assert spec["group"].patterns == [("?x", "^ex:a|ex:b*", "?y")]
