@@ -951,6 +951,61 @@ FROM nation GROUP BY n_regionkey ORDER BY r
 """
 
 
+def _nation_typed_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation turtle with typed + language-tagged literals: a bare
+    integer object (turtle grammar types it xsd:integer), an @EN-tagged
+    note (uppercase tag — BCP 47 compares case-insensitively) and a
+    plain-literal decoy with the same lexical form."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:N"), F.col("n_nationkey"),
+        F.lit(" ex:pop "), F.col("n_nationkey") % 7,
+        F.lit(' ;\n    rdfs:comment "ok"@EN , "ok" .\n'),
+    )
+    return nation.select(
+        F.concat(F.lit("typed_"), F.col("n_nationkey")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"),
+    )
+
+
+_SPARQL_TEXT_TYPED = """
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX ex: <http://example.org/>
+SELECT ?s WHERE {
+  ?s ex:pop "3"^^xsd:integer .
+  ?s rdfs:comment "ok"@en .
+} ORDER BY ?s
+"""
+
+
+def q_sparql_typed_literals(spark, sf_dir):
+    """SPARQL term-equality matching of typed and language-tagged
+    literals against the store's (obj, obj_datatype, lang) columns:
+    turtle's bare-integer objects carry xsd:integer, so the
+    "3"^^xsd:integer pattern matches them; "ok"@en matches the @EN rows
+    case-insensitively and must NOT match the plain-literal "ok" decoy
+    (operators/bgp.py `_typed_literal_cond`)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(
+        extract_triples(_nation_typed_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_TYPED)
+
+
+_ORACLE_SPARQL_TYPED = """
+SELECT 'http://example.org/N'||n_nationkey AS s
+FROM nation WHERE n_nationkey % 7 = 3 ORDER BY s
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3260,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_seq_bind": q_sparql_text_seq_bind,
         "sparql_path_star": q_sparql_path_star,
         "sparql_text_subquery": q_sparql_text_subquery,
+        "sparql_typed_literals": q_sparql_typed_literals,
     }
 
 
@@ -3342,4 +3398,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_seq_bind": _oracle_sparql_seq_bind(),
         "sparql_path_star": _ORACLE_SPARQL_STAR,
         "sparql_text_subquery": _ORACLE_SPARQL_SUBQ,
+        "sparql_typed_literals": _ORACLE_SPARQL_TYPED,
     }

@@ -229,10 +229,26 @@ class _Parser:
             return RDF_TYPE
         if t[0] in "\"'":
             lit = _unquote(t)
-            if self.peek() == "^^" or (self.peek() or "").startswith("@"):
-                raise SparqlError(
-                    "sparql: datatyped/lang-tagged literals are not "
-                    "supported (the store compares lexical forms)")
+            if self.peek() == "^^":
+                self.next()
+                d = self.next()
+                if d.startswith("<") and d.endswith(">"):
+                    dt = d[1:-1]
+                elif ":" in d:
+                    dt = self._expand(d)
+                else:
+                    raise SparqlError(f"sparql: bad datatype {d!r}")
+                # typed-literal object term: matched against the store's
+                # (obj, obj_datatype) pair — SPARQL BGP term equality, not
+                # value equality (FILTER = does values)
+                return ("lit", lit, dt, None)
+            if self.peek() == "@":
+                self.next()
+                tag = self.next()
+                while self.peek() == "-":   # en-US and friends
+                    self.next()
+                    tag += "-" + self.next()
+                return ("lit", lit, None, tag)
             return lit
         if re.fullmatch(r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
             return t
@@ -249,6 +265,8 @@ class _Parser:
     def predicate(self) -> str:
         """Predicate position: IRI/pname/a with the BGP path operators."""
         p = self.term(as_predicate=True)
+        if isinstance(p, tuple):
+            raise SparqlError("sparql: literal in predicate position")
         while self.peek() in ("|", "+", "*", "?"):
             if p.startswith("?"):
                 raise SparqlError("sparql: path operator on a variable "
@@ -318,6 +336,8 @@ class _Parser:
             if self.at_kw("GRAPH"):
                 self.next()
                 gterm = self.term()
+                if isinstance(gterm, tuple):
+                    raise SparqlError("sparql: literal as GRAPH term")
                 sub = self.group(gterm)
                 self._merge(g, sub)
                 continue
@@ -333,7 +353,13 @@ class _Parser:
                 self.eat("{")
                 vals = []
                 while self.peek() != "}":
-                    vals.append(self.term())
+                    v = self.term()
+                    if isinstance(v, tuple):
+                        raise SparqlError(
+                            "sparql: typed/lang-tagged literals in VALUES "
+                            "are not supported (VALUES filters the bound "
+                            "lexical form)")
+                    vals.append(v)
                 self.next()
                 g.values[var[1:]] = vals
                 continue
@@ -400,6 +426,8 @@ class _Parser:
 
     def _triples(self, g: _Group, graph_term: str | None) -> None:
         s = self.term()
+        if isinstance(s, tuple):
+            raise SparqlError("sparql: literal in subject position")
         while True:
             segs = [self.predicate()]
             while self.peek() == "/":
@@ -468,7 +496,13 @@ class _Parser:
                     self.next()
                     row.append(None)
                 else:
-                    row.append(self.term())
+                    v = self.term()
+                    if isinstance(v, tuple):
+                        raise SparqlError(
+                            "sparql: typed/lang-tagged literals in VALUES "
+                            "are not supported (VALUES filters the bound "
+                            "lexical form)")
+                    row.append(v)
             self.next()
             if len(row) != len(vrs):
                 raise SparqlError(
@@ -648,6 +682,9 @@ def parse(text: str) -> dict:
         nodes, var = [], None
         while p.peek() is not None and not p.at_kw("WHERE") and p.peek() != "{":
             term = p.term()
+            if isinstance(term, tuple):
+                raise SparqlError("sparql: DESCRIBE takes IRIs or a "
+                                  "variable, not literals")
             if term.startswith("?"):
                 var = term
             else:
@@ -681,10 +718,14 @@ def parse(text: str) -> dict:
                 raise SparqlError("sparql: CONSTRUCT template takes no "
                                   "GRAPH terms")
             s, pr, o = pat
-            if pr.startswith("^") or "|" in pr or (pr.endswith("+")
+            if pr.startswith("^") or "|" in pr or (pr[-1:] in "+*?"
                                                    and len(pr) > 1):
                 raise SparqlError("sparql: CONSTRUCT template takes no "
                                   "path expressions")
+            if isinstance(o, tuple):
+                raise SparqlError("sparql: CONSTRUCT template takes no "
+                                  "typed/lang-tagged literals (the emitted "
+                                  "frame carries lexical forms)")
             template.append(pat)
         if not template:
             raise SparqlError("sparql: empty CONSTRUCT template")

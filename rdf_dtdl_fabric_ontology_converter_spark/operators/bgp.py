@@ -84,13 +84,45 @@ from pyspark.sql import functions as F
 # ``graph_ctx`` column the quad formats populate (TriG blocks, N-Quads
 # 4th terms — functions/turtle.py:426-434; reference keeps the same
 # context on its ConjunctiveGraph, rdf_parser.py:362-371).
+# The OBJECT term may also be a typed/lang-tagged literal tuple
+# ``("lit", lexical, datatype_iri_or_None, lang_or_None)`` — matched as
+# SPARQL TERM equality against (obj, obj_datatype, lang): exact datatype,
+# case-insensitive language tag (BCP 47), and RDF 1.1's simple-literal ≡
+# xsd:string identification. Term equality, not value equality —
+# "05"^^xsd:integer does not match "5"^^xsd:integer here; FILTER ``=``
+# is where value semantics live.
 Pattern = tuple[str, str, str] | tuple[str, str, str, str]
 
 _POS_COLS = ("subj", "pred", "obj")
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _typed_literal_cond(base: DataFrame, term: tuple):
+    """Filter condition for a ``("lit", lex, dt, lang)`` object term."""
+    _, lex, dt, lang = term
+    missing = [c for c in ("obj_datatype", "lang") if c not in base.columns]
+    if missing:
+        raise ValueError(
+            "match_bgp: a typed/lang-tagged literal pattern needs columns "
+            f"{missing} on the triples frame")
+    cond = F.col("obj") == F.lit(lex)
+    if "obj_kind" in base.columns:
+        cond = cond & (F.col("obj_kind") == F.lit("literal"))
+    if lang is not None:
+        # BCP 47 tags compare case-insensitively (RDF 1.1 §3.3)
+        cond = cond & (F.lower(F.col("lang")) == F.lit(lang.lower()))
+    elif dt == _XSD_STRING:
+        # RDF 1.1: a simple literal IS an xsd:string — match both spellings
+        cond = cond & F.col("lang").isNull() & (
+            F.col("obj_datatype").isNull() |
+            (F.col("obj_datatype") == F.lit(dt)))
+    else:
+        cond = cond & (F.col("obj_datatype") == F.lit(dt))
+    return cond
 
 
 def _is_path_expr(p: str) -> bool:
@@ -203,7 +235,21 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
         s, p, o, g = pat
     else:
         (s, p, o), g = pat, None
+    for t, pos in ((s, "subject"), (p, "predicate"), (g, "graph")):
+        if isinstance(t, tuple):
+            raise ValueError(f"match_bgp: literal tuple in {pos} position "
+                             f"of pattern {pat}")
     base = triples
+    if isinstance(o, tuple):
+        if not _is_var(p) and _is_path_expr(p):
+            raise ValueError(
+                f"match_bgp: pattern {pat} combines a path expression "
+                "with a typed-literal object (a closure endpoint has no "
+                "datatype column); match the final hop as its own pattern")
+        # consumed as a pushed-down (obj, obj_datatype, lang) filter;
+        # the lexical form remains as the ordinary object constant
+        base = base.where(_typed_literal_cond(base, o))
+        o = o[1]
     if g is not None and not _is_var(g):
         base = base.where(F.col("graph_ctx") == F.lit(g))
         g = None  # consumed as a pushed-down filter

@@ -144,7 +144,9 @@ def test_parse_aggregates():
 def test_parse_errors_are_named():
     cases = [
         ("SELECT * WHERE { ?s ?p [ ex:q 1 ] }", "blank-node"),
-        ('SELECT * WHERE { ?s ?p "x"^^<dt> }', "datatyped"),
+        ('SELECT * WHERE { "x"@en ?p ?o }', "subject position"),
+        ('SELECT * WHERE { ?s "x"@en ?o }', "predicate position"),
+        ('SELECT * WHERE { ?s ?p ?o . VALUES ?o { "x"@en } }', "VALUES"),
         ("SELECT * WHERE { ?s <p>*? ?o }", "single trailing"),
         ("SELECT ?x WHERE { ?s ?p ?o } GROUP BY", "GROUP BY"),
         ("PREFIX ex: <ex:> SELECT * WHERE { ?s zz:p ?o }", "undeclared"),
@@ -481,3 +483,53 @@ def test_star_and_opt_paths_end_to_end(triples):
         parse(PFX + "SELECT * WHERE { ?x rdfs:subClassOf*+ ?y }")
     spec = parse(PFX + "SELECT * WHERE { ?x ^ex:a|ex:b* ?y }")
     assert spec["group"].patterns == [("?x", "^ex:a|ex:b*", "?y")]
+
+
+@pytest.fixture(scope="module")
+def typed_triples(spark):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        ("ex:a", "ex:age", "5", "literal", XSD_INT, None, None),
+        ("ex:b", "ex:age", "5", "literal", None, None, None),  # simple
+        ("ex:c", "ex:age", "05", "literal", XSD_INT, None, None),
+        ("ex:d", "ex:name", "chat", "literal", None, "en", None),
+        ("ex:e", "ex:name", "chat", "literal", None, "FR", None),
+        ("ex:f", "ex:name", "chat", "literal", None, None, None),
+        ("ex:g", "ex:name", "chat", "literal", XSD_STR, None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, lang string, graph_ctx string")
+
+
+def test_typed_and_lang_literal_matching(typed_triples):
+    q = 'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
+    # term equality: exact datatype, exact lexical form ("05" != "5")
+    out = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p "5"^^xsd:integer }""")
+    assert [r.s for r in out.collect()] == ["ex:a"]
+    # language tags compare case-insensitively (RDF 1.1 / BCP 47)
+    out2 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p "chat"@fr }""")
+    assert [r.s for r in out2.collect()] == ["ex:e"]
+    # RDF 1.1: simple literal ≡ xsd:string (both spellings, no lang rows)
+    out3 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p "chat"^^xsd:string } ORDER BY ?s""")
+    assert [r.s for r in out3.collect()] == ["ex:f", "ex:g"]
+    # plain "5" stays lexical-form matching (documented back-compat)
+    out4 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p "5" } ORDER BY ?s""")
+    assert [r.s for r in out4.collect()] == ["ex:a", "ex:b"]
+
+
+def test_typed_literal_needs_store_columns(triples, spark):
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.bgp import match_bgp
+    bare = spark.createDataFrame(
+        [("ex:a", "ex:p", "5")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError, match="obj_datatype"):
+        match_bgp(bare, [("?s", "ex:p",
+                          ("lit", "5", "http://x/int", None))]).collect()
+    with pytest.raises(ValueError, match="path expression"):
+        match_bgp(triples, [("?s", "ex:p+",
+                             ("lit", "5", "http://x/int", None))])
