@@ -52,10 +52,16 @@ groups; the bound variable extends solutions AFTER the group's joins
 Subqueries ``{ SELECT ... }`` are supported in SELECT groups: the
 inner SELECT is evaluated independently (its own aggregates/modifiers)
 and joined onto the outer solution on its projected shared variables
-(§18.2.2.7 then Join). Blank-node syntax, property functions, and
-datatyped/lang literals raise ``SparqlError`` (the engine stores
-lexical forms; a datatype match would silently compare the wrong
-thing).
+(§18.2.2.7 then Join). Typed/lang-tagged literals (``"x"^^xsd:int``,
+``"x"@en``) are matched as SPARQL TERM equality against the store's
+(obj, obj_datatype, lang) columns — exact datatype, case-insensitive
+language tag, RDF 1.1 simple-literal ≡ xsd:string — in object
+position only (see ``operators/bgp._typed_literal_cond``). Blank
+nodes (``_:label``, ``[]``, ``[ p o ; ... ]``) desugar to hidden
+non-projectable variables per §4.1.4, the property-list form emitting
+its patterns into the enclosing block (one documented divergence:
+``_:label`` scopes query-wide, not per-group). Property functions
+raise ``SparqlError``.
 
 UNION branches: the operator layer models UNION as alternate groups
 against the required group, so ``C . {A} UNION {B}`` distributes the
@@ -186,6 +192,17 @@ class _Parser:
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self._seq_n = 0  # fresh-variable counter for SequencePath desugar
+        # blank nodes desugar to hidden variables (SPARQL §4.1.4: a query
+        # bnode is a non-projectable variable): _:label → one stable
+        # hidden var query-wide (divergence: the spec scopes labels per
+        # group and forbids reuse across groups; we share, which only
+        # ever CONNECTS patterns the spec would reject), [] / [ p o ]
+        # → a fresh hidden var per occurrence
+        self._bn_labels: dict[str, str] = {}
+        self._bn_anon = 0
+        # (group, graph_term) while inside a triples block — the context
+        # a [ p o ] property list emits its patterns into
+        self._cur: tuple | None = None
 
     # -- token plumbing ----------------------------------------------------
     def peek(self, k: int = 0) -> str | None:
@@ -256,11 +273,52 @@ class _Parser:
             if as_predicate:
                 return "^" + self.term(as_predicate=True)
             raise SparqlError("sparql: ^ outside predicate position")
+        if t.startswith("_:"):
+            v = self._bn_labels.get(t)
+            if v is None:
+                v = f"?{SEQ_VAR_PREFIX}bn{len(self._bn_labels)}"
+                self._bn_labels[t] = v
+            return v
         if ":" in t:
             return self._expand(t)
         if t == "[":
-            raise SparqlError("sparql: blank-node syntax is not supported")
+            return self._bnode_prop_list()
         raise SparqlError(f"sparql: unexpected term {t!r}")
+
+    def _bnode_prop_list(self) -> str:
+        """``[]`` / ``[ p1 o1 ; p2 o2 ]`` → fresh hidden variable; the
+        inner predicate-object list emits patterns into the enclosing
+        triples block (SPARQL §4.1.4 — a query blank node is just a
+        variable that cannot be projected)."""
+        if self._cur is None:
+            raise SparqlError(
+                "sparql: a blank-node property list is only supported "
+                "inside triple patterns")
+        g, graph_term = self._cur
+        v = f"?{SEQ_VAR_PREFIX}bna{self._bn_anon}"
+        self._bn_anon += 1
+        if self.peek() == "]":
+            self.next()
+            return v
+        while True:
+            pred = self.predicate()
+            while True:
+                o = self.term()
+                g.patterns.append(
+                    (v, pred, o) if graph_term is None
+                    else (v, pred, o, graph_term))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() == "]":
+                    break
+                continue
+            break
+        self.eat("]")
+        return v
 
     def predicate(self) -> str:
         """Predicate position: IRI/pname/a with the BGP path operators."""
@@ -354,11 +412,11 @@ class _Parser:
                 vals = []
                 while self.peek() != "}":
                     v = self.term()
-                    if isinstance(v, tuple):
+                    if isinstance(v, tuple) or v.startswith("?"):
                         raise SparqlError(
-                            "sparql: typed/lang-tagged literals in VALUES "
-                            "are not supported (VALUES filters the bound "
-                            "lexical form)")
+                            "sparql: VALUES data must be plain constants "
+                            "(typed/lang-tagged literals and blank nodes "
+                            "are not supported)")
                     vals.append(v)
                 self.next()
                 g.values[var[1:]] = vals
@@ -425,6 +483,14 @@ class _Parser:
         g.subqueries.extend(sub.subqueries)
 
     def _triples(self, g: _Group, graph_term: str | None) -> None:
+        prev = self._cur
+        self._cur = (g, graph_term)
+        try:
+            self._triples_body(g, graph_term)
+        finally:
+            self._cur = prev
+
+    def _triples_body(self, g: _Group, graph_term: str | None) -> None:
         s = self.term()
         if isinstance(s, tuple):
             raise SparqlError("sparql: literal in subject position")
@@ -497,11 +563,11 @@ class _Parser:
                     row.append(None)
                 else:
                     v = self.term()
-                    if isinstance(v, tuple):
+                    if isinstance(v, tuple) or v.startswith("?"):
                         raise SparqlError(
-                            "sparql: typed/lang-tagged literals in VALUES "
-                            "are not supported (VALUES filters the bound "
-                            "lexical form)")
+                            "sparql: VALUES data must be plain constants "
+                            "(typed/lang-tagged literals and blank nodes "
+                            "are not supported)")
                     row.append(v)
             self.next()
             if len(row) != len(vrs):
@@ -685,6 +751,9 @@ def parse(text: str) -> dict:
             if isinstance(term, tuple):
                 raise SparqlError("sparql: DESCRIBE takes IRIs or a "
                                   "variable, not literals")
+            if term.startswith("?" + SEQ_VAR_PREFIX):
+                raise SparqlError("sparql: DESCRIBE takes IRIs or a "
+                                  "variable, not blank nodes")
             if term.startswith("?"):
                 var = term
             else:
@@ -726,6 +795,12 @@ def parse(text: str) -> dict:
                 raise SparqlError("sparql: CONSTRUCT template takes no "
                                   "typed/lang-tagged literals (the emitted "
                                   "frame carries lexical forms)")
+            if any(isinstance(x, str) and x.startswith("?" + SEQ_VAR_PREFIX)
+                   for x in pat):
+                raise SparqlError(
+                    "sparql: blank nodes in a CONSTRUCT template are not "
+                    "supported (the spec mints fresh bnodes per solution, "
+                    "which no oracle can reproduce); BIND an IRI instead")
             template.append(pat)
         if not template:
             raise SparqlError("sparql: empty CONSTRUCT template")

@@ -143,7 +143,9 @@ def test_parse_aggregates():
 
 def test_parse_errors_are_named():
     cases = [
-        ("SELECT * WHERE { ?s ?p [ ex:q 1 ] }", "blank-node"),
+        ("SELECT * WHERE { ?s ?p ?o . VALUES ?o { _:b } }", "constants"),
+        ("DESCRIBE _:b", "blank nodes"),
+        ("CONSTRUCT { ?s <p> [] } WHERE { ?s <p> ?o }", "blank nodes"),
         ('SELECT * WHERE { "x"@en ?p ?o }', "subject position"),
         ('SELECT * WHERE { ?s "x"@en ?o }', "predicate position"),
         ('SELECT * WHERE { ?s ?p ?o . VALUES ?o { "x"@en } }', "VALUES"),
@@ -533,3 +535,30 @@ def test_typed_literal_needs_store_columns(triples, spark):
     with pytest.raises(ValueError, match="path expression"):
         match_bgp(triples, [("?s", "ex:p+",
                              ("lit", "5", "http://x/int", None))])
+
+
+def test_blank_node_patterns(triples):
+    # [ p o ] in object position: hidden var + emitted inner pattern —
+    # ex:A ex:meta _:m . _:m ex:note "hi"
+    out = sparql_query(triples, PFX + """
+      SELECT ?s WHERE { ?s <ex:meta> [ <ex:note> "hi" ] }""")
+    assert [r.s for r in out.collect()] == ["ex:A"]
+    # labeled bnode: two patterns connected through _:x, never projected
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?s ?n WHERE { ?s <ex:meta> _:x . _:x <ex:note> ?n }""")
+    assert [tuple(r) for r in out2.collect()] == [("ex:A", "hi")]
+    # [] anonymous: plain existential
+    out3 = sparql_query(triples, PFX + """
+      SELECT ?s WHERE { ?s <ex:meta> [] }""")
+    assert [r.s for r in out3.collect()] == ["ex:A"]
+    # bnode property list as SUBJECT, with ; inside the brackets
+    out4 = sparql_query(triples, PFX + """
+      SELECT ?n WHERE { [ <ex:note> ?n ; <ex:note> "hi" ] <ex:note> ?n }""")
+    assert [r.n for r in out4.collect()] == ["hi"]
+    # hidden vars never surface in SELECT *
+    out5 = sparql_query(triples, PFX +
+                        "SELECT * WHERE { ?s <ex:meta> [ <ex:note> ?n ] }")
+    assert sorted(out5.columns) == ["n", "s"]
+    # a bracket outside a triples block is a named error
+    with pytest.raises(SparqlError, match="triple patterns"):
+        parse(PFX + "SELECT * WHERE { ?s ?p ?o . VALUES ?v { [] } }")
