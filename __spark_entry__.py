@@ -1006,6 +1006,41 @@ FROM nation WHERE n_nationkey % 7 = 3 ORDER BY s
 """
 
 
+_SPARQL_TEXT_ACCESSORS = """
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX ex: <http://example.org/>
+SELECT ?s ?tag WHERE {
+  ?s ex:pop ?v .
+  ?s rdfs:comment ?c .
+  FILTER (DATATYPE(?v) = xsd:integer && LANG(?c) = "EN")
+  BIND (LCASE(LANG(?c)) AS ?tag)
+} ORDER BY ?s
+"""
+
+
+def q_sparql_term_accessors(spark, sf_dir):
+    """SPARQL term accessors (§17.4): DATATYPE(?v) over turtle's
+    bare-integer objects, LANG(?c) selecting the @EN-tagged comment and
+    rejecting the same-lexical plain-literal decoy, and a BIND reusing
+    the accessor — all compiled to the hidden `v$lang`/`$dt`/`$kind`
+    columns the BGP layer projects for meta_vars
+    (operators/bgp.py `_pattern_frame`)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(
+        extract_triples(_nation_typed_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_ACCESSORS)
+
+
+_ORACLE_SPARQL_ACCESSORS = """
+SELECT 'http://example.org/N'||n_nationkey AS s, 'en' AS tag
+FROM nation ORDER BY s
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3316,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_star": q_sparql_path_star,
         "sparql_text_subquery": q_sparql_text_subquery,
         "sparql_typed_literals": q_sparql_typed_literals,
+        "sparql_term_accessors": q_sparql_term_accessors,
     }
 
 
@@ -3399,4 +3435,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_star": _ORACLE_SPARQL_STAR,
         "sparql_text_subquery": _ORACLE_SPARQL_SUBQ,
         "sparql_typed_literals": _ORACLE_SPARQL_TYPED,
+        "sparql_term_accessors": _ORACLE_SPARQL_ACCESSORS,
     }

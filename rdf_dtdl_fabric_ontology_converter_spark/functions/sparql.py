@@ -75,6 +75,8 @@ import re
 from dataclasses import dataclass, field
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 # Hidden-variable prefix for SequencePath desugaring (`a/b` → fresh
 # intermediate variables). operators/sparql.py drops these columns from
@@ -137,6 +139,11 @@ class _Group:
     # { SELECT ... } subqueries: parsed SELECT specs, evaluated
     # independently and joined on their shared variables (§18.2.2.7)
     subqueries: list[dict] = field(default_factory=list)
+    # variables whose FILTER/BIND expressions use a term accessor
+    # (LANG/DATATYPE/isIRI/isLiteral/isBlank): the BGP layer projects
+    # hidden `var$lang`/`var$dt`/`var$kind` columns from the pattern
+    # that binds the variable in object position
+    meta_vars: set[str] = field(default_factory=set)
 
     def bgp_kwargs(self) -> tuple[list[tuple], dict]:
         """(required patterns, match_bgp keyword dict) with the UNION
@@ -177,6 +184,8 @@ class _Group:
             kw["exists"] = self.exists
         if self.not_exists:
             kw["not_exists"] = self.not_exists
+        if self.meta_vars:
+            kw["meta_vars"] = set(self.meta_vars)
         if self.values:
             kw["values"] = self.values
         if self.values_rows is not None:
@@ -203,6 +212,9 @@ class _Parser:
         # (group, graph_term) while inside a triples block — the context
         # a [ p o ] property list emits its patterns into
         self._cur: tuple | None = None
+        # meta_vars set of the group whose FILTER/BIND is being parsed —
+        # term accessors (LANG/DATATYPE/is*) register their variable here
+        self._meta_sink: set | None = None
 
     # -- token plumbing ----------------------------------------------------
     def peek(self, k: int = 0) -> str | None:
@@ -427,7 +439,12 @@ class _Parser:
                 continue
             if self.at_kw("BIND"):
                 self.next()
-                sql = self._expr_parens(stop_at_as=True)
+                prev_sink = self._meta_sink
+                self._meta_sink = g.meta_vars
+                try:
+                    sql = self._expr_parens(stop_at_as=True)
+                finally:
+                    self._meta_sink = prev_sink
                 v = self.next()
                 if v[0] not in "?$":
                     raise SparqlError("sparql: BIND needs 'AS ?var'")
@@ -457,10 +474,11 @@ class _Parser:
                 "(bind in the outer group)")
         if (sub.optional or sub.union_branches or sub.minus or
                 sub.exists or sub.not_exists or sub.values or
-                sub.values_rows or sub.subqueries):
+                sub.values_rows or sub.subqueries or sub.meta_vars):
             raise SparqlError(
                 f"sparql: {kind} groups support only triple patterns "
-                "plus FILTER here (compose richer groups as two queries)")
+                "plus FILTER here (compose richer groups as two queries; "
+                "term accessors belong in the outer group's FILTER)")
         if sub.filters:
             return {"patterns": sub.patterns, "filter_expr":
                     " AND ".join(f"({f})" for f in sub.filters)}
@@ -481,6 +499,7 @@ class _Parser:
         g.filters.extend(sub.filters)
         g.binds.extend(sub.binds)
         g.subqueries.extend(sub.subqueries)
+        g.meta_vars |= sub.meta_vars
 
     def _triples(self, g: _Group, graph_term: str | None) -> None:
         prev = self._cur
@@ -582,6 +601,14 @@ class _Parser:
 
     # -- FILTER ------------------------------------------------------------------
     def _filter(self, g: _Group) -> None:
+        prev_sink = self._meta_sink
+        self._meta_sink = g.meta_vars
+        try:
+            self._filter_body(g)
+        finally:
+            self._meta_sink = prev_sink
+
+    def _filter_body(self, g: _Group) -> None:
         if self.at_kw("EXISTS"):
             self.next()
             g.exists.append(self._group_item(self.group(), "EXISTS"))
@@ -603,9 +630,16 @@ class _Parser:
     # _call_sql).  Only 1:1 semantic matches are listed: terms here are
     # lexical strings, so STR is a string cast, SUBSTR shares SQL's
     # 1-based indexing (§17.4.3.3), and REPLACE is regex-based in both
-    # languages.  LANG/DATATYPE/IRI stay unsupported — the engine stores
-    # lexical forms only, so they would silently compare the wrong thing.
-    _FN_SQL = {"REGEX": None, "BOUND": None, "STRLEN": "length",
+    # languages.  Term accessors (LANG/DATATYPE/isIRI/isURI/isLiteral/
+    # isBlank, §17.4.1–2) compile to the hidden `var$lang`/`$dt`/`$kind`
+    # columns the BGP layer projects for ``meta_vars`` — a type error
+    # (LANG of an IRI) becomes NULL, so the solution drops, matching the
+    # spec's error-eliminates-solution rule.
+    _TERM_ACCESSORS = ("LANG", "DATATYPE", "ISIRI", "ISURI",
+                       "ISLITERAL", "ISBLANK")
+    _FN_SQL = {"LANG": None, "DATATYPE": None, "ISIRI": None,
+               "ISURI": None, "ISLITERAL": None, "ISBLANK": None,
+               "REGEX": None, "BOUND": None, "STRLEN": "length",
                "CONTAINS": "contains", "STRSTARTS": "startswith",
                "STRENDS": "endswith", "STR": "string",
                "UCASE": "upper", "LCASE": "lower",
@@ -616,6 +650,31 @@ class _Parser:
 
     def _call_sql(self, fn: str) -> str:
         """SQL for one builtin call, fn token already consumed."""
+        if fn in self._TERM_ACCESSORS:
+            self.eat("(")
+            v = self.next()
+            if v[0] not in "?$":
+                raise SparqlError(f"sparql: {fn} needs a variable")
+            self.eat(")")
+            if self._meta_sink is None:
+                raise SparqlError(
+                    f"sparql: {fn} is supported in group FILTER/BIND "
+                    "expressions only (not HAVING/aggregates — the term "
+                    "metadata is gone after grouping)")
+            name = v[1:]
+            self._meta_sink.add(name)
+            kind = f"coalesce(`{name}$kind`, 'literal')"
+            if fn == "LANG":
+                return (f"(CASE WHEN {kind} <> 'literal' THEN NULL "
+                        f"ELSE coalesce(`{name}$lang`, '') END)")
+            if fn == "DATATYPE":
+                return (f"(CASE WHEN {kind} <> 'literal' THEN NULL "
+                        f"WHEN `{name}$lang` IS NOT NULL "
+                        f"THEN '{RDF_LANGSTRING}' "
+                        f"ELSE coalesce(`{name}$dt`, '{XSD_STRING}') END)")
+            target = {"ISIRI": "iri", "ISURI": "iri",
+                      "ISLITERAL": "literal", "ISBLANK": "bnode"}[fn]
+            return f"({kind} = '{target}')"
         if fn == "REGEX":
             self.eat("(")
             v = self.next()
@@ -668,7 +727,7 @@ class _Parser:
                 out.append("NOT")
             elif t[0] in "\"'":
                 out.append("'" + _unquote(t).replace("'", "''") + "'")
-            elif t.upper() in ("REGEX", "BOUND"):
+            elif t.upper() in ("REGEX", "BOUND") + self._TERM_ACCESSORS:
                 out.append(self._call_sql(t.upper()))
             elif t.upper() in self._FN_SQL:
                 out.append(self._FN_SQL[t.upper()])

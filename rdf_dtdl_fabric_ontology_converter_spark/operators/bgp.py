@@ -218,7 +218,9 @@ def _zero_len_pairs(base: DataFrame, s: str, o: str) -> DataFrame:
     return terms.select("subj", F.col("subj").alias("obj"))
 
 
-def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str]]:
+def _pattern_frame(triples: DataFrame, pat: Pattern,
+                   meta_for: frozenset = frozenset()
+                   ) -> tuple[DataFrame, set[str]]:
     """One pattern → (projection keyed by its variables, variable set).
 
     Quad patterns (SPARQL ``GRAPH``): a constant 4th term becomes a
@@ -261,7 +263,29 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
     cols = list(_POS_COLS) + (["graph_ctx"] if g is not None else [])
     if g is not None:
         base = base.where(F.col("graph_ctx").isNotNull())
-    df = base.select(*cols)
+    meta_exprs = []
+    if meta_for:
+        # hidden term-metadata columns for FILTER LANG/DATATYPE/is*:
+        # `$` cannot occur in a SPARQL variable name, so `v$lang` never
+        # collides with a real binding column
+        present = [c for c in ("obj_kind", "obj_datatype", "lang")
+                   if c in base.columns]
+        if not present:
+            raise ValueError(
+                "match_bgp: term accessors (LANG/DATATYPE/is*) need at "
+                "least one of obj_kind/obj_datatype/lang on the triples "
+                "frame")
+        v = sorted(meta_for)[0]
+
+        def col_or_null(c):
+            return (F.col(c) if c in base.columns
+                    else F.lit(None).cast("string"))
+        # a missing column reads as NULL = the plain-literal default
+        # (LANG '' / DATATYPE xsd:string / kind literal)
+        meta_exprs = [col_or_null("lang").alias(f"{v}$lang"),
+                      col_or_null("obj_datatype").alias(f"{v}$dt"),
+                      col_or_null("obj_kind").alias(f"{v}$kind")]
+    df = base.select(*cols, *meta_exprs)
     terms = [s, p, o] + ([g] if g is not None else [])
     if not _is_var(p):
         path, zero_len = _path_edges(base, p)
@@ -287,7 +311,10 @@ def _pattern_frame(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set[str
             else:
                 seen[term] = col
     out_vars = {v for v in seen if not v.startswith("?__")}
-    df = df.select(*[F.col(seen[v]).alias(v[1:]) for v in sorted(out_vars)])
+    df = df.select(*[F.col(seen[v]).alias(v[1:]) for v in sorted(out_vars)],
+                   *[F.col(f"`{m}${suf}`")
+                     for m in sorted(meta_for) for suf in ("lang", "dt",
+                                                           "kind")])
     return df, {v[1:] for v in out_vars}
 
 
@@ -302,7 +329,8 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
               select: list[str] | None = None,
               filter_expr: str | None = None,
               distinct: bool = True,
-              allow_product: bool = False) -> DataFrame:
+              allow_product: bool = False,
+              meta_vars: set[str] | None = None) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query over the triples frame.
 
     ``optional`` is a list of OPTIONAL pattern groups (SPARQL 1.1 §18.3
@@ -369,7 +397,27 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     """
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
-    frames = [(_pattern_frame(triples, p), p) for p in patterns]
+    # ``meta_vars``: project hidden `v$lang`/`v$dt`/`v$kind` term-metadata
+    # columns (for FILTER LANG/DATATYPE/is*) from the FIRST plain-predicate
+    # pattern binding each variable in OBJECT position — the only position
+    # whose metadata the store carries. The hidden columns ride along the
+    # joins and the caller drops them after its filters run.
+    unclaimed = set(meta_vars or ())
+    claims: list[frozenset] = []
+    for p in patterns:
+        o = p[2]
+        if (unclaimed and _is_var(o) and o[1:] in unclaimed and
+                not (not _is_var(p[1]) and _is_path_expr(p[1]))):
+            claims.append(frozenset({o[1:]}))
+            unclaimed.discard(o[1:])
+        else:
+            claims.append(frozenset())
+    if unclaimed:
+        raise ValueError(
+            f"match_bgp: term accessors need variables {sorted(unclaimed)} "
+            "bound in object position of a required (non-path) pattern")
+    frames = [(_pattern_frame(triples, p, meta_for=m), p)
+              for p, m in zip(patterns, claims)]
     for (_, vs), p in frames:
         if not vs and allow_product is False and len(patterns) > 1:
             # a fully-constant pattern is an existence test; joining it
@@ -397,7 +445,7 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         bound |= vs
     nullable: set[str] = set()  # vars that may be NULL (OPTIONAL/UNION)
 
-    def _sub(group, distinct_sub=False):
+    def _sub(group, distinct_sub=False, meta=None):
         """Evaluate a sub-group item: a plain pattern list, or a dict
         ``{"patterns": [...], "filter_expr": sql}`` — the SPARQL §18.2
         form where a FILTER lives INSIDE the group (``OPTIONAL { ?x p ?v
@@ -410,9 +458,10 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
             return match_bgp(triples, group["patterns"],
                              distinct=distinct_sub,
                              filter_expr=group.get("filter_expr"),
-                             allow_product=allow_product)
+                             allow_product=allow_product,
+                             meta_vars=meta)
         return match_bgp(triples, group, distinct=distinct_sub,
-                         allow_product=allow_product)
+                         allow_product=allow_product, meta_vars=meta)
 
     for group in (optional or []):
         sub = _sub(group)
@@ -426,11 +475,15 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
         nullable |= gvars - bound
         bound |= gvars
     for group in (union or []):
-        sub = _sub(group)
+        # meta_vars thread into UNION branches (each branch carries the
+        # distributed required patterns, so the claim re-resolves there);
+        # the hidden $-columns are excluded from the variable bookkeeping
+        sub = _sub(group, meta=meta_vars)
+        sub_vars = {c for c in sub.columns if "$" not in c}
         # outer union: variables missing on either side surface as NULL
-        nullable |= bound.symmetric_difference(sub.columns)
+        nullable |= bound.symmetric_difference(sub_vars)
         acc = acc.unionByName(sub, allowMissingColumns=True)
-        bound |= set(sub.columns)
+        bound |= sub_vars
     for group in (minus or []):
         sub = _sub(group, distinct_sub=True)
         shared = sorted(set(sub.columns) & bound)
@@ -507,6 +560,12 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
                          .drop("__probe__")
     if filter_expr:
         acc = acc.where(F.expr(filter_expr))
+    if distinct and meta_vars:
+        # hidden `v$...` term-metadata columns must not influence the
+        # solution set; drop before the DISTINCT below. (Callers running
+        # distinct=False — the SPARQL evaluator — receive them, apply
+        # their deferred filters, and drop them themselves.)
+        acc = acc.drop(*[c for c in acc.columns if "$" in c])
     if select:
         missing = [v for v in select if v not in bound]
         if missing:

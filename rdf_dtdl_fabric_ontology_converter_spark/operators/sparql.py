@@ -78,7 +78,8 @@ def _eval_select(triples: DataFrame, spec: dict) -> DataFrame:
             sol = sol.where(F.expr(fe))
     else:
         sol = match_bgp(triples, pats, distinct=False, **kw)
-    hidden = [c for c in sol.columns if c.startswith(SEQ_VAR_PREFIX)]
+    hidden = [c for c in sol.columns
+              if c.startswith(SEQ_VAR_PREFIX) or "$" in c]
     if hidden:
         # SequencePath intermediates: dropped WITHOUT dedup — the §18.2
         # translation keeps one solution per intermediate binding, which

@@ -562,3 +562,47 @@ def test_blank_node_patterns(triples):
     # a bracket outside a triples block is a named error
     with pytest.raises(SparqlError, match="triple patterns"):
         parse(PFX + "SELECT * WHERE { ?s ?p ?o . VALUES ?v { [] } }")
+
+
+def test_term_accessor_filters(typed_triples, triples):
+    q = 'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
+    # LANG returns the stored tag verbatim (compare case-insensitively
+    # via LCASE, per spec: plain = is case-sensitive, langMatches isn't)
+    out = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p ?v . FILTER (LCASE(LANG(?v)) = "fr") }""")
+    assert [r.s for r in out.collect()] == ["ex:e"]
+    # DATATYPE: explicit datatype, RDF 1.1 defaults for simple/lang rows
+    out2 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p ?v . FILTER (DATATYPE(?v) = xsd:integer) }
+      ORDER BY ?s""")
+    assert [r.s for r in out2.collect()] == ["ex:a", "ex:c"]
+    out3 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p ?v .
+        FILTER (DATATYPE(?v) = xsd:string && ?v = "chat") } ORDER BY ?s""")
+    assert [r.s for r in out3.collect()] == ["ex:f", "ex:g"]
+    # lang-tagged rows carry rdf:langString (RDF 1.1 §3.3)
+    out4 = sparql_query(typed_triples, q + """
+      SELECT ?s WHERE { ?s ?p ?v . FILTER (DATATYPE(?v) =
+        <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>) }
+      ORDER BY ?s""")
+    assert [r.s for r in out4.collect()] == ["ex:d", "ex:e"]
+    # isBlank on the main fixture's bnode object; isIRI complement
+    out5 = sparql_query(triples, PFX + """
+      SELECT ?s WHERE { ?s <ex:meta> ?m . FILTER isBlank(?m) }""")
+    assert [r.s for r in out5.collect()] == ["ex:A"]
+    out6 = sparql_query(triples, PFX + """
+      SELECT ?o WHERE { ex:B ?p ?o . FILTER isIRI(?o) }""")
+    assert [r.o for r in out6.collect()] == [CLS, "ex:A"]
+    # BIND with an accessor expression
+    out7 = sparql_query(typed_triples, q + """
+      SELECT ?s ?tag WHERE { ?s ?p ?v . BIND (LANG(?v) AS ?tag)
+        FILTER (STRLEN(?tag) > 0) } ORDER BY ?s""")
+    assert [tuple(r) for r in out7.collect()] == [
+        ("ex:d", "en"), ("ex:e", "FR")]
+    # named errors: accessor var not an object binding; HAVING context
+    with pytest.raises(Exception, match="object position"):
+        sparql_query(triples, PFX + """
+          SELECT ?s WHERE { ?s ?p ?o . FILTER isIRI(?s) }""")
+    with pytest.raises(SparqlError, match="HAVING"):
+        parse(PFX + """SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t }
+          GROUP BY ?t HAVING (LANG(?t) = "")""")
