@@ -1041,6 +1041,36 @@ FROM nation ORDER BY s
 """
 
 
+_SPARQL_TEXT_NPS = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT ?p ?o WHERE {
+  ?p a owl:ObjectProperty .
+  ?p !(rdfs:domain|a) ?o .
+} ORDER BY ?p
+"""
+
+
+def q_sparql_nps(spark, sf_dir):
+    """SPARQL negated property set (§9.1): every edge out of an object
+    property EXCEPT rdfs:domain and rdf:type — leaving exactly the
+    rdfs:range edge per nation property. One pushed-down NOT-IN predicate
+    filter, no closure (operators/bgp.py `_path_edges` negated arm)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_NPS)
+
+
+_ORACLE_SPARQL_NPS = """
+SELECT 'http://example.org/N'||n_nationkey||'_inRegion' AS p,
+       'http://example.org/R'||n_regionkey AS o
+FROM nation ORDER BY p
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3352,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_subquery": q_sparql_text_subquery,
         "sparql_typed_literals": q_sparql_typed_literals,
         "sparql_term_accessors": q_sparql_term_accessors,
+        "sparql_nps": q_sparql_nps,
     }
 
 
@@ -3436,4 +3467,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_subquery": _ORACLE_SPARQL_SUBQ,
         "sparql_typed_literals": _ORACLE_SPARQL_TYPED,
         "sparql_term_accessors": _ORACLE_SPARQL_ACCESSORS,
+        "sparql_nps": _ORACLE_SPARQL_NPS,
     }

@@ -334,6 +334,30 @@ class _Parser:
 
     def predicate(self) -> str:
         """Predicate position: IRI/pname/a with the BGP path operators."""
+        if self.peek() == "!":
+            # negated property set !iri / !(iri|^iri|...) (§9.1 PathNegated)
+            self.next()
+            if self.peek() == "(":
+                self.next()
+                atoms = [self.term(as_predicate=True)]
+                while self.peek() == "|":
+                    self.next()
+                    atoms.append(self.term(as_predicate=True))
+                self.eat(")")
+            else:
+                atoms = [self.term(as_predicate=True)]
+            for a in atoms:
+                if isinstance(a, tuple) or a.startswith("?"):
+                    raise SparqlError("sparql: a negated property set "
+                                      "takes IRIs (optionally ^-inverted)")
+            p = "!" + "|".join(atoms)
+            if self.peek() in ("+", "*", "?"):
+                p += self.next()
+                if self.peek() in ("|", "+", "*", "?"):
+                    raise SparqlError(
+                        "sparql: only a single trailing operator is "
+                        "supported after a negated property set")
+            return p
         p = self.term(as_predicate=True)
         if isinstance(p, tuple):
             raise SparqlError("sparql: literal in predicate position")
@@ -639,6 +663,7 @@ class _Parser:
                        "ISLITERAL", "ISBLANK")
     _FN_SQL = {"LANG": None, "DATATYPE": None, "ISIRI": None,
                "ISURI": None, "ISLITERAL": None, "ISBLANK": None,
+               "LANGMATCHES": None,
                "REGEX": None, "BOUND": None, "STRLEN": "length",
                "CONTAINS": "contains", "STRSTARTS": "startswith",
                "STRENDS": "endswith", "STR": "string",
@@ -650,6 +675,24 @@ class _Parser:
 
     def _call_sql(self, fn: str) -> str:
         """SQL for one builtin call, fn token already consumed."""
+        if fn == "LANGMATCHES":
+            # §17.4.3.2 basic language ranges: "*" = any tagged literal,
+            # otherwise case-insensitive exact tag or prefix-with-"-"
+            # (so "en" matches "en" and "en-US" but not "enx")
+            self.eat("(")
+            t = self.next()
+            if t.upper() != "LANG":
+                raise SparqlError(
+                    'sparql: LANGMATCHES supports the form '
+                    'LANGMATCHES(LANG(?v), "range")')
+            lang_sql = self._call_sql("LANG")
+            self.eat(",")
+            rng = _unquote(self.next()).lower().replace("'", "''")
+            self.eat(")")
+            if rng == "*":
+                return f"(coalesce({lang_sql}, '') <> '')"
+            return (f"(lower({lang_sql}) = '{rng}' OR "
+                    f"startswith(lower({lang_sql}), '{rng}-'))")
         if fn in self._TERM_ACCESSORS:
             self.eat("(")
             v = self.next()
@@ -727,7 +770,8 @@ class _Parser:
                 out.append("NOT")
             elif t[0] in "\"'":
                 out.append("'" + _unquote(t).replace("'", "''") + "'")
-            elif t.upper() in ("REGEX", "BOUND") + self._TERM_ACCESSORS:
+            elif (t.upper() in ("REGEX", "BOUND", "LANGMATCHES")
+                  + self._TERM_ACCESSORS):
                 out.append(self._call_sql(t.upper()))
             elif t.upper() in self._FN_SQL:
                 out.append(self._FN_SQL[t.upper()])

@@ -127,7 +127,7 @@ def _typed_literal_cond(base: DataFrame, term: tuple):
 
 def _is_path_expr(p: str) -> bool:
     return (not _is_var(p) and
-            (p.startswith("^") or "|" in p or
+            (p.startswith("^") or p.startswith("!") or "|" in p or
              (p[-1:] in "+*?" and len(p) > 1)))
 
 
@@ -167,9 +167,46 @@ def _path_edges(triples: DataFrame,
     """
     op = pexpr[-1] if pexpr[-1:] in "+*?" and len(pexpr) > 1 else ""
     core = pexpr[:-1] if op else pexpr
+    negated = core.startswith("!")
+    if negated:
+        core = core[1:]
     alts = core.split("|")
-    if not op and len(alts) == 1 and not alts[0].startswith("^"):
+    if not negated and not op and len(alts) == 1 and not alts[0].startswith("^"):
         return None, False
+    if negated:
+        # §9.1 PathNegatedPropertySet: forward edges whose predicate is
+        # NOT in the forward set, plus (when ^atoms are present) reversed
+        # edges whose predicate is not in the inverse set. Each side is a
+        # single pushed-down NOT-IN predicate filter — an all-inverse set
+        # traverses backwards only, a forward-only set forwards only.
+        fwd = [a for a in alts if not a.startswith("^")]
+        inv = [a[1:] for a in alts if a.startswith("^")]
+        for iri in fwd + inv:
+            if not iri or _is_var(iri) or iri[-1:] in "+*?" or "^" in iri:
+                raise ValueError(
+                    f"match_bgp: bad atom {iri!r} in negated property "
+                    f"set {pexpr!r} (grammar: ![^]iri or !([^]iri(|[^]iri)*))")
+        sides = []
+        if fwd or not inv:
+            sides.append(triples.where(~F.col("pred").isin(fwd))
+                         .select("subj", "obj"))
+        if inv:
+            sides.append(triples.where(~F.col("pred").isin(inv))
+                         .select(F.col("obj").alias("subj"),
+                                 F.col("subj").alias("obj")))
+        edges = sides[0]
+        for b in sides[1:]:
+            edges = edges.unionByName(b)
+        if op in ("+", "*"):
+            from .classes import transitive_closure
+            edges = transitive_closure(
+                edges.select(F.col("subj").alias("child"),
+                             F.col("obj").alias("parent")))
+            edges = edges.select(F.col("src").alias("subj"),
+                                 F.col("dst").alias("obj"))
+        elif op == "?":
+            edges = edges.dropDuplicates()
+        return edges, op in ("*", "?")
     branches = []
     for atom in alts:
         inv = atom.startswith("^")

@@ -606,3 +606,36 @@ def test_term_accessor_filters(typed_triples, triples):
     with pytest.raises(SparqlError, match="HAVING"):
         parse(PFX + """SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t }
           GROUP BY ?t HAVING (LANG(?t) = "")""")
+
+
+def test_langmatches_and_negated_property_set(typed_triples, triples):
+    # langMatches: case-insensitive range match, "*" = any tagged
+    out = sparql_query(typed_triples, """
+      SELECT ?s WHERE { ?s ?p ?v . FILTER LANGMATCHES(LANG(?v), "fr") }""")
+    assert [r.s for r in out.collect()] == ["ex:e"]
+    out2 = sparql_query(typed_triples, """
+      SELECT ?s WHERE { ?s ?p ?v . FILTER LANGMATCHES(LANG(?v), "*") }
+      ORDER BY ?s""")
+    assert [r.s for r in out2.collect()] == ["ex:d", "ex:e"]
+    # negated property set: every edge from ex:A except rdfs:label
+    out3 = sparql_query(triples, PFX + """
+      SELECT ?o WHERE { ex:A !rdfs:label ?o } ORDER BY ?o""")
+    assert [r.o for r in out3.collect()] == ["_:m", CLS]
+    # parenthesized mixed set with an inverse atom: the reversed
+    # subClassOf edge into A is excluded, the forward non-label edges stay
+    out4 = sparql_query(triples, PFX + """
+      SELECT ?o WHERE { ex:A !(rdfs:label|^rdfs:subClassOf) ?o }
+      ORDER BY ?o""")
+    assert [r.o for r in out4.collect()] == ["_:m", CLS]
+    # all-inverse set traverses backwards only: edges INTO ex:A whose
+    # predicate is anything but rdfs:label — the B subClassOf A edge
+    out5 = sparql_query(triples, PFX + """
+      SELECT ?x WHERE { ex:A !(^rdfs:label) ?x }""")
+    assert [r.x for r in out5.collect()] == ["ex:B"]
+    # parse shape incl. trailing closure; guards
+    spec = parse(PFX + "SELECT * WHERE { ?x !(ex:a|^ex:b)+ ?y }")
+    assert spec["group"].patterns == [("?x", "!ex:a|^ex:b+", "?y")]
+    with pytest.raises(SparqlError, match="IRIs"):
+        parse(PFX + "SELECT * WHERE { ?x !(?v) ?y }")
+    with pytest.raises(SparqlError, match='LANGMATCHES'):
+        parse('SELECT * WHERE { ?s ?p ?v . FILTER LANGMATCHES(?v, "en") }')
