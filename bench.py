@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "sparql_union_minus",
     "sparql_graph",
     "shacl_validate",
+    # late round-5 additions: zero-or-more path (closure + full-term
+    # identity) and the typed-literal / term-accessor filter path
+    "sparql_path_star",
+    "sparql_term_accessors",
 ]
 
 
