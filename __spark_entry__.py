@@ -1071,6 +1071,33 @@ FROM nation ORDER BY p
 """
 
 
+_SPARQL_TEXT_CDIST = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT (COUNT(DISTINCT ?r) AS ?n_regions) (COUNT(?r) AS ?n_rows)
+WHERE { ?p rdfs:range ?r . ?p a owl:ObjectProperty }
+"""
+
+
+def q_sparql_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT ?v) vs plain COUNT in one aggregate SELECT
+    (§18.5.1): 25 inRegion range edges collapse to the 5 region classes
+    under DISTINCT (operators/bgp.py `aggregate_solutions`)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_CDIST)
+
+
+_ORACLE_SPARQL_CDIST = """
+SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM nation
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3383,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_typed_literals": q_sparql_typed_literals,
         "sparql_term_accessors": q_sparql_term_accessors,
         "sparql_nps": q_sparql_nps,
+        "sparql_count_distinct": q_sparql_count_distinct,
     }
 
 
@@ -3468,4 +3496,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_typed_literals": _ORACLE_SPARQL_TYPED,
         "sparql_term_accessors": _ORACLE_SPARQL_ACCESSORS,
         "sparql_nps": _ORACLE_SPARQL_NPS,
+        "sparql_count_distinct": _ORACLE_SPARQL_CDIST,
     }

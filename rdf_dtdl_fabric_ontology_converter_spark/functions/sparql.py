@@ -952,6 +952,12 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
                           "GROUP_CONCAT"):
                 raise SparqlError(f"sparql: unsupported aggregate {fn!r}")
             p.eat("(")
+            agg_distinct = False
+            if p.at_kw("DISTINCT"):
+                # COUNT(DISTINCT ?v) / SUM(DISTINCT ?v) / ... — §18.5.1
+                # applies Distinct to the aggregate's own multiset
+                p.next()
+                agg_distinct = True
             arg = p.next()
             if arg == "*":
                 var = "*"
@@ -965,7 +971,7 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
             if name[0] not in "?$":
                 raise SparqlError("sparql: AS needs a variable")
             p.eat(")")
-            aggs[name[1:]] = (fn, var)
+            aggs[name[1:]] = (fn + "_DISTINCT" if agg_distinct else fn, var)
             continue
         break
     if select is not None and not select and not aggs:

@@ -642,16 +642,35 @@ def aggregate_solutions(solutions: DataFrame,
     exprs = []
     for out, (fn, var) in aggs.items():
         fn = fn.upper()
+        # FN_DISTINCT applies Distinct to the aggregate's own multiset
+        # (SPARQL §18.5.1, e.g. COUNT(DISTINCT ?v)); for MIN/MAX/SAMPLE
+        # it is a no-op by definition
+        agg_distinct = fn.endswith("_DISTINCT")
+        if agg_distinct:
+            fn = fn[:-len("_DISTINCT")]
         if fn == "COUNT":
-            col = (F.count("*") if var == "*" else
-                   F.count_distinct(F.col(var)) if distinct_count else
-                   F.count(F.col(var)))
+            if var == "*":
+                # COUNT(DISTINCT *) = distinct solutions; struct() keeps
+                # OPTIONAL-null solutions countable (count_distinct on
+                # bare columns drops any-NULL rows)
+                col = (F.count_distinct(F.struct(*solutions.columns))
+                       if agg_distinct or distinct_count else F.count("*"))
+            else:
+                col = (F.count_distinct(F.col(var))
+                       if agg_distinct or distinct_count
+                       else F.count(F.col(var)))
         elif fn in ("SUM", "AVG"):
-            col = _AGG_FNS[fn](F.col(var).cast("double"))
+            if agg_distinct:
+                col = F.expr(f"{fn.lower()}(DISTINCT cast(`{var}` "
+                             "as double))")
+            else:
+                col = _AGG_FNS[fn](F.col(var).cast("double"))
         elif fn in ("MIN", "MAX", "SAMPLE"):
             col = (F.min if fn != "MAX" else F.max)(F.col(var))
         elif fn == "GROUP_CONCAT":
-            col = F.array_join(F.array_sort(F.collect_list(var)), "|")
+            col = F.array_join(F.array_sort(
+                F.collect_set(var) if agg_distinct
+                else F.collect_list(var)), "|")
         else:
             raise ValueError(f"aggregate_solutions: unknown aggregate "
                              f"{fn!r} (one of {sorted(_AGG_FNS) + ['SAMPLE', 'GROUP_CONCAT']})")

@@ -639,3 +639,23 @@ def test_langmatches_and_negated_property_set(typed_triples, triples):
         parse(PFX + "SELECT * WHERE { ?x !(?v) ?y }")
     with pytest.raises(SparqlError, match='LANGMATCHES'):
         parse('SELECT * WHERE { ?s ?p ?v . FILTER LANGMATCHES(?v, "en") }')
+
+
+def test_count_distinct_aggregate(triples):
+    # each superclass is re-stated once per matching (sub, label) row;
+    # plain COUNT sees the multiset, COUNT(DISTINCT ?sub) the set
+    out = sparql_query(triples, PFX + """
+      SELECT ?sup (COUNT(DISTINCT ?sub) AS ?n) (COUNT(?sub) AS ?m)
+      WHERE { ?sub rdfs:subClassOf ?sup . ?sub a owl:Class .
+              ?sup rdfs:label ?l }
+      GROUP BY ?sup ORDER BY ?sup""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", 1, 1), ("ex:B", 1, 1)]
+    # distinct GROUP_CONCAT collapses duplicates, sorted determinism
+    out2 = sparql_query(triples, PFX + """
+      SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts)
+      WHERE { ?c a ?t }""")
+    assert [r.ts for r in out2.collect()] == [CLS]
+    spec = parse(PFX + """SELECT (SUM(DISTINCT ?v) AS ?s)
+      WHERE { ?x <ex:val> ?v }""")
+    assert spec["aggs"] == {"s": ("SUM_DISTINCT", "v")}
