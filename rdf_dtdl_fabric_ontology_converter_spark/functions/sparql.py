@@ -664,6 +664,9 @@ class _Parser:
     _FN_SQL = {"LANG": None, "DATATYPE": None, "ISIRI": None,
                "ISURI": None, "ISLITERAL": None, "ISBLANK": None,
                "LANGMATCHES": None,
+               "MD5": "md5", "SHA1": "sha1",
+               "SHA256": None, "SHA384": None, "SHA512": None,
+               "STRBEFORE": None, "STRAFTER": None,
                "REGEX": None, "BOUND": None, "STRLEN": "length",
                "CONTAINS": "contains", "STRSTARTS": "startswith",
                "STRENDS": "endswith", "STR": "string",
@@ -718,6 +721,30 @@ class _Parser:
             target = {"ISIRI": "iri", "ISURI": "iri",
                       "ISLITERAL": "literal", "ISBLANK": "bnode"}[fn]
             return f"({kind} = '{target}')"
+        if fn in ("SHA256", "SHA384", "SHA512"):
+            # Spark spells the SHA-2 family as sha2(expr, bits)
+            inner = self._expr_parens()
+            return f"sha2 ( {inner} , {fn[3:]} )"
+        if fn in ("STRBEFORE", "STRAFTER"):
+            # §17.4.3.7/8 on the lexical forms; '' when no occurrence
+            self.eat("(")
+            v = self.next()
+            if v[0] not in "?$":
+                raise SparqlError(f"sparql: {fn} needs (?var, \"lit\")")
+            self.eat(",")
+            lit = self.next()
+            if lit[0] not in "\"'":
+                raise SparqlError(f"sparql: {fn} needs (?var, \"lit\")")
+            self.eat(")")
+            col = f"`{v[1:]}`"
+            s = "'" + _unquote(lit).replace("'", "''") + "'"
+            if fn == "STRBEFORE":
+                return (f"(CASE WHEN instr({col}, {s}) > 0 THEN "
+                        f"substring({col}, 1, instr({col}, {s}) - 1) "
+                        "ELSE '' END)")
+            return (f"(CASE WHEN instr({col}, {s}) > 0 THEN "
+                    f"substring({col}, instr({col}, {s}) + length({s})) "
+                    "ELSE '' END)")
         if fn == "REGEX":
             self.eat("(")
             v = self.next()
@@ -770,8 +797,9 @@ class _Parser:
                 out.append("NOT")
             elif t[0] in "\"'":
                 out.append("'" + _unquote(t).replace("'", "''") + "'")
-            elif (t.upper() in ("REGEX", "BOUND", "LANGMATCHES")
-                  + self._TERM_ACCESSORS):
+            elif (t.upper() in ("REGEX", "BOUND", "LANGMATCHES", "SHA256",
+                                "SHA384", "SHA512", "STRBEFORE",
+                                "STRAFTER") + self._TERM_ACCESSORS):
                 out.append(self._call_sql(t.upper()))
             elif t.upper() in self._FN_SQL:
                 out.append(self._FN_SQL[t.upper()])

@@ -659,3 +659,57 @@ def test_count_distinct_aggregate(triples):
     spec = parse(PFX + """SELECT (SUM(DISTINCT ?v) AS ?s)
       WHERE { ?x <ex:val> ?v }""")
     assert spec["aggs"] == {"s": ("SUM_DISTINCT", "v")}
+
+
+def test_hash_and_str_builtins(triples):
+    # STRBEFORE/STRAFTER on lexical forms; '' when absent (§17.4.3.7/8)
+    out = sparql_query(triples, PFX + """
+      SELECT ?l ?pre ?post WHERE { ex:A rdfs:label ?l .
+        BIND (STRBEFORE(?l, "ph") AS ?pre)
+        BIND (STRAFTER(?l, "ph") AS ?post) }""")
+    assert [tuple(r) for r in out.collect()] == [("alpha", "al", "a")]
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?x WHERE { ?x rdfs:label ?l .
+        FILTER (STRBEFORE(?l, "zz") = "" && STRAFTER(?l, "lph") = "a") }""")
+    assert [r.x for r in out2.collect()] == ["ex:A"]
+    # hash builtins match the reference digests of the lexical form
+    import hashlib
+    md5 = hashlib.md5(b"alpha").hexdigest()
+    sha256 = hashlib.sha256(b"alpha").hexdigest()
+    out3 = sparql_query(triples, PFX + f"""
+      SELECT ?x WHERE {{ ?x rdfs:label ?l .
+        FILTER (MD5(?l) = "{md5}" && SHA256(?l) = "{sha256}") }}""")
+    assert [r.x for r in out3.collect()] == ["ex:A"]
+
+
+def test_parse_path_roundtrip_property():
+    """Property test over the whole path grammar: render a random path
+    spec (optional per-atom ^, alternation, optional negation, optional
+    trailing +/*/?) to SPARQL text, parse it, and the operator-layer
+    pattern string must match the expected encoding exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    iri = st.sampled_from(["http://x/a", "http://x/b", "http://x/c"])
+    atom = st.tuples(st.booleans(), iri)  # (inverted?, iri)
+    spec = st.tuples(st.booleans(),                       # negated?
+                     st.lists(atom, min_size=1, max_size=3),
+                     st.sampled_from(["", "+", "*", "?"]))
+
+    @settings(max_examples=80, deadline=None)
+    @given(spec)
+    def check(s):
+        negated, atoms, op = s
+        shown = ["^<%s>" % i if inv else "<%s>" % i for inv, i in atoms]
+        if negated:
+            text_pred = ("!(" + "|".join(shown) + ")" + op
+                         if len(shown) > 1 else "!" + shown[0] + op)
+        else:
+            text_pred = "|".join(shown) + op
+        expected = (("!" if negated else "")
+                    + "|".join(("^" + i) if inv else i for inv, i in atoms)
+                    + op)
+        parsed = parse("SELECT * WHERE { ?s %s ?o }" % text_pred)
+        assert parsed["group"].patterns == [("?s", expected, "?o")]
+
+    check()
