@@ -399,6 +399,15 @@ def run_graph_family(spark, reps: int, n01: int = 50_000) -> dict:
             union=[[("?s", EX + "rel", "?o")]],
             minus=[[("?s", EX + "rel", EX + "s0")]], distinct=False),
         "shacl_validate": lambda t: _shacl(t),
+        # late round-5 additions: zero-or-more with BOTH endpoints
+        # variable — the spec-mandated full-term identity (one distinct
+        # over subj ∪ obj, linear in instances) plus the schema-bounded
+        # closure — and a negated property set (one pushed-down NOT-IN
+        # scan, no join at all)
+        "bgp_path_star": lambda t: match_bgp(
+            t, [("?s", SUB + "*", "?y")]),
+        "bgp_nps": lambda t: match_bgp(
+            t, [("?s", "!" + RDF_TYPE, "?o")], distinct=False),
     }
 
     def _shacl(t):
@@ -408,7 +417,8 @@ def run_graph_family(spark, reps: int, n01: int = 50_000) -> dict:
                    "properties": [{"path": EX + "rel", "min_count": 1,
                                    "max_count": 1, "class": EX + "C1"}]}]
         return validate_shapes(
-            t.withColumn("obj_datatype", F.lit(None).cast("string")), shapes)
+            t.withColumn("obj_datatype", F.lit(None).cast("string"))
+             .withColumn("lang", F.lit(None).cast("string")), shapes)
     queries["bgp_3pattern"](graphs["sf01"]).write.format("noop") \
         .mode("overwrite").save()  # warm
     times = {q: {"sf01": [], "sf1eq": []} for q in queries}
