@@ -430,6 +430,13 @@ def validate_shapes(triples: DataFrame, shapes: list[dict], *,
     """
     if not shapes:
         raise ValueError("validate_shapes: empty shape list")
+    # tolerate frames without the term-metadata columns (the BGP layer's
+    # convention): a missing column reads as NULL = the plain-literal
+    # default, so datatype checks see xsd:string and uniqueLang sees
+    # untagged (exempt) values
+    for c in ("obj_kind", "obj_datatype", "lang"):
+        if c not in triples.columns:
+            triples = triples.withColumn(c, F.lit(None).cast("string"))
     seen = set()
     for s in shapes:
         if s["shape_id"] in seen:

@@ -416,9 +416,7 @@ def run_graph_family(spark, reps: int, n01: int = 50_000) -> dict:
         shapes = [{"shape_id": "InstShape", "target_class": EX + "C0",
                    "properties": [{"path": EX + "rel", "min_count": 1,
                                    "max_count": 1, "class": EX + "C1"}]}]
-        return validate_shapes(
-            t.withColumn("obj_datatype", F.lit(None).cast("string"))
-             .withColumn("lang", F.lit(None).cast("string")), shapes)
+        return validate_shapes(t, shapes)
     queries["bgp_3pattern"](graphs["sf01"]).write.format("noop") \
         .mode("overwrite").save()  # warm
     times = {q: {"sf01": [], "sf1eq": []} for q in queries}
