@@ -1027,12 +1027,22 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
                 break
             if t.upper() in ("ASC", "DESC"):
                 desc = p.next().upper() == "DESC"
-                p.eat("(")
-                v = p.next()
-                p.eat(")")
-                order.append((v[1:], desc))
+                if (p.peek(1) or "")[0:1] in "?$" and p.peek(2) == ")":
+                    p.eat("(")
+                    v = p.next()
+                    p.eat(")")
+                    order.append((v[1:], desc))
+                else:
+                    # DESC(expr) — translated like a FILTER expression;
+                    # marked with a leading NUL so the evaluator knows
+                    # it is SQL over the projection, not a variable name
+                    order.append(("\x00" + p._expr_parens(), desc))
             elif t[0] in "?$":
                 order.append((p.next()[1:], False))
+            elif t == "(" or t.upper() in p._FN_SQL:
+                sql = (p._expr_parens() if t == "("
+                       else p._call_sql(p.next().upper()))
+                order.append(("\x00" + sql, False))
             else:
                 break
         if not order:

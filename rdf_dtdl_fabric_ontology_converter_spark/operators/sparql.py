@@ -100,12 +100,17 @@ def _eval_select(triples: DataFrame, spec: dict) -> DataFrame:
             sol = sol.select(*spec["select"])
         out = sol.dropDuplicates() if spec["distinct"] else sol
     if spec["order"]:
-        missing = [v for v, _ in spec["order"] if v not in out.columns]
+        # a leading NUL marks an ORDER BY expression (SQL over the
+        # projected columns); everything else is a plain variable name
+        missing = [v for v, _ in spec["order"]
+                   if not v.startswith("\x00") and v not in out.columns]
         if missing:
             raise SparqlError(f"sparql: ORDER BY variables {missing} not "
                               f"in the projection {out.columns}")
-        out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
-                            for v, d in spec["order"]])
+        keys = [(F.expr(v[1:]) if v.startswith("\x00") else F.col(v))
+                for v, _ in spec["order"]]
+        out = out.orderBy(*[k.desc() if d else k.asc()
+                            for k, (_, d) in zip(keys, spec["order"])])
     if spec["offset"] is not None:
         out = out.offset(spec["offset"])
     if spec["limit"] is not None:

@@ -713,3 +713,19 @@ def test_parse_path_roundtrip_property():
         assert parsed["group"].patterns == [("?s", expected, "?o")]
 
     check()
+
+
+def test_order_by_expressions(triples):
+    # DESC over an expression; plain function call; mixed with a var key
+    out = sparql_query(triples, PFX + """
+      SELECT ?c ?l WHERE { ?c rdfs:label ?l }
+      ORDER BY DESC(STRLEN(?l)) ?c""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", "alpha"), ("ex:B", "beta")]
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?l WHERE { ?c rdfs:label ?l } ORDER BY STRLEN(?l)""")
+    assert [r.l for r in out2.collect()] == ["beta", "alpha"]
+    # DESC(?var) keeps the plain-variable path (projection check intact)
+    with pytest.raises(SparqlError, match="projection"):
+        sparql_query(triples, PFX + """
+          SELECT ?l WHERE { ?c rdfs:label ?l } ORDER BY DESC(?c)""")
