@@ -268,7 +268,34 @@ RDFA_CASES = [
 # Parser output observed to match the spec-expected triples; a case
 # leaving this set is a REGRESSION. Residue (documented subset gaps) is
 # annotated below.
+RDFA_CASES.extend([
+    # late round-5 boundary probes, all spec-derived
+    ("r40_typed_resource_object_href",
+     f'<div about="{EX}s"><a property="{EX}p" typeof="{EX}T" '
+     f'href="{EX}o">x</a></div>',
+     {(f"{EX}o", f"{RDF}type", f"{EX}T"),
+      (f"{EX}s", f"{EX}p", f"{EX}o")}, None),
+    ("r41_about_safecurie_bnode",
+     f'<div about="[_:x]"><span property="{EX}p">v</span></div>',
+     {("_:b0", f"{EX}p", "v")}, None),
+    ("r42_xml_lang",
+     f'<div about="{EX}s" xml:lang="de"><span property="{EX}p">v</span>'
+     '</div>',
+     {(f"{EX}s", f"{EX}p", "v")}, (f"{EX}p", None, "de")),
+    ("r43_meta_content_lang",
+     f'<meta about="{EX}s" property="{EX}p" content="c" lang="fr">',
+     {(f"{EX}s", f"{EX}p", "c")}, (f"{EX}p", None, "fr")),
+    ("r44_rel_multiple_curies",
+     f'<div prefix="ex: {EX}" about="{EX}s">'
+     f'<a rel="ex:p ex:q" href="{EX}o">x</a></div>',
+     {(f"{EX}s", f"{EX}p", f"{EX}o"),
+      (f"{EX}s", f"{EX}q", f"{EX}o")}, None),
+])
+
+
 PINNED_PASS_RDFA = {
+    "r40_typed_resource_object_href", "r41_about_safecurie_bnode",
+    "r42_xml_lang", "r43_meta_content_lang", "r44_rel_multiple_curies",
     "r01_about_property", "r02_content_override", "r03_typed_literal",
     "r04_typeof_with_about", "r05_bare_typeof_bnode",
     "r06_resource_chaining", "r07_href_object", "r08_src_object",
@@ -442,7 +469,27 @@ MD_CASES = [
       (f"{EX}addr1", f"{S}addressLocality", "T")}, None),
 ]
 
+MD_CASES.extend([
+    ("m23_audio_src_value",
+     f'<div itemscope itemtype="{S}T">'
+     f'<audio itemprop="clip" src="{EX}a.mp3"></audio></div>',
+     {("_:b0", f"{RDF}type", f"{S}T"),
+      ("_:b0", f"{S}clip", f"{EX}a.mp3")}, None),
+    ("m24_itemtype_whitespace_tokens",
+     f'<div itemscope itemtype="  {S}A   {S}B ">'
+     '<span itemprop="name">x</span></div>',
+     {("_:b0", f"{RDF}type", f"{S}A"), ("_:b0", f"{RDF}type", f"{S}B"),
+      ("_:b0", f"{S}name", "x")}, None),
+    ("m25_itemprop_outside_itemscope_ignored",
+     '<div><span itemprop="name">x</span></div>'
+     f'<div itemscope itemtype="{S}T"><span itemprop="ok">y</span></div>',
+     {("_:b0", f"{RDF}type", f"{S}T"), ("_:b0", f"{S}ok", "y")}, None),
+])
+
+
 PINNED_PASS_MD = {
+    "m23_audio_src_value", "m24_itemtype_whitespace_tokens",
+    "m25_itemprop_outside_itemscope_ignored",
     "m01_basic_item", "m02_a_href_value", "m03_img_src_value",
     "m04_meta_content", "m05_time_datetime", "m06_nested_item",
     "m07_itemid", "m08_itemref_backward", "m09_itemref_forward",
