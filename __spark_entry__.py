@@ -3157,6 +3157,86 @@ def _nation_dtdl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _span(rdoc).alias("spans"))))
 
 
+def q_quad_contexts(spark, sf_dir):
+    """Dataset (quad) scan rollup (S3): statements per named graph over
+    the TriG corpus, default graph shown as '<default>', under RDF
+    dataset SET semantics (a statement re-asserted by several documents
+    is one quad — the 4-column dedup before the count)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    clean, _ = split_errors(extract_triples(_nation_trig_docs(spark, sf_dir)))
+    return (clean.dropDuplicates(["subj", "pred", "obj", "graph_ctx"])
+            .groupBy(F.coalesce("graph_ctx", F.lit("<default>")).alias("g"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("g"))
+
+
+_ORACLE_QUAD_CONTEXTS = """
+SELECT g, n FROM (
+  SELECT '<default>' AS g, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+  UNION ALL
+  SELECT 'http://example.org/gR'||n_regionkey,
+         CAST(COUNT(*) + 1 AS BIGINT)
+  FROM nation GROUP BY n_regionkey
+  UNION ALL
+  SELECT 'http://example.org/gBad', CAST(COUNT(*) AS BIGINT) FROM nation
+) ORDER BY g
+"""
+
+
+def _dtdl_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal 3-level DTDL extends chain: nation → region → base —
+    the multi-hop corpus for the ancestor-closure oracle."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ctx = '{"@context":"dtmi:dtdl:context;3","@id":"'
+    ndoc = F.concat(
+        F.lit(ctx + "dtmi:ex:nation:N"), F.col("n_nationkey"),
+        F.lit(';1","@type":"Interface","extends":["dtmi:ex:region:R'),
+        F.col("n_regionkey"), F.lit(';1"]}'))
+    rdoc = F.concat(
+        F.lit(ctx + "dtmi:ex:region:R"), F.col("r_regionkey"),
+        F.lit(';1","@type":"Interface","extends":["dtmi:ex:base;1"]}'))
+    base = spark.createDataFrame(
+        [("dtdl_base", ctx + 'dtmi:ex:base;1","@type":"Interface"}')],
+        ["doc_id", "text"]).select("doc_id", _span(F.col("text"))
+                                   .alias("spans"))
+    return (nation.select(
+        F.concat(F.lit("dtdl_cn_"), "n_nationkey").alias("doc_id"),
+        _span(ndoc).alias("spans"))
+        .unionByName(region.select(
+            F.concat(F.lit("dtdl_cr_"), "r_regionkey").alias("doc_id"),
+            _span(rdoc).alias("spans")))
+        .unionByName(base))
+
+
+def q_dtdl_ancestor_closure(spark, sf_dir):
+    """DTDL extends ancestor closure (J8) over a genuine 2-hop chain:
+    nation interfaces reach both their region AND the shared base
+    (operators/dtdl.py `ancestor_closure`; oracle: the closed-form
+    union, closure restricted to the interface set)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
+        ancestor_closure, extract_interfaces)
+    ifaces = extract_interfaces(_dtdl_chain_docs(spark, sf_dir))
+    ifaces = ifaces.where(F.col("parse_error").isNull())
+    return (ancestor_closure(ifaces)
+            .orderBy("dtmi", "ancestor"))
+
+
+_ORACLE_DTDL_ANCESTORS = """
+SELECT dtmi, ancestor FROM (
+  SELECT 'dtmi:ex:nation:N'||n_nationkey||';1' AS dtmi,
+         'dtmi:ex:region:R'||n_regionkey||';1' AS ancestor FROM nation
+  UNION ALL
+  SELECT 'dtmi:ex:nation:N'||n_nationkey||';1', 'dtmi:ex:base;1'
+  FROM nation
+  UNION ALL
+  SELECT 'dtmi:ex:region:R'||r_regionkey||';1', 'dtmi:ex:base;1'
+  FROM region
+) ORDER BY dtmi, ancestor
+"""
+
+
 def _dtdl_result(spark, sf_dir):
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
         DtdlModes, convert_interfaces, extract_interfaces)
@@ -3411,6 +3491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_term_accessors": q_sparql_term_accessors,
         "sparql_nps": q_sparql_nps,
         "sparql_count_distinct": q_sparql_count_distinct,
+        "quad_contexts": q_quad_contexts,
+        "dtdl_ancestor_closure": q_dtdl_ancestor_closure,
     }
 
 
@@ -3497,4 +3579,6 @@ def oracle_sql() -> dict[str, str]:
         "sparql_term_accessors": _ORACLE_SPARQL_ACCESSORS,
         "sparql_nps": _ORACLE_SPARQL_NPS,
         "sparql_count_distinct": _ORACLE_SPARQL_CDIST,
+        "quad_contexts": _ORACLE_QUAD_CONTEXTS,
+        "dtdl_ancestor_closure": _ORACLE_DTDL_ANCESTORS,
     }
