@@ -3237,6 +3237,58 @@ SELECT dtmi, ancestor FROM (
 """
 
 
+def _dtdl_w4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation interfaces re-declare their region ancestor's property
+    'comment' under a DIFFERENT schema — the W4a ancestor-conflict
+    corpus (nation: string vs region: double)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ctx = '{"@context":"dtmi:dtdl:context;3","@id":"'
+    ndoc = F.concat(
+        F.lit(ctx + "dtmi:ex:nation:N"), F.col("n_nationkey"),
+        F.lit(';1","@type":"Interface","extends":["dtmi:ex:region:R'),
+        F.col("n_regionkey"),
+        F.lit(';1"],"contents":[{"@type":"Property","name":"comment",'
+              '"schema":"string"}]}'))
+    rdoc = F.concat(
+        F.lit(ctx + "dtmi:ex:region:R"), F.col("r_regionkey"),
+        F.lit(';1","@type":"Interface","contents":'
+              '[{"@type":"Property","name":"comment",'
+              '"schema":"double"}]}'))
+    return (nation.select(
+        F.concat(F.lit("w4n_"), "n_nationkey").alias("doc_id"),
+        _span(ndoc).alias("spans"))
+        .unionByName(region.select(
+            F.concat(F.lit("w4r_"), "r_regionkey").alias("doc_id"),
+            _span(rdoc).alias("spans"))))
+
+
+def q_dtdl_conflict_suffix(spark, sf_dir):
+    """W4 ancestor-conflict suffixing: a nation's 'comment' (string)
+    conflicts with its region ancestor's 'comment' (double), so the
+    child property is renamed comment_string while the ancestor keeps
+    the bare name (operators/dtdl.py W4a/W4b windows)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
+        convert_interfaces, extract_interfaces)
+    ents, _, _ = convert_interfaces(
+        extract_interfaces(_dtdl_w4_docs(spark, sf_dir)))
+    prop = F.explode("properties").alias("p")
+    return (ents.select("name", prop)
+            .select("name", F.col("p.name").alias("prop_name"),
+                    F.col("p.valueType").alias("vtype"))
+            .orderBy("name", "prop_name"))
+
+
+_ORACLE_DTDL_W4 = """
+SELECT name, prop_name, vtype FROM (
+  SELECT 'N'||n_nationkey AS name, 'comment_string' AS prop_name,
+         'String' AS vtype FROM nation
+  UNION ALL
+  SELECT 'R'||r_regionkey, 'comment', 'Double' FROM region
+) ORDER BY name, prop_name
+"""
+
+
 def _dtdl_result(spark, sf_dir):
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
         DtdlModes, convert_interfaces, extract_interfaces)
@@ -3493,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_count_distinct": q_sparql_count_distinct,
         "quad_contexts": q_quad_contexts,
         "dtdl_ancestor_closure": q_dtdl_ancestor_closure,
+        "dtdl_conflict_suffix": q_dtdl_conflict_suffix,
     }
 
 
@@ -3581,4 +3634,5 @@ def oracle_sql() -> dict[str, str]:
         "sparql_count_distinct": _ORACLE_SPARQL_CDIST,
         "quad_contexts": _ORACLE_QUAD_CONTEXTS,
         "dtdl_ancestor_closure": _ORACLE_DTDL_ANCESTORS,
+        "dtdl_conflict_suffix": _ORACLE_DTDL_W4,
     }
