@@ -3289,6 +3289,57 @@ SELECT name, prop_name, vtype FROM (
 """
 
 
+def _nation_usage_ttl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: an object property USED between typed instances but
+    carrying no declared rdfs:domain/range — the J4 usage-inference
+    corpus."""
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    k, r = F.col("n_nationkey"), F.col("n_regionkey")
+    text = F.concat(
+        F.lit(header),
+        F.lit("ex:CN_"), k, F.lit(" a owl:Class .\nex:CR_"), r,
+        F.lit(" a owl:Class .\nex:p_"), k,
+        F.lit(" a owl:ObjectProperty .\nex:u_"), k,
+        F.lit(" a ex:CN_"), k, F.lit(" .\nex:v_"), r,
+        F.lit(" a ex:CR_"), r, F.lit(" .\nex:u_"), k,
+        F.lit(" ex:p_"), k, F.lit(" ex:v_"), r, F.lit(" .\n"),
+    )
+    return nation.select(
+        F.concat(F.lit("usage_"), k).alias("doc_id"),
+        _span(text).alias("spans"))
+
+
+def q_usage_inference(spark, sf_dir):
+    """J4: infer a property's domain/range from how INSTANCES use it
+    (subject/object rdf:type assertions, min-pinned for determinism) —
+    the reference's fallback when an ObjectProperty declares neither
+    (operators/relationships.py `usage_inference`)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.relationships import (
+        usage_inference)
+    clean, _ = split_errors(
+        extract_triples(_nation_usage_ttl_docs(spark, sf_dir)))
+    props = (clean.where((F.col("pred") == RDF_TYPE) &
+                         (F.col("obj") ==
+                          "http://www.w3.org/2002/07/owl#ObjectProperty"))
+             .select(F.col("subj").alias("prop_uri")).dropDuplicates())
+    classes = (clean.where((F.col("pred") == RDF_TYPE) &
+                           (F.col("obj") == OWL_CLASS))
+               .select(F.col("subj").alias("class_uri")).dropDuplicates())
+    dom, rng = usage_inference(clean, props, classes)
+    return dom.join(rng, "prop_uri", "outer").orderBy("prop_uri")
+
+
+_ORACLE_USAGE_J4 = """
+SELECT 'http://example.org/p_'||n_nationkey AS prop_uri,
+       'http://example.org/CN_'||n_nationkey AS inferred_domain,
+       'http://example.org/CR_'||n_regionkey AS inferred_range
+FROM nation ORDER BY prop_uri
+"""
+
+
 def _dtdl_result(spark, sf_dir):
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
         DtdlModes, convert_interfaces, extract_interfaces)
@@ -3546,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_contexts": q_quad_contexts,
         "dtdl_ancestor_closure": q_dtdl_ancestor_closure,
         "dtdl_conflict_suffix": q_dtdl_conflict_suffix,
+        "usage_inference": q_usage_inference,
     }
 
 
@@ -3635,4 +3687,5 @@ def oracle_sql() -> dict[str, str]:
         "quad_contexts": _ORACLE_QUAD_CONTEXTS,
         "dtdl_ancestor_closure": _ORACLE_DTDL_ANCESTORS,
         "dtdl_conflict_suffix": _ORACLE_DTDL_W4,
+        "usage_inference": _ORACLE_USAGE_J4,
     }
