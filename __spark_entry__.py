@@ -3340,6 +3340,32 @@ FROM nation ORDER BY prop_uri
 """
 
 
+def q_ontology_name(spark, sf_dir):
+    """P9: first owl:Ontology header's label → Fabric-safe ontology name
+    (sanitize + the 'O_' leading-digit rule), derived from live data so
+    the oracle checks the whole turtle→name path
+    (operators/metrics.py `ontology_name`; reference
+    rdf_converter.py:715-728)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.metrics import (
+        ontology_name)
+    nation = _t(spark, sf_dir, "nation")
+    header = _TTL_HEADER.replace("\\n", "\n")
+    text = F.concat(
+        F.lit(header + 'ex:onto a owl:Ontology ;\n    rdfs:label "'),
+        F.count("*").cast("string"), F.lit(' nations total" .\n'))
+    docs = nation.agg(text.alias("t")).select(
+        F.lit("onto_header").alias("doc_id"), _span(F.col("t")).alias("spans"))
+    clean, _ = split_errors(extract_triples(docs))
+    return spark.createDataFrame([(ontology_name(clean),)], "name string")
+
+
+_ORACLE_ONTOLOGY_NAME = """
+SELECT 'O_'||COUNT(*)||'_nations_total' AS name FROM nation
+"""
+
+
 def _dtdl_result(spark, sf_dir):
     from rdf_dtdl_fabric_ontology_converter_spark.operators.dtdl import (
         DtdlModes, convert_interfaces, extract_interfaces)
@@ -3598,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtdl_ancestor_closure": q_dtdl_ancestor_closure,
         "dtdl_conflict_suffix": q_dtdl_conflict_suffix,
         "usage_inference": q_usage_inference,
+        "ontology_name": q_ontology_name,
     }
 
 
@@ -3688,4 +3715,5 @@ def oracle_sql() -> dict[str, str]:
         "dtdl_ancestor_closure": _ORACLE_DTDL_ANCESTORS,
         "dtdl_conflict_suffix": _ORACLE_DTDL_W4,
         "usage_inference": _ORACLE_USAGE_J4,
+        "ontology_name": _ORACLE_ONTOLOGY_NAME,
     }
