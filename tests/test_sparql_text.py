@@ -729,3 +729,25 @@ def test_order_by_expressions(triples):
     with pytest.raises(SparqlError, match="projection"):
         sparql_query(triples, PFX + """
           SELECT ?l WHERE { ?c rdfs:label ?l } ORDER BY DESC(?c)""")
+
+
+def test_rdf_list_walk_idiom(spark):
+    """The canonical SPARQL list-walking path rdf:rest*/rdf:first over a
+    turtle collection: zero-or-more hops down the spine then one first —
+    composes the sequence-path desugar with the new * closure."""
+    from rdf_dtdl_fabric_ontology_converter_spark.functions.turtle import (
+        parse_turtle)
+    rows = parse_turtle(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:s ex:list ( ex:a ex:b ex:c ) .\n')
+    t = spark.createDataFrame(
+        [(s, p, o) for (s, p, o, k, dt, lg, g) in rows],
+        ["subj", "pred", "obj"])
+    out = sparql_query(t, """
+      PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      PREFIX ex: <http://example.org/>
+      SELECT ?m WHERE { ex:s ex:list ?l . ?l rdf:rest*/rdf:first ?m }
+      ORDER BY ?m""")
+    assert [r.m for r in out.collect()] == [
+        "http://example.org/a", "http://example.org/b",
+        "http://example.org/c"]
