@@ -215,6 +215,11 @@ class _Parser:
         # meta_vars set of the group whose FILTER/BIND is being parsed —
         # term accessors (LANG/DATATYPE/is*) register their variable here
         self._meta_sink: set | None = None
+        # the aggs dict while a HAVING expression is being parsed — bare
+        # aggregate calls there (HAVING (COUNT(*) > 1)) register hidden
+        # aggregates the evaluator drops after the filter
+        self._agg_sink: dict | None = None
+        self._agg_n = 0
 
     # -- token plumbing ----------------------------------------------------
     def peek(self, k: int = 0) -> str | None:
@@ -764,6 +769,33 @@ class _Parser:
         # generic expression walker from the opening paren
         return self._FN_SQL[fn] + " " + self._expr_with_parens()
 
+    def _agg_ref(self, fn: str) -> str:
+        """A bare aggregate call inside HAVING: register it as a HIDDEN
+        aggregate (reusing a same-spec user alias when one exists) and
+        reference its output column. The evaluator drops hidden columns
+        after the HAVING filter runs."""
+        self.eat("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        arg = self.next()
+        if arg == "*":
+            var = "*"
+        elif arg[0] in "?$":
+            var = arg[1:]
+        else:
+            raise SparqlError(f"sparql: aggregate over {arg!r}")
+        self.eat(")")
+        spec = (fn + ("_DISTINCT" if distinct else ""), var)
+        for name, existing in self._agg_sink.items():
+            if existing == spec:
+                return f"`{name}`"
+        name = f"{SEQ_VAR_PREFIX}h{self._agg_n}"
+        self._agg_n += 1
+        self._agg_sink[name] = spec
+        return f"`{name}`"
+
     def _expr_with_parens(self) -> str:
         """Parse '( ... )' returning it WITH the parentheses."""
         return "( " + self._expr_parens() + " )"
@@ -797,6 +829,10 @@ class _Parser:
                 out.append("NOT")
             elif t[0] in "\"'":
                 out.append("'" + _unquote(t).replace("'", "''") + "'")
+            elif (self._agg_sink is not None and
+                  t.upper() in ("COUNT", "SUM", "MIN", "MAX", "AVG",
+                                "SAMPLE", "GROUP_CONCAT")):
+                out.append(self._agg_ref(t.upper()))
             elif (t.upper() in ("REGEX", "BOUND", "LANGMATCHES", "SHA256",
                                 "SHA384", "SHA512", "STRBEFORE",
                                 "STRAFTER") + self._TERM_ACCESSORS):
@@ -1016,7 +1052,11 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
             raise SparqlError("sparql: GROUP BY needs variables")
     if p.at_kw("HAVING"):
         p.next()
-        having = p._expr_parens()
+        p._agg_sink = aggs
+        try:
+            having = p._expr_parens()
+        finally:
+            p._agg_sink = None
     order: list[tuple[str, bool]] = []
     if p.at_kw("ORDER"):
         p.next()

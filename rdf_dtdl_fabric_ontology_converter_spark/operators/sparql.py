@@ -88,6 +88,12 @@ def _eval_select(triples: DataFrame, spec: dict) -> DataFrame:
     if spec["aggs"]:
         out = aggregate_solutions(sol, spec["group_by"], spec["aggs"],
                                   having=spec["having"])
+        # hidden aggregates registered by bare HAVING calls have served
+        # their purpose once the having filter ran inside
+        hidden_agg = [c for c in out.columns
+                      if c.startswith(SEQ_VAR_PREFIX)]
+        if hidden_agg:
+            out = out.drop(*hidden_agg)
         if spec["distinct"]:
             out = out.dropDuplicates()
     else:

@@ -751,3 +751,22 @@ def test_rdf_list_walk_idiom(spark):
     assert [r.m for r in out.collect()] == [
         "http://example.org/a", "http://example.org/b",
         "http://example.org/c"]
+
+
+def test_having_bare_aggregates(triples):
+    # HAVING with a bare COUNT(*) — no alias needed (hidden aggregate)
+    out = sparql_query(triples, PFX + """
+      SELECT ?sup WHERE { ?sub rdfs:subClassOf ?sup }
+      GROUP BY ?sup HAVING (COUNT(*) >= 1) ORDER BY ?sup""")
+    assert [r.sup for r in out.collect()] == ["ex:A", "ex:B"]
+    # bare agg reuses a same-spec user alias; threshold filters
+    out2 = sparql_query(triples, PFX + """
+      SELECT ?t (COUNT(?c) AS ?n) WHERE { ?c a ?t }
+      GROUP BY ?t HAVING (COUNT(?c) > 2)""")
+    assert [tuple(r) for r in out2.collect()] == [(CLS, 3)]
+    out3 = sparql_query(triples, PFX + """
+      SELECT ?t (COUNT(?c) AS ?n) WHERE { ?c a ?t }
+      GROUP BY ?t HAVING (COUNT(?c) > 3)""")
+    assert out3.collect() == []
+    # no hidden columns leak into the output
+    assert out2.columns == ["t", "n"]
