@@ -669,6 +669,11 @@ class _Parser:
     _FN_SQL = {"LANG": None, "DATATYPE": None, "ISIRI": None,
                "ISURI": None, "ISLITERAL": None, "ISBLANK": None,
                "LANGMATCHES": None,
+               "SAMETERM": None,
+               # IRI/URI are identity here: the engine's term values ARE
+               # lexical strings, so constructing an IRI from a string is
+               # a cast (STR is the same mapping in reverse)
+               "IRI": "string", "URI": "string",
                "MD5": "md5", "SHA1": "sha1",
                "SHA256": None, "SHA384": None, "SHA512": None,
                "STRBEFORE": None, "STRAFTER": None,
@@ -726,6 +731,29 @@ class _Parser:
             target = {"ISIRI": "iri", "ISURI": "iri",
                       "ISLITERAL": "literal", "ISBLANK": "bnode"}[fn]
             return f"({kind} = '{target}')"
+        if fn == "SAMETERM":
+            # §17.4.1.8 term identity: lexical form + datatype + language
+            # tag + kind must all agree (plain `=` compares lexical forms
+            # only); both arguments register as meta variables
+            self.eat("(")
+            a = self.next()
+            self.eat(",")
+            b = self.next()
+            self.eat(")")
+            if a[0] not in "?$" or b[0] not in "?$":
+                raise SparqlError("sparql: sameTerm needs two variables")
+            if self._meta_sink is None:
+                raise SparqlError(
+                    "sparql: sameTerm is supported in group FILTER/BIND "
+                    "expressions only")
+            na, nb = a[1:], b[1:]
+            self._meta_sink.update((na, nb))
+            return (f"(`{na}` = `{nb}` AND "
+                    f"coalesce(`{na}$dt`, '') = coalesce(`{nb}$dt`, '') AND "
+                    f"coalesce(lower(`{na}$lang`), '') = "
+                    f"coalesce(lower(`{nb}$lang`), '') AND "
+                    f"coalesce(`{na}$kind`, 'literal') = "
+                    f"coalesce(`{nb}$kind`, 'literal'))")
         if fn in ("SHA256", "SHA384", "SHA512"):
             # Spark spells the SHA-2 family as sha2(expr, bits)
             inner = self._expr_parens()
@@ -835,7 +863,8 @@ class _Parser:
                 out.append(self._agg_ref(t.upper()))
             elif (t.upper() in ("REGEX", "BOUND", "LANGMATCHES", "SHA256",
                                 "SHA384", "SHA512", "STRBEFORE",
-                                "STRAFTER") + self._TERM_ACCESSORS):
+                                "STRAFTER", "SAMETERM")
+                  + self._TERM_ACCESSORS):
                 out.append(self._call_sql(t.upper()))
             elif t.upper() in self._FN_SQL:
                 out.append(self._FN_SQL[t.upper()])

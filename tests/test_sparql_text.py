@@ -770,3 +770,27 @@ def test_having_bare_aggregates(triples):
     assert out3.collect() == []
     # no hidden columns leak into the output
     assert out2.columns == ["t", "n"]
+
+
+def test_sameterm_and_iri_builtin(typed_triples):
+    # same lexical form, different datatype: plain = matches, sameTerm
+    # (term identity: lexical + datatype + lang + kind) does not
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [("ex:a", "ex:age", "5", "literal", XSD_INT, None, None),
+            ("ex:a", "ex:age2", "5", "literal", None, None, None),
+            ("ex:c", "ex:age", "7", "literal", XSD_INT, None, None),
+            ("ex:c", "ex:age2", "7", "literal", XSD_INT, None, None)]
+    t = typed_triples.sparkSession.createDataFrame(
+        rows, typed_triples.schema)
+    q = """
+      SELECT ?x WHERE {
+        ?x <ex:age> ?v . ?x <ex:age2> ?w . FILTER (%s)
+      }"""
+    both = sparql_query(t, q % "?v = ?w")
+    assert sorted(r.x for r in both.collect()) == ["ex:a", "ex:c"]
+    out = sparql_query(t, q % "sameTerm(?v, ?w)")
+    assert [r.x for r in out.collect()] == ["ex:c"]
+    # IRI()/URI() are identity over the lexical value space
+    out2 = sparql_query(t, """
+      SELECT ?x WHERE { ?x <ex:age> ?v . FILTER (IRI(?x) = "ex:a") }""")
+    assert [r.x for r in out2.collect()] == ["ex:a"]
