@@ -1098,6 +1098,38 @@ FROM nation
 """
 
 
+_SPARQL_TEXT_HAVING = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?r WHERE { ?p rdfs:range ?r }
+GROUP BY ?r HAVING (COUNT(DISTINCT ?p) > 4) ORDER BY ?r
+"""
+
+
+def q_sparql_having_agg(spark, sf_dir):
+    """Bare aggregate in HAVING (no alias): ranges referenced by more
+    than 4 distinct properties — every region class (5 nations each)
+    plus xsd:string (all comment properties). The parser registers the
+    COUNT(DISTINCT ?p) as a hidden aggregate the evaluator drops after
+    the filter (functions/sparql.py `_agg_ref`)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_HAVING)
+
+
+_ORACLE_SPARQL_HAVING = """
+SELECT r FROM (
+  SELECT 'http://example.org/R'||n_regionkey AS r
+  FROM nation GROUP BY n_regionkey HAVING COUNT(*) > 4
+  UNION ALL
+  SELECT 'http://www.w3.org/2001/XMLSchema#string'
+  FROM nation GROUP BY 1 HAVING COUNT(*) > 4
+) ORDER BY r
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3625,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtdl_conflict_suffix": q_dtdl_conflict_suffix,
         "usage_inference": q_usage_inference,
         "ontology_name": q_ontology_name,
+        "sparql_having_agg": q_sparql_having_agg,
     }
 
 
@@ -3716,4 +3749,5 @@ def oracle_sql() -> dict[str, str]:
         "dtdl_conflict_suffix": _ORACLE_DTDL_W4,
         "usage_inference": _ORACLE_USAGE_J4,
         "ontology_name": _ORACLE_ONTOLOGY_NAME,
+        "sparql_having_agg": _ORACLE_SPARQL_HAVING,
     }
