@@ -68,3 +68,41 @@ def streaming_doc_counts(spark: SparkSession, in_path: str, checkpoint: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_validate_to_parquet(spark: SparkSession, in_path: str,
+                               out_path: str, checkpoint: str,
+                               shapes: list[dict],
+                               available_now: bool = True,
+                               fmt: str = "parquet"):
+    """Streaming SHACL: validate each arriving document micro-batch and
+    append its violation report (exactly-once via the stream checkpoint's
+    batch id; returns the StreamingQuery).
+
+    Per-BATCH closure semantics: sh:targetClass selection and property
+    lookups see the micro-batch's own triples only — the right reading
+    when each document is self-contained (the corpus contract everywhere
+    else in this repo; a document's triples never split across batches
+    because extraction is per-row). CROSS-document constraints need the
+    batch validator (operators/shacl.validate_shapes) over a materialized
+    triple table instead — this twin is for catch-violations-on-ingest.
+    The validator's joins/aggregations are legal here because foreachBatch
+    hands a plain batch DataFrame to the same audited batch operator.
+    """
+    from ..operators.shacl import validate_shapes
+
+    docs = read_documents_stream(spark, in_path, fmt)
+    triples = extract_triples(docs)
+
+    def write_batch(df: DataFrame, batch_id: int):
+        clean = df.where(F.col("parse_error").isNull())
+        report = validate_shapes(clean, shapes)
+        (report.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    writer = (triples.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -379,3 +379,32 @@ def test_stream_chunk_ledger_surfaces_fully_dup_docs(spark, tmp_path):
               .collect()}
     # every ingested doc in the closed window appears; b shows 0 kept
     assert funnel["a"] == (1, 1) and funnel["b"] == (1, 0)
+
+
+def test_stream_validate_shapes(spark, tmp_path):
+    """Streaming SHACL twin: violations of each ingested batch land in
+    the report sink; a second availableNow run over the SAME input adds
+    nothing (exactly-once via the stream checkpoint)."""
+    import pyspark.sql.functions as F
+    from rdf_dtdl_fabric_ontology_converter_spark.sources.documents import (
+        synth_documents)
+    from rdf_dtdl_fabric_ontology_converter_spark.streaming.incremental import (
+        stream_validate_to_parquet)
+    docs = synth_documents(spark, 4, classes_per_doc=1)
+    in_path, out = str(tmp_path / "in"), str(tmp_path / "report")
+    ck = str(tmp_path / "ck")
+    docs.write.parquet(in_path)
+    shapes = [{"shape_id": "ClsShape",
+               "target_class": "http://www.w3.org/2002/07/owl#Class",
+               "properties": [{
+                   "path": "http://www.w3.org/2000/01/rdf-schema#comment",
+                   "min_count": 1}]}]
+    q = stream_validate_to_parquet(spark, in_path, out, ck, shapes)
+    q.awaitTermination(120)
+    rep = spark.read.parquet(out)
+    # every synthesized class lacks rdfs:comment -> one violation each
+    assert rep.where(F.col("constraint") == "minCount:1").count() == 4
+    n1 = rep.count()
+    q2 = stream_validate_to_parquet(spark, in_path, out, ck, shapes)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1  # nothing reprocessed
