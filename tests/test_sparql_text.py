@@ -794,3 +794,64 @@ def test_sameterm_and_iri_builtin(typed_triples):
     out2 = sparql_query(t, """
       SELECT ?x WHERE { ?x <ex:age> ?v . FILTER (IRI(?x) = "ex:a") }""")
     assert [r.x for r in out2.collect()] == ["ex:a"]
+
+
+def test_filter_translation_fuzz(spark):
+    """Property test: any FILTER expression the parser accepts must
+    translate to SQL that Spark's analyzer accepts — the translator can
+    reject (SparqlError) but must never emit unparseable SQL."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    str_atom = st.sampled_from(
+        ['?l', '"abc"', 'UCASE(?l)', 'LCASE(?l)', 'CONCAT(?l, "x")',
+         'STRBEFORE(?l, "a")', 'STRAFTER(?l, "a")', 'SUBSTR(?l, 1, 2)',
+         'REPLACE(?l, "a", "b")', 'MD5(?l)', 'STR(?l)'])
+    num_atom = st.sampled_from(['3', '-2', 'STRLEN(?l)', 'ABS(-4)',
+                                'CEIL(1.2)', 'FLOOR(2.8)', 'ROUND(2.5)'])
+
+    def bools(children):
+        leaf = st.one_of(
+            st.tuples(st.just('cmp_s'), str_atom, str_atom),
+            st.tuples(st.just('cmp_n'), num_atom, num_atom),
+            st.tuples(st.just('fn2'),
+                      st.sampled_from(['CONTAINS', 'STRSTARTS', 'STRENDS']),
+                      str_atom),
+            st.just(('regex',)), st.just(('bound',)))
+        return st.one_of(
+            leaf,
+            st.tuples(st.just('and'), children, children),
+            st.tuples(st.just('or'), children, children),
+            st.tuples(st.just('not'), children))
+
+    expr_tree = st.recursive(bools(st.nothing()), bools, max_leaves=6)
+
+    def render(t):
+        k = t[0]
+        if k == 'cmp_s':
+            return f"({t[1]} != {t[2]})"
+        if k == 'cmp_n':
+            return f"({t[1]} <= {t[2]})"
+        if k == 'fn2':
+            return f"{t[1]}({t[2]}, \"a\")"
+        if k == 'regex':
+            return 'REGEX(?l, "^a.*b$")'
+        if k == 'bound':
+            return 'BOUND(?l)'
+        if k == 'not':
+            return f"(!({render(t[1])}))"
+        return f"({render(t[1])} {'&&' if k == 'and' else '||'} {render(t[2])})"
+
+    probe = spark.createDataFrame([("abc",)], ["l"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(expr_tree)
+    def check(tree):
+        text = ("SELECT * WHERE { ?s ?p ?l . FILTER (%s) }" % render(tree))
+        g = parse(text)["group"]
+        sql = " AND ".join(f"({f})" for f in g.filters)
+        probe.where(F.expr(sql)).schema  # forces Spark analysis
+
+    check()
