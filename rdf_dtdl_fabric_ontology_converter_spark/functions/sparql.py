@@ -339,6 +339,36 @@ class _Parser:
 
     def predicate(self) -> str:
         """Predicate position: IRI/pname/a with the BGP path operators."""
+        return self.predicate_ex()[0]
+
+    def predicate_ex(self) -> tuple[str, bool]:
+        """(path string, came-from-parentheses) — the flag lets a
+        sequence accept an alternation SEGMENT when the user wrote the
+        unambiguous ``(a|b)/c`` form while still rejecting the
+        precedence-ambiguous bare ``a|b/c``."""
+        if self.peek() == "(":
+            # parenthesized alternation (a|^b|...) with an optional
+            # trailing operator — the standard SPARQL spelling of what
+            # the bare a|b+ grammar also accepts (the + still closes the
+            # whole union either way)
+            self.next()
+            atoms = [self.term(as_predicate=True)]
+            while self.peek() == "|":
+                self.next()
+                atoms.append(self.term(as_predicate=True))
+            self.eat(")")
+            for a in atoms:
+                if isinstance(a, tuple) or a.startswith("?"):
+                    raise SparqlError("sparql: a parenthesized path takes "
+                                      "IRIs (optionally ^-inverted)")
+            p = "|".join(atoms)
+            if self.peek() in ("+", "*", "?"):
+                p += self.next()
+                if self.peek() in ("|", "+", "*", "?"):
+                    raise SparqlError(
+                        "sparql: only a single trailing operator is "
+                        "supported after a parenthesized path")
+            return p, True
         if self.peek() == "!":
             # negated property set !iri / !(iri|^iri|...) (§9.1 PathNegated)
             self.next()
@@ -362,7 +392,7 @@ class _Parser:
                     raise SparqlError(
                         "sparql: only a single trailing operator is "
                         "supported after a negated property set")
-            return p
+            return p, False
         p = self.term(as_predicate=True)
         if isinstance(p, tuple):
             raise SparqlError("sparql: literal in predicate position")
@@ -378,10 +408,10 @@ class _Parser:
                         f"sparql: only a single trailing {op} is "
                         "supported (closes the whole alternation, see "
                         "operators/bgp.py)")
-                return p
+                return p, False
             nxt = self.term(as_predicate=True)
             p += "|" + nxt
-        return p
+        return p, False
 
     # -- groups ----------------------------------------------------------------
     def group(self, graph_term: str | None = None) -> _Group:
@@ -543,19 +573,23 @@ class _Parser:
         if isinstance(s, tuple):
             raise SparqlError("sparql: literal in subject position")
         while True:
-            segs = [self.predicate()]
+            seg0, par0 = self.predicate_ex()
+            segs, pars = [seg0], [par0]
             while self.peek() == "/":
                 # SequencePath p1/p2/... — desugared below per SPARQL 1.1
                 # §18.2.2.4: X (P/Q) Y ≡ X P ?fresh . ?fresh Q Y (fresh
                 # per object term, so object lists don't share the hop)
                 self.next()
-                segs.append(self.predicate())
-            if len(segs) > 1 and any("|" in x for x in segs):
+                s_i, p_i = self.predicate_ex()
+                segs.append(s_i)
+                pars.append(p_i)
+            if len(segs) > 1 and any(
+                    "|" in x and not par and not x.startswith("!")
+                    for x, par in zip(segs, pars)):
                 raise SparqlError(
-                    "sparql: alternation inside a sequence path needs "
-                    "parentheses (SPARQL binds '/' tighter than '|'), "
-                    "which are not supported — split into separate "
-                    "patterns or UNION branches")
+                    "sparql: a bare alternation inside a sequence path is "
+                    "precedence-ambiguous (SPARQL binds '/' tighter than "
+                    "'|') — parenthesize the alternation: (a|b)/c")
             while True:
                 o = self.term()
                 subj = s
@@ -1026,8 +1060,14 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
         distinct = True
     select: list[str] | None = []
     aggs: dict[str, tuple[str, str]] = {}
+    select_exprs: list[tuple[str, str]] = []
     group_by: list[str] = []
     having: str | None = None
+    # scalar SELECT expressions may use term accessors; their meta vars
+    # are pending until the WHERE group exists (save/restore nests
+    # through subqueries)
+    prev_pending = getattr(p, "_pending_meta", None)
+    p._pending_meta = set()
     while True:
         t = p.peek()
         if t == "*":
@@ -1038,12 +1078,28 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
             select.append(p.next()[1:])
             continue
         if t == "(":
-            # ( AGG(?v) AS ?name )
+            # ( AGG(?v) AS ?name ) — or a scalar projection
+            # ( expr AS ?name ), §18.2.4.4 Extend after the group's joins
+            fn = (p.peek(1) or "").upper()
+            if (fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+                           "GROUP_CONCAT") or p.peek(2) != "("):
+                # scalar SELECT expression; term accessors inside register
+                # pending meta vars merged into the group after it parses
+                prev_sink = p._meta_sink
+                p._meta_sink = p._pending_meta
+                try:
+                    sql = p._expr_parens(stop_at_as=True)
+                finally:
+                    p._meta_sink = prev_sink
+                name = p.next()
+                if name[0] not in "?$":
+                    raise SparqlError("sparql: AS needs a variable")
+                p.eat(")")
+                select_exprs.append((name[1:], sql))
+                select.append(name[1:])
+                continue
             p.next()
-            fn = p.next().upper()
-            if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
-                          "GROUP_CONCAT"):
-                raise SparqlError(f"sparql: unsupported aggregate {fn!r}")
+            p.next()
             p.eat("(")
             agg_distinct = False
             if p.at_kw("DISTINCT"):
@@ -1069,9 +1125,16 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
         break
     if select is not None and not select and not aggs:
         raise SparqlError("sparql: empty SELECT clause")
+    if select_exprs and aggs:
+        raise SparqlError(
+            "sparql: scalar SELECT expressions cannot mix with "
+            "aggregates in one projection (aggregate first, wrap in a "
+            "subquery, and compute the expression outside)")
     if p.at_kw("WHERE"):
         p.next()
     g = p.group()
+    g.meta_vars |= p._pending_meta
+    p._pending_meta = prev_pending
     if p.at_kw("GROUP"):
         p.next()
         p.eat("BY")
@@ -1140,6 +1203,7 @@ def _parse_select(p: _Parser, *, subquery: bool = False) -> dict:
                 f"sparql: non-aggregated SELECT variables {extra} must "
                 "appear in GROUP BY (§11.4)")
     return {"form": "select", "group": g, "select": select,
+            "select_exprs": select_exprs,
             "distinct": distinct, "aggs": aggs, "group_by": group_by,
             "having": having, "order": order, "limit": limit,
             "offset": offset}

@@ -78,6 +78,10 @@ def _eval_select(triples: DataFrame, spec: dict) -> DataFrame:
             sol = sol.where(F.expr(fe))
     else:
         sol = match_bgp(triples, pats, distinct=False, **kw)
+    # scalar SELECT expressions (§18.2.4.4 Extend): computed after the
+    # group's joins/binds/filters, while term-metadata columns still exist
+    for v, sql in spec.get("select_exprs", []):
+        sol = sol.withColumn(v, F.expr(sql))
     hidden = [c for c in sol.columns
               if c.startswith(SEQ_VAR_PREFIX) or "$" in c]
     if hidden:

@@ -855,3 +855,39 @@ def test_filter_translation_fuzz(spark):
         probe.where(F.expr(sql)).schema  # forces Spark analysis
 
     check()
+
+
+def test_parenthesized_paths(triples):
+    # standard spelling (a|b)+ — same encoding as the bare a|b+ form
+    spec = parse(PFX + "SELECT * WHERE { ?x (ex:a|^ex:b)+ ?y }")
+    assert spec["group"].patterns == [("?x", "ex:a|^ex:b+", "?y")]
+    # parenthesized alternation INSIDE a sequence is now unambiguous
+    out = sparql_query(triples, PFX + """
+      SELECT ?l WHERE { ex:C (rdfs:subClassOf|<ex:nope>)+/rdfs:label ?l }
+      ORDER BY ?l""")
+    assert [r.l for r in out.collect()] == ["alpha", "beta"]
+    # the bare ambiguous form still raises, with guidance
+    with pytest.raises(SparqlError, match="parenthesize"):
+        parse(PFX + "SELECT * WHERE { ?x ex:a|ex:b/ex:c ?y }")
+
+
+def test_select_scalar_expressions(triples, typed_triples):
+    out = sparql_query(triples, PFX + """
+      SELECT ?c (STRLEN(?l) AS ?n) (UCASE(?l) AS ?u)
+      WHERE { ?c rdfs:label ?l } ORDER BY ?c""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("ex:A", 5, "ALPHA"), ("ex:B", 4, "BETA")]
+    # accessor inside a projection expression (meta vars pend until the
+    # group is parsed)
+    out2 = sparql_query(typed_triples, """
+      SELECT ?s (LANG(?v) AS ?tag) WHERE { ?s <ex:name> ?v .
+        FILTER (STRLEN(LANG(?v)) > 0) } ORDER BY ?s""")
+    assert [tuple(r) for r in out2.collect()] == [
+        ("ex:d", "en"), ("ex:e", "FR")]
+    # guard: aggregates don't mix with scalar projections
+    with pytest.raises(SparqlError, match="cannot mix"):
+        parse("""SELECT (COUNT(*) AS ?n) (STRLEN(?l) AS ?m)
+                 WHERE { ?s ?p ?l }""")
+    # an aggregate spelled inside the paren still routes to the agg path
+    spec = parse("SELECT (MIN(?v) AS ?m) WHERE { ?x <ex:v> ?v }")
+    assert spec["aggs"] == {"m": ("MIN", "v")} and not spec["select_exprs"]
