@@ -1130,6 +1130,33 @@ SELECT r FROM (
 """
 
 
+_SPARQL_TEXT_SELEXPR = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?l (STRLEN(?l) AS ?n) (LCASE(?l) AS ?lo)
+WHERE { ?x rdfs:label ?l } ORDER BY ?l
+"""
+
+
+def q_sparql_select_expr(spark, sf_dir):
+    """Scalar SELECT expressions (§18.2.4.4 Extend): computed after the
+    group's joins, projected alongside plain variables
+    (functions/sparql.py select grammar; evaluator applies them as
+    post-join columns)."""
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.extract import (
+        extract_triples, split_errors)
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.sparql import (
+        sparql_query)
+    clean, _ = split_errors(extract_triples(_nation_ttl_docs(spark, sf_dir)))
+    return sparql_query(clean, _SPARQL_TEXT_SELEXPR)
+
+
+_ORACLE_SPARQL_SELEXPR = """
+SELECT n_name AS l, CAST(length(n_name) AS INT) AS n,
+       lower(n_name) AS lo
+FROM nation ORDER BY l
+"""
+
+
 def q_kg_entity_types(spark, sf_dir):
     """Full pipeline → vertex table (ids are the sha256 fabric-id scheme)."""
     res = _kg_result(spark, sf_dir)
@@ -3658,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_inference": q_usage_inference,
         "ontology_name": q_ontology_name,
         "sparql_having_agg": q_sparql_having_agg,
+        "sparql_select_expr": q_sparql_select_expr,
     }
 
 
@@ -3750,4 +3778,5 @@ def oracle_sql() -> dict[str, str]:
         "usage_inference": _ORACLE_USAGE_J4,
         "ontology_name": _ORACLE_ONTOLOGY_NAME,
         "sparql_having_agg": _ORACLE_SPARQL_HAVING,
+        "sparql_select_expr": _ORACLE_SPARQL_SELEXPR,
     }

@@ -13,10 +13,18 @@ with the unsupported construct named — never a silent wrong answer):
 
     query      := prologue (select | ask | describe | construct)
     prologue   := ('PREFIX' pname ':' iriref)*
-    select     := 'SELECT' 'DISTINCT'? (vars | '*' | aggs)
+    select     := 'SELECT' 'DISTINCT'? (var | '*' | '(' agg 'AS' var ')'
+                                        | '(' expr 'AS' var ')')+
                   'WHERE'? group
-                  ('GROUP' 'BY' vars)? ('HAVING' '(' expr ')')?
+                  ('GROUP' 'BY' vars)?
+                  ('HAVING' '(' expr ')')?     -- bare aggs allowed here
                   ('ORDER' 'BY' ordercond+)? ('LIMIT' n)? ('OFFSET' n)?
+    ordercond  := var | ('ASC'|'DESC') '(' (var | expr) ')'
+                | fn-call | '(' expr ')'
+    path       := seg ('/' seg)*
+    seg        := atom | atom op | '(' alt ')' op? | '!' atom
+                | '!(' alt ')' op?              -- op in {+ * ?}
+    alt        := [^]iri ('|' [^]iri)*
     ask        := 'ASK' 'WHERE'? group
     describe   := 'DESCRIBE' (iri+ | var) ('WHERE'? group)?
     construct  := 'CONSTRUCT' '{' plain-triples '}' 'WHERE'? group
@@ -43,12 +51,16 @@ translation; intermediates are dropped from SELECT solutions without
 collapsing the multiset). Mixing ``|`` with ``/`` in one path raises
 (needs parentheses, which are not offered). FILTER expressions
 translate to Spark SQL over the variable columns: comparisons,
-``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, and the
-string/numeric builtins in ``_FN_SQL`` (STR/STRLEN/CONTAINS/
-STRSTARTS/STRENDS/UCASE/LCASE/SUBSTR/CONCAT/REPLACE/COALESCE/ABS/
-CEIL/FLOOR/ROUND/IF). ``BIND(expr AS ?v)`` is supported in SELECT
-groups; the bound variable extends solutions AFTER the group's joins
-(usable in FILTER/SELECT/ORDER, not in triple patterns — enforced).
+``&&/||/!``, ``IN``, ``REGEX(?v, "re")``, ``BOUND(?v)``, term accessors
+(LANG/DATATYPE/isIRI/isURI/isLiteral/isBlank/LANGMATCHES/sameTerm —
+compiled against hidden term-metadata columns, see operators/bgp.py
+``meta_vars``), and the string/numeric builtins in ``_FN_SQL``
+(STR/STRLEN/CONTAINS/STRSTARTS/STRENDS/UCASE/LCASE/SUBSTR/CONCAT/
+REPLACE/COALESCE/ABS/CEIL/FLOOR/ROUND/IF/IRI/URI/MD5/SHA1/SHA256/
+SHA384/SHA512/STRBEFORE/STRAFTER). ``BIND(expr AS ?v)`` and scalar
+``SELECT (expr AS ?v)`` projections extend solutions AFTER the group's
+joins (usable in FILTER/SELECT/ORDER, not in triple patterns —
+enforced).
 Subqueries ``{ SELECT ... }`` are supported in SELECT groups: the
 inner SELECT is evaluated independently (its own aggregates/modifiers)
 and joined onto the outer solution on its projected shared variables
