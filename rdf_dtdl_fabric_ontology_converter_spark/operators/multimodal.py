@@ -76,6 +76,10 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
       APP1 (metadata-level; entropy stream histogrammed as the feature).
     - MP4/ISO-BMFF: duration from moov/mvhd, track dims from trak/tkhd
       (metadata-level box walk; mdat bytes histogrammed as the feature).
+    - GIF87a/89a: logical screen dims, animation duration via the
+      block-structure walk (no LZW decompression needed — frame
+      boundaries and GCE delays live outside the pixel streams).
+    - TIFF (both byte orders): dims + orientation from the IFD0 walk.
 
     Anything else raises → a decode_error row, never a task failure.
     """
@@ -172,7 +176,110 @@ def stdlib_decoder(ref: str, payload: bytes | None) -> dict:
     if len(payload) >= 12 and payload[4:8] == b"ftyp":  # MP4/ISO-BMFF
         return _decode_mp4_meta(payload)
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_meta(payload)
+
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF
+        return _decode_tiff_meta(payload)
+
     raise ValueError(f"unsupported container (magic={payload[:4]!r})")
+
+
+def _decode_gif_meta(payload: bytes) -> dict:
+    """GIF87a/89a metadata-level decode: logical screen dims from the
+    descriptor, frame count from the image-descriptor block walk, total
+    duration from the Graphic Control Extensions' delay fields — all
+    WITHOUT touching the LZW pixel streams (frame boundaries and timing
+    live in the block structure, so no decompression is needed).
+    Feature = 8-bin histogram over the raw data-stream bytes, the same
+    compressed-space content-signature convention as the JPEG entropy
+    stream. Malformed block structure raises → decode_error row."""
+    import struct
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames, delay_cs = 0, 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF: truncated sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if payload[pos + 1] == 0xF9 and payload[pos + 2] >= 4:
+                delay_cs += struct.unpack_from("<H", payload, pos + 4)[0]
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b == 0x2C:  # image descriptor
+            frames += 1
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            continue
+        raise ValueError(f"GIF: unknown block 0x{b:02x} at {pos}")
+    if frames == 0:
+        raise ValueError("GIF: no image descriptors")
+    hist = [0] * 8
+    for v in payload:
+        hist[v >> 5] += 1
+    tot = max(sum(hist), 1)
+    # an animated GIF reports its total delay as duration (the decoded
+    # schema has no frame-count slot; duration is what downstream
+    # sampling cares about), a still GIF reports none
+    return {"media_type": "image", "width": int(w), "height": int(h),
+            "duration_ms": int(delay_cs * 10) if frames > 1 else None,
+            "orientation": None,
+            "feature": [v / tot for v in hist], "decode_error": None}
+
+
+def _decode_tiff_meta(payload: bytes) -> dict:
+    """TIFF metadata-level decode: IFD0 walk for ImageWidth(256) /
+    ImageLength(257) / Orientation(274) — SHORT and LONG entry types,
+    both byte orders. Feature = 8-bin whole-payload byte histogram (the
+    compressed-space signature convention)."""
+    import struct
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd,) = struct.unpack_from(bo + "I", payload, 4)
+    (count,) = struct.unpack_from(bo + "H", payload, ifd)
+    width = height = orient = None
+    for i in range(count):
+        off = ifd + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(bo + "HHI", payload, off)
+        if typ == 3:      # SHORT
+            (val,) = struct.unpack_from(bo + "H", payload, off + 8)
+        elif typ == 4:    # LONG
+            (val,) = struct.unpack_from(bo + "I", payload, off + 8)
+        else:
+            continue
+        if tag == 256:
+            width = int(val)
+        elif tag == 257:
+            height = int(val)
+        elif tag == 274:
+            orient = int(val)
+    if width is None or height is None:
+        raise ValueError("TIFF: IFD0 lacks ImageWidth/ImageLength")
+    hist = [0] * 8
+    for v in payload:
+        hist[v >> 5] += 1
+    tot = max(sum(hist), 1)
+    return {"media_type": "image", "width": width, "height": height,
+            "duration_ms": None, "orientation": orient,
+            "feature": [v / tot for v in hist], "decode_error": None}
 
 
 def png_decode(payload: bytes) -> tuple[int, int, int, list[tuple]]:

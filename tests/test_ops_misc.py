@@ -973,3 +973,52 @@ def test_mp4_sample_table_and_frame_sampling(spark):
                                (1500, 3, frames[3])]
     bad = [r for r in rows if r["media_ref"] == "b.bin"]
     assert len(bad) == 1 and bad[0]["sample_error"] is not None
+
+
+def test_gif_tiff_metadata_decode():
+    """GIF block-walk and TIFF IFD-walk metadata decoders (no pixel
+    decompression needed for either)."""
+    import struct
+    from rdf_dtdl_fabric_ontology_converter_spark.operators.multimodal import (
+        stdlib_decoder)
+    # 2-frame 3x2 GIF89a with 10cs + 20cs delays, local color tables
+    def frame(delay_cs):
+        gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 2) + b"\x80"
+        lct = b"\x00" * 6  # 2 entries x 3
+        data = b"\x02" + b"\x01\x00" + b"\x00"  # min code + 1 sub-block + end
+        return gce + desc + lct + data
+    gif = (b"GIF89a" + struct.pack("<HH", 3, 2) + b"\x00\x00\x00"
+           + frame(10) + frame(20) + b"\x3b")
+    d = stdlib_decoder("x.gif", gif)
+    assert (d["media_type"], d["width"], d["height"]) == ("image", 3, 2)
+    assert d["duration_ms"] == 300 and d["decode_error"] is None
+    assert abs(sum(d["feature"]) - 1.0) < 1e-9
+    # still GIF: no duration
+    gif1 = (b"GIF89a" + struct.pack("<HH", 3, 2) + b"\x00\x00\x00"
+            + frame(10) + b"\x3b")
+    assert stdlib_decoder("y.gif", gif1)["duration_ms"] is None
+    # little-endian TIFF: width 5, height 7, orientation 6
+    entries = [(256, 3, 1, 5), (257, 4, 1, 7), (274, 3, 1, 6)]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, n, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, n)
+        ifd += (struct.pack("<H", val) + b"\x00\x00" if typ == 3
+                else struct.pack("<I", val))
+    ifd += struct.pack("<I", 0)
+    tif = b"II*\x00" + struct.pack("<I", 8) + ifd
+    t = stdlib_decoder("x.tif", tif)
+    assert (t["width"], t["height"], t["orientation"]) == (5, 7, 6)
+    # big-endian TIFF
+    ifd_be = struct.pack(">H", 2)
+    ifd_be += struct.pack(">HHI", 256, 3, 1) + struct.pack(">H", 9) + b"\x00\x00"
+    ifd_be += struct.pack(">HHI", 257, 3, 1) + struct.pack(">H", 4) + b"\x00\x00"
+    ifd_be += struct.pack(">I", 0)
+    tif_be = b"MM\x00*" + struct.pack(">I", 8) + ifd_be
+    tb = stdlib_decoder("y.tif", tif_be)
+    assert (tb["width"], tb["height"], tb["orientation"]) == (9, 4, None)
+    # truncated GIF surfaces as a named error (decode_media turns it
+    # into a decode_error row)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="GIF"):
+        stdlib_decoder("bad.gif", gif[:20])
