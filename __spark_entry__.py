@@ -3002,6 +3002,10 @@ def q_media_decode(spark, sf_dir):
                      bytearray(_synth_jpeg(100 + k, 50 + k, (k % 8) + 1))))
         rows.append((f"nation_{k}", 2, f"mp4://{k}",
                      bytearray(_synth_mp4(2000 + k, 320 + k, 240 + k))))
+        rows.append((f"nation_{k}", 3, f"gif://{k}",
+                     bytearray(_synth_gif(10 + k, 20 + k, [k, k + 1]))))
+        rows.append((f"nation_{k}", 4, f"tif://{k}",
+                     bytearray(_synth_tiff(30 + k, 40 + k, (k % 8) + 1))))
     refs = spark.createDataFrame(
         rows, "doc_id string, span_idx int, media_ref string, payload binary")
     # nullable ints coalesce to -1 on BOTH sides: a NULL-carrying INT column
@@ -3033,8 +3037,42 @@ SELECT 'nation_'||n_nationkey, 2, 'video',
        CAST(320 + n_nationkey AS INT), CAST(240 + n_nationkey AS INT),
        CAST(2000 + n_nationkey AS BIGINT), CAST(-1 AS INT)
 FROM nation
+UNION ALL
+SELECT 'nation_'||n_nationkey, 3, 'image',
+       CAST(10 + n_nationkey AS INT), CAST(20 + n_nationkey AS INT),
+       CAST((2 * n_nationkey + 1) * 10 AS BIGINT), CAST(-1 AS INT)
+FROM nation
+UNION ALL
+SELECT 'nation_'||n_nationkey, 4, 'image',
+       CAST(30 + n_nationkey AS INT), CAST(40 + n_nationkey AS INT),
+       CAST(-1 AS BIGINT), CAST((n_nationkey % 8) + 1 AS INT)
+FROM nation
 ORDER BY doc_id, span_idx
 """
+
+
+def _synth_gif(w: int, h: int, delays_cs: list[int]) -> bytes:
+    """Minimal multi-frame GIF89a (no global table; per-frame GCE delay,
+    2-entry local table, one empty-ish LZW sub-block)."""
+    import struct
+    out = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    for d in delays_cs:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", d) + b"\x00\x00"
+        out += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x80"
+                + b"\x00" * 6 + b"\x02" + b"\x01\x00" + b"\x00")
+    return out + b"\x3b"
+
+
+def _synth_tiff(w: int, h: int, orientation: int) -> bytes:
+    """Minimal little-endian TIFF: IFD0 with ImageWidth/ImageLength
+    (SHORT) and Orientation."""
+    import struct
+    entries = [(256, w), (257, h), (274, orientation)]
+    ifd = struct.pack("<H", len(entries))
+    for tag, val in entries:
+        ifd += (struct.pack("<HHI", tag, 3, 1)
+                + struct.pack("<H", val) + b"\x00\x00")
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + struct.pack("<I", 0)
 
 
 _IVF_K = 4        # coarse-quantizer cells for the driver demo
