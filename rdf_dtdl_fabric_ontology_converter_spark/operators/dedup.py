@@ -61,33 +61,33 @@ def shingle_rows(documents: DataFrame, text_col: str = "text",
     consumers needing set semantics aggregate with collect_set, and
     per-permutation ``min`` is unaffected by duplicates).
 
-    posexplode + per-doc lead window: the split runs once per document and
-    each shingle is a 3-column concat — no nested higher-order functions,
-    no per-element re-split (see shingles() perf note). The window and the
-    downstream per-doc aggregate hash-partition on the same key, so the
-    extra sort rides the exchange the aggregate needs anyway.
+    Fully NARROW (r6, guide §2.3/§2.4 — the previous lead-window form
+    shuffled and sorted every (doc, token) row by doc just to line up
+    neighbours, an exchange carrying the whole tokenized corpus):
+
+    1. ``explode(array(tokens))`` materializes the token array as a
+       concrete attribute behind a Generate barrier — the split runs once
+       per document, and projection collapse cannot inline it into the
+       per-element lambda below (the ``shingles()`` perf-note trap).
+    2. ``transform(sequence, i -> concat_ws(slice(t, i+1, n)))`` builds
+       the stride-1 window texts per row, then one more explode yields the
+       shingle rows. Zero exchanges; downstream per-doc aggregates do
+       their own (partial-aggregated, O(#docs)) shuffle — previously that
+       shuffle carried every token occurrence.
+
+    Short docs (< n tokens, including empty) fall back to the whole
+    joined text as one shingle, exactly as before.
     """
-    toks = documents.select(
-        key_col,
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-        F.size(tokens(F.col(text_col))).alias("n_tok"))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(key_col).orderBy("pos")
-    cols = ["tok"]
-    cur = toks
-    for j in range(1, n):
-        cur = cur.withColumn(f"t{j}", F.lead("tok", j).over(w))
-        cols.append(f"t{j}")
-    big = (cur.where((F.col("n_tok") >= n) &
-                     F.col(f"t{n - 1}").isNotNull())
-           .select(key_col, F.concat_ws(" ", *cols).alias("sh")))
-    small = (documents
-             .select(key_col,
-                     F.concat_ws(" ", tokens(F.col(text_col))).alias("sh"),
-                     F.size(tokens(F.col(text_col))).alias("n_tok"))
-             .where(F.col("n_tok") < n)
-             .select(key_col, "sh"))
-    return big.unionByName(small)
+    t = F.col("t")
+    shs = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return (documents
+            .select(key_col,
+                    F.explode(F.array(tokens(F.col(text_col)))).alias("t"))
+            .select(key_col, F.explode(shs).alias("sh")))
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text",
@@ -140,6 +140,11 @@ def lsh_candidates(documents: DataFrame, text_col: str = "text",
     text collapses to one keeper before banding; the cap then only bounds
     near-identical-but-unequal families.
     """
+    # NOTE (r6 plan audit): the band frame feeds both self-join sides, but
+    # Spark's exchange reuse already executes the shingle → window →
+    # md5-min pipeline ONCE (executed adaptive plan shows 2 Window ops,
+    # i.e. one pipeline); an explicit localCheckpoint here was measured
+    # SLOWER (extra materialization without saved work) and reverted.
     mins = minhash_signatures(documents, text_col, key_col, n_hash)
     rows_per_band = n_hash // n_bands
     bands = [
@@ -246,8 +251,16 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
             hyperplane_signature(F.col(vec_col), dim, n_planes,
                                  offset=b * n_planes).alias("bucket"))
             for b in range(max(n_bands, 1))]
+        # precompute each vector's norm ONCE per row here (O(N) norm
+        # evaluations) instead of inside the pair-scoring expression
+        # (O(#pairs) — quadratic in bucket occupancy); the norm value is
+        # the identical expression over the identical input, so the cosine
+        # is bit-for-bit unchanged. The signed frame is materialized once:
+        # it feeds both self-join sides plus the bucket-size aggregate.
         v = (v.select(id_col, vec_col, F.explode(F.array(*sigs)).alias("bs"))
-             .select(id_col, vec_col, "bs.band", "bs.bucket"))
+             .select(id_col, vec_col, "bs.band", "bs.bucket",
+                     _norm(F.col(vec_col)).alias("nrm"))
+             .localCheckpoint(eager=False))
         if max_bucket is not None:
             sizes = (v.groupBy("band", "bucket")
                      .agg(F.count("*").alias("bucket_n")))
@@ -255,24 +268,27 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
             v = v.join(sizes.where(F.col("bucket_n") <= max_bucket),
                        ["band", "bucket"], "left_semi")
         a = v.select(F.col(id_col).alias("doc_a"),
-                     F.col(vec_col).alias("va"), "band", "bucket")
+                     F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+                     "band", "bucket")
         b = v.select(F.col(id_col).alias("doc_b"),
-                     F.col(vec_col).alias("vb"), "band", "bucket")
+                     F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
+                     "band", "bucket")
         pairs = (a.join(b, ["band", "bucket"])
                  .where(F.col("doc_a") < F.col("doc_b"))
-                 .select("doc_a", "doc_b", "va", "vb"))
+                 .select("doc_a", "doc_b", "va", "vb", "na", "nb"))
         if n_bands > 1:
             # the same pair can surface in several bands — dedup BEFORE
             # the cosine so each candidate is scored once
             pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     else:
         a = v.select(F.col(id_col).alias("doc_a"),
-                     F.col(vec_col).alias("va"))
+                     F.col(vec_col).alias("va"),
+                     _norm(F.col(vec_col)).alias("na"))
         b = v.select(F.col(id_col).alias("doc_b"),
-                     F.col(vec_col).alias("vb"))
+                     F.col(vec_col).alias("vb"),
+                     _norm(F.col(vec_col)).alias("nb"))
         pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
-                                            _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     out = (pairs.withColumn("cos", cos)
            .where(F.col("cos") >= threshold)
            .select("doc_a", "doc_b", "cos"))
