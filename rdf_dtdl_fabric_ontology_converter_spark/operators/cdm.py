@@ -243,20 +243,27 @@ def convert_cdm(cdm_entities: DataFrame, cdm_rels: DataFrame,
              .select("entity_name", F.col("extends").alias("src"))
              .join(ents.select(F.col("entity_name").alias("src")),
                    "src", "left_semi"))
+    # one driver action per round (r6 — was an isEmpty() probe PLUS an
+    # eager checkpoint per round): the frontier count materializes the
+    # lazily-checkpointed frontier, and the chain checkpoint rides the
+    # same job through the anti-join lineage
     chain = self_rows
-    cur = edges.withColumn("depth", F.lit(1))
+    cur = edges.withColumn("depth", F.lit(1)).localCheckpoint(eager=False)
+    n_cur = cur.count()
     for d in range(1, MAX_EXTENDS_DEPTH + 1):
-        if cur.isEmpty():
+        if n_cur == 0:
             break
         chain = chain.unionByName(cur).dropDuplicates(
-            ["entity_name", "src"]).localCheckpoint()
-        cur = (cur.alias("a")
-               .join(edges.alias("b"),
-                     F.col("a.src") == F.col("b.entity_name"))
-               .select(F.col("a.entity_name").alias("entity_name"),
-                       F.col("b.src").alias("src"))
-               .withColumn("depth", F.lit(d + 1))
-               .join(chain, ["entity_name", "src"], "left_anti"))
+            ["entity_name", "src"]).localCheckpoint(eager=False)
+        cur = ((cur.alias("a")
+                .join(edges.alias("b"),
+                      F.col("a.src") == F.col("b.entity_name"))
+                .select(F.col("a.entity_name").alias("entity_name"),
+                        F.col("b.src").alias("src"))
+                .withColumn("depth", F.lit(d + 1))
+                .join(chain, ["entity_name", "src"], "left_anti"))
+               .localCheckpoint(eager=False))
+        n_cur = cur.count()
 
     attrs = (ents.select("entity_name",
                          F.explode("attributes").alias("a"))

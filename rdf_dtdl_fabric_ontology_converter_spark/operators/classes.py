@@ -82,7 +82,10 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     closure = edges.select(F.col("child").alias("src"), F.col("parent").alias("dst"))
     # one driver action per round: the count() materializes the lazy
     # checkpoint AND is the convergence check (vs old-count comparison,
-    # which re-counted the previous round's frame every round)
+    # which re-counted the previous round's frame every round).
+    # (r6 note: seeding this first action with a double-double to save one
+    # round was tried and measured SLOWER — the seed joins run over the
+    # un-checkpointed edge lineage and cost more than the saved action.)
     closure = closure.localCheckpoint(eager=False)
     prev = closure.count()
     if prev == 0:

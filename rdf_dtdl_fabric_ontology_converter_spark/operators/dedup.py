@@ -351,9 +351,12 @@ def dedup_pipeline(documents: DataFrame, text_col: str = "text",
     hashed = documents.select(F.col(key_col).alias("doc"),
                               F.md5(F.col(text_col)).alias("text_hash"))
     groups = hashed.groupBy("text_hash").agg(F.min("doc").alias("keeper"))
+    # doc2keeper has a single consumer (the assignments join below), so it
+    # carries no checkpoint: the md5 aggregate it shares with keep_docs is
+    # materialized once anyway inside the CC edge checkpoint's lineage,
+    # and an extra eager materialization here only added latency (r6 trim)
     doc2keeper = (hashed.join(groups, "text_hash")
-                  .select("doc", "keeper")
-                  .localCheckpoint(eager=False))
+                  .select("doc", "keeper"))
     keep_docs = documents.join(
         groups.select(F.col("keeper").alias(key_col)), key_col, "left_semi")
     pairs, capped = lsh_candidates(keep_docs, text_col, key_col, n_hash,

@@ -139,9 +139,16 @@ def ancestor_closure(ifaces: DataFrame,
                    "ancestor", "left_semi"))
     closure = edges.localCheckpoint(eager=False)
     prev = closure.count()
+    if prev == 0:
+        return closure
+    # path DOUBLING (closure ⋈ closure, r6 — was closure ⋈ edges): the
+    # reachable extends-depth doubles per round, so a depth-d hierarchy
+    # converges in O(log d) driver actions instead of O(d); the closure of
+    # a DAG is identical either way, and convergence (row count stable)
+    # is exact because the row set only grows.
     for _ in range(max_depth):
         grown = (closure.alias("a")
-                 .join(edges.alias("b"),
+                 .join(closure.alias("b"),
                        F.col("a.ancestor") == F.col("b.dtmi"))
                  .select(F.col("a.dtmi").alias("dtmi"),
                          F.col("b.ancestor").alias("ancestor")))

@@ -100,9 +100,31 @@ def rdfs_entailment(triples: DataFrame,
     inst = triples
     out: list[DataFrame] = []
 
-    # --- property layer -------------------------------------------------
-    if {"rdfs5", "rdfs7"} & set(rules):
+    # Fused schema closures (r6): when both the property layer and the
+    # class layer are enabled (the default), the subPropertyOf and
+    # subClassOf transitive closures run as ONE pred-tagged path-doubling
+    # loop (_closure_by_pred) instead of two private loops — half the
+    # per-round driver actions for identical per-predicate results.
+    need_prop = bool({"rdfs5", "rdfs7"} & set(rules))
+    need_cls = bool({"rdfs9", "rdfs11"} & set(rules))
+    prop_cl = cls_cl = None
+    if need_prop and need_cls:
+        both = (triples
+                .where(F.col("pred").isin([RDFS_SUBPROP, RDFS_SUBCLASS]))
+                .select("pred", F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+        fused = _closure_by_pred(both)
+        prop_cl = fused.where(F.col("pred") == RDFS_SUBPROP) \
+            .select("src", "dst")
+        cls_cl = fused.where(F.col("pred") == RDFS_SUBCLASS) \
+            .select("src", "dst")
+    elif need_prop:
         prop_cl = _closure(triples, RDFS_SUBPROP)
+    elif need_cls:
+        cls_cl = _closure(triples, RDFS_SUBCLASS)
+
+    # --- property layer -------------------------------------------------
+    if need_prop:
         if "rdfs5" in rules:
             out.append(prop_cl.select(F.col("src").alias("subj"),
                                       F.lit(RDFS_SUBPROP).alias("pred"),
@@ -133,8 +155,7 @@ def rdfs_entailment(triples: DataFrame,
                            F.col("r_cls").alias("obj")))
 
     # --- class layer ----------------------------------------------------
-    if {"rdfs9", "rdfs11"} & set(rules):
-        cls_cl = _closure(triples, RDFS_SUBCLASS)
+    if need_cls:
         if "rdfs11" in rules:
             out.append(cls_cl.select(F.col("src").alias("subj"),
                                      F.lit(RDFS_SUBCLASS).alias("pred"),

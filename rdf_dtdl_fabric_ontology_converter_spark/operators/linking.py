@@ -161,9 +161,11 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
     # executed plan re-runs the whole mention pipeline (and the pandas
     # scorer) per branch, the curate_corpus lesson (plan audit showed 82
     # exchanges without these, 15 with).
+    # (cand is NOT checkpointed: its only consumer is occ_cand, which is
+    # checkpointed itself — a checkpoint here would add one more
+    # sequential materialization for no saved recompute; r6 trim)
     exact = exact.localCheckpoint(eager=False)
     unlinked = unlinked.localCheckpoint(eager=False)
-    cand = cand.localCheckpoint(eager=False)
     occ = unlinked.select(doc_col, "norm_mention").dropDuplicates()
     occ_cand = (occ.join(cand.select("norm_mention", "entity_id", "score"),
                          "norm_mention")
