@@ -746,12 +746,14 @@ class _Parser:
                     'LANGMATCHES(LANG(?v), "range")')
             lang_sql = self._call_sql("LANG")
             self.eat(",")
-            rng = _unquote(self.next()).lower().replace("'", "''")
+            rng = _unquote(self.next()).lower()
             self.eat(")")
             if rng == "*":
                 return f"(coalesce({lang_sql}, '') <> '')"
-            return (f"(lower({lang_sql}) = '{rng}' OR "
-                    f"startswith(lower({lang_sql}), '{rng}-'))")
+            rng_lit = _sql_str(rng)
+            rng_dash = _sql_str(rng + "-")
+            return (f"(lower({lang_sql}) = {rng_lit} OR "
+                    f"startswith(lower({lang_sql}), {rng_dash}))")
         if fn in self._TERM_ACCESSORS:
             self.eat("(")
             v = self.next()
@@ -816,7 +818,7 @@ class _Parser:
                 raise SparqlError(f"sparql: {fn} needs (?var, \"lit\")")
             self.eat(")")
             col = f"`{v[1:]}`"
-            s = "'" + _unquote(lit).replace("'", "''") + "'"
+            s = _sql_str(_unquote(lit))
             if fn == "STRBEFORE":
                 return (f"(CASE WHEN instr({col}, {s}) > 0 THEN "
                         f"substring({col}, 1, instr({col}, {s}) - 1) "
@@ -832,8 +834,7 @@ class _Parser:
             self.eat(",")
             pat = self.next()
             self.eat(")")
-            return (f"`{v[1:]}` RLIKE "
-                    f"'{_unquote(pat).replace(chr(39), chr(39) * 2)}'")
+            return f"`{v[1:]}` RLIKE {_sql_str(_unquote(pat))}"
         if fn == "BOUND":
             self.eat("(")
             v = self.next()
@@ -902,7 +903,7 @@ class _Parser:
             elif t == "!":
                 out.append("NOT")
             elif t[0] in "\"'":
-                out.append("'" + _unquote(t).replace("'", "''") + "'")
+                out.append(_sql_str(_unquote(t)))
             elif (self._agg_sink is not None and
                   t.upper() in ("COUNT", "SUM", "MIN", "MAX", "AVG",
                                 "SAMPLE", "GROUP_CONCAT")):
@@ -955,6 +956,19 @@ def _unquote(t: str) -> str:
     return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", '"': '"',
                                        "'": "'", "\\": "\\"}.get(
                                            m.group(1), m.group(1)), body)
+
+
+def _sql_str(s: str) -> str:
+    """Embed a Python string as a Spark SQL single-quoted literal.
+
+    Backslashes MUST be escaped before quotes: Spark's default string
+    parser treats backslash as an escape, so an unescaped ``\\d`` in a
+    REGEX/FILTER literal was silently consumed (``^\\d+$`` compiled to
+    regex ``^d+$`` — r5 ADVICE, high). Every literal-embedding site
+    (REGEX, LANGMATCHES, STRBEFORE/STRAFTER, generic expression literals)
+    routes through here.
+    """
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def parse(text: str) -> dict:

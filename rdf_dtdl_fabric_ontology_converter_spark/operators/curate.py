@@ -129,13 +129,21 @@ def chunk_dedup(documents: DataFrame, chunk: int = 10,
     reassembled in order. → (key_col, n_units, n_kept, text_clean)."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
-    toks = documents.select(
-        key_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
-    units = (toks.withColumn("idx", (F.col("pos") / chunk).cast("int"))
-             .groupBy(key_col, "idx")
-             .agg(F.concat_ws(" ", F.transform(
-                 F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                 lambda s: s["tok"])).alias("unit")))
+    # NARROW unit construction (r6, the shingle_rows device): the previous
+    # posexplode + groupBy(key, idx) + collect_list shape shuffled every
+    # (doc, token) row just to glue consecutive tokens back together.
+    # Splitting once behind a Generate barrier and slicing the token array
+    # per chunk yields identical (key, idx, unit) rows with ZERO exchanges
+    # — the only shuffle left in chunk_dedup is the skew-safe
+    # first-occurrence aggregate on md5(unit).
+    t = F.col("t")
+    unit_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / F.lit(chunk)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * chunk + 1, chunk)))
+    units = (documents
+             .select(key_col,
+                     F.explode(F.array(tokens(F.col(text_col)))).alias("t"))
+             .select(key_col, F.posexplode(unit_arr).alias("idx", "unit")))
     n_units = F.ceil(F.size(tokens(F.col(text_col))) / F.lit(chunk))
     return _dedup_units(documents, units, n_units, key_col, " ")
 
@@ -376,18 +384,32 @@ def quality_filter(documents: DataFrame, min_tok: int = 20,
                    rep_factor: int = 8, text_col: str = "text",
                    key_col: str = "doc_id") -> DataFrame:
     """Keep documents with at least ``min_tok`` tokens whose most frequent
-    token is at most 1/``rep_factor`` of them (all input columns pass)."""
-    toks = documents.select(
-        key_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-    qstats = (toks.groupBy(key_col, "tok").count()
-              .groupBy(key_col)
-              .agg(F.sum("count").alias("n_tok"),
-                   F.max("count").alias("top_tok_n")))
-    ids = (qstats.where(
-        (F.col("n_tok") >= min_tok) &
-        (F.col("top_tok_n") * rep_factor <= F.col("n_tok")))
-        .select(key_col))
-    return documents.join(ids, key_col, "left_semi")
+    token is at most 1/``rep_factor`` of them (all input columns pass).
+
+    Fully NARROW (r6): the per-document top-token count is the longest
+    equal-run over the SORTED token array, computed with one ``aggregate``
+    fold per row — the previous (doc, token) explode + two-level groupBy
+    + semi-join shuffled every token occurrence twice to produce the same
+    two integers per document. Integer run-length arithmetic, so the
+    decision is bit-identical.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                       acc["run"] + 1).otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    return documents.where((n_tok >= min_tok) &
+                           (run * rep_factor <= n_tok))
 
 
 def keep_exact_keepers(documents: DataFrame, text_col: str = "text",

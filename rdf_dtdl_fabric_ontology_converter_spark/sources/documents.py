@@ -153,9 +153,14 @@ def synth_documents(spark: SparkSession, num_docs: int,
                  pa.array(spans, pa.list_(span_t))],
                 names=["doc_id", "spans"])
 
-    rng = spark.range(num_docs)
-    if partitions:
-        rng = rng.repartition(partitions)
+    # native range partitioning (r6): spark.range can emit the requested
+    # partition count directly as contiguous id ranges — the previous
+    # .repartition(partitions) paid a round-robin exchange plus the
+    # sort-before-repartition pass (guide §2.5) just to spread 8-byte ids
+    # that are already evenly spread. Row content is a pure function of id,
+    # so downstream results are identical.
+    rng = spark.range(0, num_docs, 1, partitions) if partitions \
+        else spark.range(num_docs)
     return rng.mapInArrow(gen, DOCUMENTS_SCHEMA)
 
 
