@@ -355,6 +355,18 @@ def _pattern_frame(triples: DataFrame, pat: Pattern,
     return df, {v[1:] for v in out_vars}
 
 
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint unless the frame is already checkpoint-backed
+    (re-checkpointing a LogicalRDD would copy its partitions again)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return df
+    except Exception:  # noqa: BLE001 — fall through to checkpointing
+        pass
+    return df.localCheckpoint(eager=False)
+
+
 def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
               optional: list[list[Pattern]] | None = None,
               union: list[list[Pattern]] | None = None,
@@ -434,6 +446,14 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern], *,
     """
     if not patterns:
         raise ValueError("match_bgp: empty pattern list")
+    # Materialize the triples input ONCE (r6): every pattern, OPTIONAL/
+    # UNION/MINUS/EXISTS branch and path-closure seed scans `triples`
+    # independently, and a narrow upstream (the Arrow extraction) has no
+    # exchange for Spark's reuse machinery to share — so an 8-branch
+    # query re-ran the Python parse 8×. Skipped when the caller already
+    # passed a materialized (LogicalRDD-backed) frame, e.g. the
+    # incremental-KG snapshot reader.
+    triples = _materialize_once(triples)
     # ``meta_vars``: project hidden `v$lang`/`v$dt`/`v$kind` term-metadata
     # columns (for FILTER LANG/DATATYPE/is*) from the FIRST plain-predicate
     # pattern binding each variable in OBJECT position — the only position

@@ -437,6 +437,11 @@ def validate_shapes(triples: DataFrame, shapes: list[dict], *,
     for c in ("obj_kind", "obj_datatype", "lang"):
         if c not in triples.columns:
             triples = triples.withColumn(c, F.lit(None).cast("string"))
+    # materialize the input once (r6): every shape/constraint branch scans
+    # `triples`, and a narrow upstream (Arrow extraction) is otherwise
+    # re-executed per branch — same device as rdfs_entailment's input
+    from .bgp import _materialize_once
+    triples = _materialize_once(triples)
     seen = set()
     for s in shapes:
         if s["shape_id"] in seen:
