@@ -39,21 +39,27 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 20,
-                         a_col: str = "a", b_col: str = "b") -> DataFrame:
+                         a_col: str = "a", b_col: str = "b",
+                         distinct_edges: bool = False) -> DataFrame:
     """Undirected edge list → (node, label) with label = min node in the
     component.
 
     ``edges`` may contain duplicates and need not be symmetric (both
-    directions are added here). Isolated nodes (no edges) are the caller's
-    concern — they simply do not appear and map to themselves downstream
-    via ``coalesce``.
+    directions are added here); callers that guarantee a distinct edge
+    list (e.g. LSH candidate pairs, which end in dropDuplicates) pass
+    ``distinct_edges=True`` to skip one full exchange of the edge set —
+    the algorithm is insensitive to duplicate edges either way, the dedup
+    only bounds the per-round join width. Isolated nodes (no edges) are
+    the caller's concern — they simply do not appear and map to
+    themselves downstream via ``coalesce``.
 
     Raises ``RuntimeError`` if labels still change after ``max_rounds``
     (component diameter > 2^max_rounds) — non-convergence must never be
     silent.
     """
-    e = (edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-         .dropDuplicates())
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if not distinct_edges:
+        e = e.dropDuplicates()
     # materialize the edge set ONCE: `und` is joined every round, and its
     # upstream is typically the whole LSH-candidate pipeline or a full
     # triple-store filter — without this checkpoint each round's job
@@ -62,8 +68,20 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .localCheckpoint(eager=False)
-    labels = (und.select(F.col("a").alias("node")).dropDuplicates()
-              .withColumn("label", F.col("node"))
+    # SEED = the first hash-min + pointer step, join-free (r6): at
+    # initialization every label is the node itself, so the minimum
+    # neighbour LABEL is simply the minimum neighbour ID — one aggregate
+    # over the edge set replaces round 1's und ⋈ labels join, and the
+    # pointer shortcut is the usual self-join. Also subsumes the old
+    # distinct-nodes labels init (same exchange).
+    mb = (und.groupBy(F.col("a").alias("node"))
+          .agg(F.min("b").alias("mb")))
+    stepped = mb.select("node", F.least(F.col("node"), F.col("mb"))
+                        .alias("label"))
+    ptr = stepped.select(F.col("node").alias("pnode"),
+                         F.col("label").alias("plabel"))
+    labels = (stepped.join(ptr, stepped.label == ptr.pnode, "left")
+              .select("node", F.coalesce("plabel", "label").alias("label"))
               .localCheckpoint(eager=False))
     def _halfstep(cur: DataFrame) -> DataFrame:
         """One hash-min + pointer-doubling step over (node, old_label,
@@ -91,8 +109,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     # fixed per-action cost (AQE stage scheduling + count job) is paid
     # half as often. Labels only decrease monotonically, so "no change
     # across two steps" <=> "no change in either step" — the convergence
-    # check is exact, and the 2^max_rounds diameter contract is preserved
-    # by halving the loop bound.
+    # check is exact, and with the join-free seed step above the total
+    # half-step budget is 1 + 2*ceil(max_rounds/2) >= max_rounds, so the
+    # 2^max_rounds diameter contract is preserved.
     for _ in range((max_rounds + 1) // 2):
         cur = labels.select("node", F.col("label").alias("old_label"),
                             "label")

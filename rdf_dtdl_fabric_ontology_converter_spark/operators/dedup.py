@@ -398,7 +398,8 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     from .cc import connected_components
 
     labels = connected_components(pairs, max_rounds=max_rounds,
-                                  a_col="doc_a", b_col="doc_b")
+                                  a_col="doc_a", b_col="doc_b",
+                                  distinct_edges=True)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"),
                          (F.col("node") == F.col("label"))

@@ -117,14 +117,25 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
     dic = entity_dictionary(entity_types)
     m = mentions.withColumn("norm_mention", _norm(F.col(mention_col)))
 
-    exact = (m.join(F.broadcast(dic),
-                    m.norm_mention == dic.norm_label, "inner")
+    # ONE broadcast left join feeds BOTH tiers (r6 — was an inner join for
+    # the exact tier plus a separate distinct + anti-join for the
+    # unlinked set, two sequential materializations): a matched mention
+    # occurrence appears once per matching dictionary row (= the old
+    # inner join), an unmatched occurrence appears exactly once with NULL
+    # entity_id (= the old anti-join on distinct normalized mentions).
+    # materialized once: exact and unlinked (and through them every tier
+    # below) are narrow filters over this one frame, so the mention
+    # pipeline upstream runs exactly once however many branches consume it
+    joined = m.join(F.broadcast(dic),
+                    m.norm_mention == dic.norm_label, "left") \
+        .localCheckpoint(eager=False)
+    exact = (joined.where(F.col("entity_id").isNotNull())
              .withColumn("match_kind", F.lit("exact"))
              .withColumn("score", F.lit(1.0))
              .drop("label", "norm_label"))
 
-    linked_keys = exact.select("norm_mention").dropDuplicates()
-    unlinked = m.join(linked_keys, "norm_mention", "left_anti")
+    unlinked = joined.where(F.col("entity_id").isNull()) \
+        .drop("entity_id", "label", "norm_label")
 
     # blocking: first character + coarse length band. Candidates are
     # scored at the DISTINCT-mention level — the pandas UDF runs once per
@@ -163,9 +174,8 @@ def link_mentions(mentions: DataFrame, entity_types: DataFrame,
     # exchanges without these, 15 with).
     # (cand is NOT checkpointed: its only consumer is occ_cand, which is
     # checkpointed itself — a checkpoint here would add one more
-    # sequential materialization for no saved recompute; r6 trim)
-    exact = exact.localCheckpoint(eager=False)
-    unlinked = unlinked.localCheckpoint(eager=False)
+    # sequential materialization for no saved recompute; exact/unlinked
+    # are narrow slices of the already-checkpointed `joined`; r6 trims)
     occ = unlinked.select(doc_col, "norm_mention").dropDuplicates()
     occ_cand = (occ.join(cand.select("norm_mention", "entity_id", "score"),
                          "norm_mention")
